@@ -1,0 +1,486 @@
+"""Core analytic queries over the generic star schema.
+
+Each query re-expresses an operator pattern from the reference
+(SURVEY.md §2, citations inline) on the driver's TPC-H-ish tables, with a
+DuckDB oracle. Numeric-parity rules:
+
+* Raw column values (no arithmetic) are emitted as-is — parquet doubles are
+  bit-identical in both engines.
+* Sums/products of doubles go through exact DECIMAL arithmetic (the input
+  data carries <=2 decimal places) and only the final result is cast back to
+  DOUBLE, so the value is deterministic regardless of partitioning/order —
+  a double sum would wobble in the last ulp across 32-thread runs.
+* Averages are computed as exact-decimal-sum cast to double, divided by the
+  bigint count: one IEEE division of identical operands on both sides.
+* Timestamps are emitted as formatted strings (Spark session TZ is UTC;
+  DuckDB is UTC-naive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.tables import load_tables
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# helpers
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def dec(col: str, prec: int = 12, scale: int = 2) -> F.Column:
+    """Exact-decimal view of a <=2-dp double column."""
+    return F.col(col).cast(f"decimal({prec},{scale})")
+
+
+def d(col_expr: F.Column) -> F.Column:
+    return col_expr.cast("double")
+
+
+def one() -> F.Column:
+    """lit(1) as decimal(3,2); built lazily — F.lit needs an active session."""
+    return F.lit(1).cast("decimal(3,2)")
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (flagship). Group-by + 8 aggregates.
+# Reference pattern: group-by + max/agg analytics (SURVEY §2.4 A1/A2,
+# notebooks/DiabetesSQL.ipynb cell 23); shape follows public TPC-H Q1.
+# Scale notes: single shuffle on two low-cardinality keys; partial
+# aggregation (map-side combine) reduces 100 TB of lineitem to ~6 groups
+# per partition before the exchange — the plan is scan→partial agg→
+# exchange(6 groups)→final agg, optimal at any SF.
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Group-by aggregate summary; TPC-H Q1 shape (SURVEY §2.4 A1).",
+    tags=("agg",),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    disc_price = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    charge = disc_price * (one() + dec("l_tax", 4))
+    cnt = F.count(F.lit(1))
+    return (
+        li.where(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            d(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            d(F.sum(dec("l_extendedprice"))).alias("sum_base_price"),
+            d(F.sum(disc_price)).alias("sum_disc_price"),
+            d(F.sum(charge)).alias("sum_charge"),
+            (d(F.sum(dec("l_quantity"))) / cnt).alias("avg_qty"),
+            (d(F.sum(dec("l_extendedprice"))) / cnt).alias("avg_price"),
+            (d(F.sum(dec("l_discount", 4))) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — revenue by nation: 5-way join + agg.
+# Reference pattern: SQL equi-joins J1 (ODSImport.py:120-121) and pandas
+# merges J5-J7 (ODSImport.py:150,461,517), generalised to a star join.
+# Scale notes: region(5)/nation(25) are broadcast (no shuffle);
+# lineitem⋈orders and orders⋈customer are the only exchanges, both on
+# their natural keys. AQE picks broadcast for customer at small SF.
+
+
+@register(
+    "q02_revenue_by_nation",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    doc="Star join (broadcast dims) + agg (SURVEY §2.3 J1/J5).",
+    tags=("join", "agg"),
+)
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"].where(
+                (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+                & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].where(F.col("r_name").isin("ASIA", "EUROPE"))),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(d(F.sum(revenue)).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — top-k recent/largest: ORDER BY ... DESC LIMIT k.
+# Reference pattern: FHIR `_sort=-authored-on&_count=5` task poll (SURVEY
+# §2.5 W1, ConsultationNoteWritebackX.py:65-68) and `select top 10` (W2).
+# Unique tie-break key keeps the LIMIT set deterministic.
+# Scale notes: Spark executes this as TakeOrderedAndProject — per-partition
+# top-k then a k-row merge on the driver; no global sort of 100 TB.
+
+
+@register(
+    "q03_top_orders",
+    oracle=f"""
+    SELECT
+      o_orderkey,
+      o_custkey,
+      o_totalprice,
+      strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+      o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Top-k by sort+limit (SURVEY §2.5 W1/W2).",
+    tags=("topk",),
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_ts"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — cohort wide table with presence flags.
+# Reference pattern: the diabetes cohort query (DiabetesSQL.ipynb cell 3) —
+# 4 left joins with theta residuals producing IFNULL(x._id,0,1) presence
+# flags + CASE recode + date math (SURVEY §2.3 J2, §2.7 F6/F8/F9).
+# Spark-first: a single conditional aggregation replaces the 4 self-joins
+# (SURVEY J2 note "better: conditional agg pivot") — one shuffle instead of
+# four, no fan-out on duplicate matches.
+
+
+@register(
+    "q04_customer_cohort",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      CASE c.c_mktsegment
+        WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2 WHEN 'FURNITURE' THEN 3
+        WHEN 'HOUSEHOLD' THEN 4 WHEN 'MACHINERY' THEN 5 ELSE 9 END AS segment_code,
+      COALESCE(o.has_urgent, 0)     AS has_urgent,
+      COALESCE(o.has_high_value, 0) AS has_high_value,
+      COALESCE(o.has_open, 0)       AS has_open,
+      COALESCE(o.has_fulfilled, 0)  AS has_fulfilled,
+      COALESCE(o.n_orders, 0)       AS n_orders,
+      CASE WHEN o.first_order_year IS NULL THEN NULL
+           ELSE 2026 - o.first_order_year END AS years_since_first_order
+    FROM customer c
+    LEFT JOIN (
+      SELECT
+        o_custkey,
+        MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS has_urgent,
+        MAX(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS has_high_value,
+        MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS has_open,
+        MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS has_fulfilled,
+        COUNT(*) AS n_orders,
+        MIN(EXTRACT(year FROM o_orderdate)) AS first_order_year
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="Presence-flag cohort wide table (SURVEY §2.3 J2 + §2.7 F6/F8/F9).",
+    tags=("join", "agg", "cohort"),
+)
+def q04_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    flag = lambda cond: F.max(F.when(cond, 1).otherwise(0))  # noqa: E731
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            flag(F.col("o_orderpriority") == "1-URGENT").alias("has_urgent"),
+            flag(F.col("o_totalprice") > 150000).alias("has_high_value"),
+            flag(F.col("o_orderstatus") == "O").alias("has_open"),
+            flag(F.col("o_orderstatus") == "F").alias("has_fulfilled"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.year("o_orderdate")).alias("first_order_year"),
+        )
+    )
+    segment_code = (
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", 1)
+        .when(F.col("c_mktsegment") == "BUILDING", 2)
+        .when(F.col("c_mktsegment") == "FURNITURE", 3)
+        .when(F.col("c_mktsegment") == "HOUSEHOLD", 4)
+        .when(F.col("c_mktsegment") == "MACHINERY", 5)
+        .otherwise(9)
+    )
+    # ifnull3 semantics (IRIS 3-arg IFNULL, SURVEY F8): a IS NULL ? b : c
+    ifnull3 = lambda a, b, c: F.when(a.isNull(), b).otherwise(c)  # noqa: E731
+    return (
+        t["customer"]
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            segment_code.alias("segment_code"),
+            F.coalesce("has_urgent", F.lit(0)).alias("has_urgent"),
+            F.coalesce("has_high_value", F.lit(0)).alias("has_high_value"),
+            F.coalesce("has_open", F.lit(0)).alias("has_open"),
+            F.coalesce("has_fulfilled", F.lit(0)).alias("has_fulfilled"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            ifnull3(
+                F.col("first_order_year"),
+                F.lit(None).cast("long"),
+                F.lit(2026) - F.col("first_order_year"),
+            ).alias("years_since_first_order"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — per-entity panel pivot.
+# Reference pattern: the lipid-panel triple self-join (DiabetesSQL.ipynb
+# cell 23, SURVEY §2.3 J3 / §2.4 A1) — idiomatic Spark is one pass with
+# max(when(...)) per panel member instead of 3 self-joins: 1 shuffle vs 3.
+
+
+@register(
+    "q05_priority_panel",
+    oracle="""
+    SELECT
+      o_custkey,
+      MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) AS urgent_max,
+      MAX(CASE WHEN o_orderpriority = '2-HIGH'   THEN o_totalprice END) AS high_max,
+      MAX(CASE WHEN o_orderpriority = '5-LOW'    THEN o_totalprice END) AS low_max
+    FROM orders
+    GROUP BY o_custkey
+    HAVING MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END) IS NOT NULL
+    ORDER BY o_custkey
+    """,
+    doc="Self-join panel → single-pass conditional-agg pivot (SURVEY J3/A1).",
+    tags=("agg", "pivot"),
+)
+def q05_priority_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    pick = lambda p: F.max(F.when(F.col("o_orderpriority") == p, F.col("o_totalprice")))  # noqa: E731
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            pick("1-URGENT").alias("urgent_max"),
+            pick("2-HIGH").alias("high_max"),
+            pick("5-LOW").alias("low_max"),
+        )
+        .where(F.col("urgent_max").isNotNull())
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — duplicate detection by key: GROUP BY ... HAVING count(*) > 1.
+# Reference pattern: duplicate-GMP practitioners
+# (DeleteDuplicatesinIRISFHIRServer.ipynb cell 0, SURVEY §2.4 A3).
+
+
+@register(
+    "q06_dup_groups",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 1
+    ORDER BY user_id, event_type
+    """,
+    doc="Dup-group detection via HAVING count>1 (SURVEY §2.4 A3).",
+    tags=("agg", "dedup"),
+)
+def q06_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — keep-newest dedup via row_number window.
+# Reference pattern: "keep one, delete the rest" (SURVEY §2.5 note:
+# row_number() over (partition by GMP order by _lastUpdated desc)).
+# Scale notes: one shuffle on user_id; no global sort. At skewed keys AQE
+# skew-join/agg splitting applies; tie-break on event_id keeps it
+# deterministic.
+
+
+@register(
+    "q07_latest_event_per_user",
+    oracle=f"""
+    SELECT user_id, event_id, event_type,
+           strftime(CAST(ts AS TIMESTAMP), '{TS_FMT_DUCK}') AS ts_str, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    doc="Keep-newest-per-key dedup via row_number (SURVEY §2.5 note / A3+S8).",
+    tags=("window", "dedup"),
+)
+def q07_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — anti join (set difference by key).
+# Reference pattern: the duplicate-Composition existence check
+# (ConsultationNoteWritebackX.py:297-333) is a semi/anti join (SURVEY §2.3
+# note). Spark left_anti avoids materialising the NOT EXISTS subquery.
+
+
+@register(
+    "q08_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    doc="Anti join / NOT EXISTS (SURVEY §2.3 semi/anti note).",
+    tags=("join",),
+)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — semi join counterpart of q08.
+
+
+@register(
+    "q09_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Semi join / EXISTS with pushed residual predicate.",
+    tags=("join",),
+)
+def q09_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — JSON property extraction + aggregation.
+# Reference pattern: GetJSON/GetProp over ResourceString (SURVEY §2.7
+# F1/F2) and join-key derivation via JSON (J9, ODSImport.py:500-515).
+
+
+@register(
+    "q10_json_props",
+    oracle="""
+    SELECT
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY k
+    """,
+    doc="JSON scalar extraction → group key (SURVEY §2.7 F1/F2, §2.3 J9).",
+    tags=("json", "agg"),
+)
+def q10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            d(F.sum(dec("value"))).alias("sum_value"),
+        )
+        .orderBy("k")
+    )
