@@ -3,10 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end (plan + execute + collect-to-count). A
-warm-up pass on the flagship query amortises JVM/codegen startup so the
-numbers reflect steady-state engine throughput, as they would on a
-long-lived cluster.
+Each query is timed end-to-end with FULL materialization: results are
+written to the `noop` sink, which executes every projected expression and
+every final operator (unlike `count()`, under which Catalyst prunes
+unreferenced aggregates and drops final sorts). A warm-up pass on the
+flagship query amortises JVM/codegen startup so the numbers reflect
+steady-state engine throughput, as they would on a long-lived cluster.
 """
 
 from __future__ import annotations
@@ -29,15 +31,19 @@ def main() -> None:
 
     specs = all_specs()
     # warm-up: JVM, codegen, parquet footer caches
-    specs["q01_pricing_summary"].fn(spark, sf_dir).count()
+    specs["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
-        n = df.count()
+        # noop sink: full execution of every expression/operator, zero
+        # serialization-to-driver cost — measures the engine, not the pipe.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

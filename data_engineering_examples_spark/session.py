@@ -47,12 +47,3 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
-
-
-def tune_for(spark: SparkSession, approx_rows: int) -> None:
-    """Adjust runtime-settable knobs to the data scale. Static knobs
-    (driver memory) can't change post-start; shuffle partitions can."""
-    if approx_rows > 50_000_000:
-        spark.conf.set("spark.sql.shuffle.partitions", "2048")
-    elif approx_rows > 1_000_000:
-        spark.conf.set("spark.sql.shuffle.partitions", "128")

@@ -25,24 +25,32 @@ TABLES = [
     "embeddings",
 ]
 
-# Dimension tables small enough to broadcast at any realistic scale factor
-# (region=5, nation=25 rows at every SF). customer/supplier/part grow with
-# SF; AQE decides for those at runtime.
-ALWAYS_BROADCAST = {"region", "nation"}
-
-
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
     parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-    int64 (runtime-settable legacy conf — works under any caller-provided
-    session, including the driver's) and truncate to a microsecond
-    timestamp, matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast."""
+    int64 and truncate to a microsecond timestamp, matching DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast.
+
+    NOTE: this sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
+    caller's session and deliberately does NOT restore it — the conf is
+    consulted again at physical-scan time (the plan is lazy), so restoring
+    it here would break execution. Other nanos-timestamp parquet read on
+    the same session will also see raw int64; no driver table besides
+    ``events`` carries nanos.
+
+    The rebuilt ts is TIMESTAMP_NTZ (wall-clock, no zone) so downstream
+    formatting is independent of the session timezone — ``timestampadd``
+    over an NTZ literal yields NTZ without consulting the session zone,
+    where ``timestamp_micros`` would give LTZ → tz-dependent text."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # integer div — ns values exceed 2^53, double division would round
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

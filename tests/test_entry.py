@@ -12,7 +12,7 @@ import __spark_entry__ as e
 def test_entry_runs(spark):
     df = e.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
 
 
