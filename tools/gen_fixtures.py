@@ -1,0 +1,478 @@
+"""Deterministic FHIR-shaped fixture generator (FIXTURES.md schemas).
+
+Generates the healthcare-side test inputs the driver's TPC-H-ish tables
+can't provide: a bronze ``resources`` document store, the per-type search
+projections (mirroring the reference's ``HSFHIR_X0001_S.*`` tables), NHS
+ODS master CSVs, and workflow tables. Written once to ``/root/repo/fixtures``
+and committed; every byte derives from ``random.Random(FIXED_SEED)`` so
+regeneration is reproducible.
+
+Run: ``python tools/gen_fixtures.py``
+Reference shapes: ``dags/ODSImport.py:84-97`` (CSV columns),
+``notebooks/RaceAndEthnicCategorySQL.ipynb`` cells 5/7/9 (US-Core
+extensions), ``OlderExamples/SQLConnections.ipynb`` cell 5 (Observation
+JSON), ``dags/ConsultationNoteWritebackX.py:63-96`` (Task fields).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from datetime import date, datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
+
+N_PATIENTS = 1200
+N_CONDITIONS = 2500
+N_OBSERVATIONS = 20000
+N_ORGS = 1600
+N_PRACTITIONERS = 2000
+N_ROLES = 2500
+N_EPRACCUR = 1700
+N_EGPCUR = 2200
+N_TASKS = 200
+
+RACE_CODES = [
+    ("1002-5", "American Indian or Alaska Native"),
+    ("2054-5", "Black or African American"),
+    ("2106-3", "White"),
+    ("2028-9", "Asian"),
+    ("UNK", "Unknown"),
+]
+ETH_CODES = [("2135-2", "Hispanic or Latino"), ("2186-5", "Not Hispanic or Latino")]
+RACE_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+ETH_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity"
+SEX_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+SYNTHEA = "https://github.com/synthetichealth/synthea"
+ODS_SYS = "https://fhir.nhs.uk/Id/ods-organization-code"
+GMP_SYS = "https://fhir.hl7.org.uk/Id/gmp-number"
+ROLE_SYS = "https://fhir.nhs.uk/CodeSystem/organisation-role"
+LOINC = "http://loinc.org"
+SNOMED = "http://snomed.info/sct"
+
+# SNOMED codes from notebooks/DiabetesSQL.ipynb cell 3 + decoys that share
+# prefixes/superstrings (contains-op edge cases: '44054006' substring-matches
+# a hypothetical '440540061' in BOTH engines — faithful IRIS `[` semantics).
+COND_CODES = [
+    "44054006",   # type 2 diabetes
+    "59621000",   # hypertension
+    "162864005",  # obese (BMI 30+)
+    "408512008",  # severely obese (BMI 40+)
+    "73211009",   # diabetes mellitus (decoy: different code, related concept)
+    "440540061",  # decoy: supercode containing 44054006
+    "15777000",   # prediabetes
+    "271737000",  # anemia
+]
+OBS_CODES = [
+    "38483-4",  # creatinine
+    "29463-7",  # weight
+    "8302-2",   # height
+    "85354-9",  # BP panel
+    "39156-5",  # BMI
+    "72514-3",  # pain
+    "18262-6",  # LDL
+    "2085-9",   # HDL
+    "2093-3",   # total cholesterol
+]
+OBS_UNITS = {
+    "38483-4": "mg/dL", "29463-7": "kg", "8302-2": "cm", "85354-9": "mmHg",
+    "39156-5": "kg/m2", "72514-3": "{score}", "18262-6": "mg/dL",
+    "2085-9": "mg/dL", "2093-3": "mg/dL",
+}
+
+SURNAMES = ["SMITH", "JONES", "KOYA", "PATEL", "BROWN", "TAYLOR", "WILSON", "DAVIES", "EVANS", "THOMAS"]
+GIVEN = ["A", "B", "C", "J", "M", "R", "S", "MR", "DR"]
+
+
+def _uuid(rng: random.Random) -> str:
+    return "-".join(
+        "".join(rng.choice("0123456789abcdef") for _ in range(n)) for n in (8, 4, 4, 4, 12)
+    )
+
+
+def _ts(rng: random.Random, start: datetime, days: int) -> datetime:
+    return start + timedelta(seconds=rng.randrange(days * 86400), microseconds=rng.randrange(1000000))
+
+
+def write_parquet(name: str, rows: list[dict], schema: pa.Schema) -> None:
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    table = pa.Table.from_pydict(cols, schema=schema)
+    pq.write_table(table, os.path.join(OUT, f"{name}.parquet"))
+    print(f"  {name}: {len(rows)} rows")
+
+
+def gen_patients(rng: random.Random):
+    patients, resources = [], []
+    for i in range(N_PATIENTS):
+        # birthday-boundary edge cases: force some Dec-31/Jan-1 births
+        if i % 97 == 0:
+            bd = date(1930 + (i % 90), 12, 31)
+        elif i % 97 == 1:
+            bd = date(1930 + (i % 90), 1, 1)
+        else:
+            bd = date(1930 + rng.randrange(95), rng.randrange(1, 13), rng.randrange(1, 29))
+        gender = rng.choices(["male", "female", "other", None], [46, 46, 4, 4])[0]
+        country = rng.choices(["US", "GB", None], [80, 15, 5])[0]
+        syn_id = _uuid(rng)
+        nhs = f"{rng.randrange(400000000, 499999999)}"
+        identifier = f"{SYNTHEA}|{syn_id},https://fhir.nhs.uk/Id/nhs-number|{nhs}"
+        last_upd = _ts(rng, datetime(2025, 1, 1), 180)
+
+        exts = []
+        if rng.random() < 0.85:  # some patients LACK the race extension
+            code, disp = rng.choice(RACE_CODES)
+            exts.append({
+                "url": RACE_URL,
+                "extension": [
+                    {"url": "ombCategory", "valueCoding": {"system": "urn:oid:2.16.840.1.113883.6.238", "code": code, "display": disp}},
+                    {"url": "text", "valueString": disp},
+                ],
+            })
+        if rng.random() < 0.85:
+            code, disp = rng.choices(ETH_CODES, [30, 70])[0]
+            exts.append({
+                "url": ETH_URL,
+                "extension": [
+                    {"url": "ombCategory", "valueCoding": {"system": "urn:oid:2.16.840.1.113883.6.238", "code": code, "display": disp}},
+                    {"url": "text", "valueString": disp},
+                ],
+            })
+        if rng.random() < 0.9:
+            exts.append({"url": SEX_URL, "valueCode": rng.choice(["M", "F"])})
+
+        doc = {
+            "resourceType": "Patient",
+            "id": str(i),
+            "identifier": [
+                {"system": SYNTHEA, "value": syn_id},
+                {"system": "https://fhir.nhs.uk/Id/nhs-number", "value": nhs},
+            ],
+            "name": [{"family": rng.choice(SURNAMES).title(), "given": [rng.choice(GIVEN)]}],
+            "gender": gender,
+            "birthDate": bd.isoformat(),
+            "address": [{"country": country}] if country else [],
+        }
+        if exts:
+            doc["extension"] = exts
+        patients.append({
+            "_id": str(i), "key": f"Patient/{i}", "identifier": identifier,
+            "birthdate": bd, "gender": gender, "address_country": country,
+            "_last_updated": last_upd, "resource_string": json.dumps(doc, separators=(",", ":")),
+        })
+        resources.append(("Patient", str(i), patients[-1]["resource_string"], last_upd, rng.randrange(1, 5)))
+    return patients, resources
+
+
+def gen_conditions(rng: random.Random):
+    conditions, resources = [], []
+    for i in range(N_CONDITIONS):
+        pid = rng.randrange(N_PATIENTS)
+        code = rng.choices(COND_CODES, [15, 14, 12, 6, 10, 4, 10, 29])[0]
+        # duplicate same-code conditions for some patients (fan-out check)
+        onset = date(1990 + rng.randrange(35), rng.randrange(1, 13), rng.randrange(1, 29))
+        code_col = f"{code},{SNOMED}|{code},{SNOMED}|"
+        doc = {
+            "resourceType": "Condition", "id": str(i),
+            "code": {"coding": [{"system": SNOMED, "code": code}]},
+            "subject": {"reference": f"Patient/{pid}"},
+            "onsetDateTime": onset.isoformat(),
+        }
+        last_upd = _ts(rng, datetime(2025, 1, 1), 180)
+        conditions.append({
+            "_id": str(i), "key": f"Condition/{i}", "patient": f"Patient/{pid}",
+            "code": code_col, "onset_date_start": onset.isoformat(),
+        })
+        resources.append(("Condition", str(i), json.dumps(doc, separators=(",", ":")), last_upd, 1))
+    return conditions, resources
+
+
+def gen_observations(rng: random.Random):
+    observations, child, resources = [], [], []
+    for i in range(N_OBSERVATIONS):
+        pid = rng.randrange(N_PATIENTS)
+        code = rng.choice(OBS_CODES)
+        unit = OBS_UNITS[code]
+        value = round(rng.uniform(0.5, 300.0), 2)
+        eff = _ts(rng, datetime(2010, 1, 1), 5400)
+        code_col = f"{code},{LOINC}|{code},{LOINC}|"
+        unit_col = f"{LOINC}|{code}|{unit}"
+        doc = {
+            "resourceType": "Observation", "id": str(i), "status": "final",
+            "category": [{"coding": [{"system": "http://terminology.hl7.org/CodeSystem/observation-category", "code": "vital-signs"}]}],
+            "code": {"coding": [{"system": LOINC, "code": code}]},
+            "subject": {"reference": f"Patient/{pid}"},
+            "effectiveDateTime": eff.strftime("%Y-%m-%dT%H:%M:%S+00:00"),
+            "valueQuantity": {"value": value, "unit": unit, "system": "http://unitsofmeasure.org", "code": unit},
+        }
+        observations.append({
+            "_id": str(i), "key": f"Observation/{i}", "patient": f"Patient/{pid}",
+            "code": code_col, "date_start": eff.strftime("%Y-%m-%dT%H:%M:%S"),
+            "unit": unit_col, "vq_value": value, "vq_unit": unit,
+        })
+        child.append({"key": f"Observation/{i}", "value": value, "unit": unit})
+        if i % 5 == 0:  # bronze holds a subset to keep resources.parquet small
+            resources.append(("Observation", str(i), json.dumps(doc, separators=(",", ":")), eff, 1))
+    return observations, child, resources
+
+
+def gen_organizations(rng: random.Random):
+    orgs, resources = [], []
+    for i in range(N_ORGS):
+        ods = f"F{82000 + i}" if rng.random() < 0.9 else None  # some lack an ODS code
+        parts = []
+        if ods:
+            parts.append(f"{ODS_SYS}|{ods}")
+        parts.append(f"urn:oid:1.2.3|{_uuid(rng)[:8]}")
+        rng.shuffle(parts)
+        identifier = ",".join(parts)
+        role = rng.choices(["76", "177", "197"], [60, 25, 15])[0]
+        type_col = f"{ROLE_SYS}|{role},{ROLE_SYS}|"
+        country = rng.choices(["GB", "US", None], [85, 10, 5])[0]
+        postal = f"SW{rng.randrange(1, 20)} {rng.randrange(1, 9)}AA"
+        active = rng.random() < 0.9
+        telecom_empty = rng.random() < 0.2
+        has_partof = rng.random() < 0.3
+        doc = {
+            "resourceType": "Organization", "id": str(i),
+            "identifier": ([{"system": ODS_SYS, "value": ods}] if ods else []) ,
+            "name": f"Practice {i}",
+            "active": active,
+            "type": [{"coding": [{"system": ROLE_SYS, "code": role}]}],
+            "address": [{"postalCode": postal, "country": country}],
+        }
+        if not telecom_empty:
+            doc["telecom"] = [{"system": "phone", "value": f"0{rng.randrange(1000000000, 1999999999)}"}]
+        if has_partof:
+            doc["partOf"] = {"reference": f"Organization/{rng.randrange(N_ORGS)}"}
+        last_upd = _ts(rng, datetime(2025, 1, 1), 180)
+        js = json.dumps(doc, separators=(",", ":"))
+        orgs.append({
+            "_id": str(i), "key": f"Organization/{i}", "identifier": identifier,
+            "type": type_col, "address_country": country, "_last_updated": last_upd,
+            "resource_string": js,
+        })
+        resources.append(("Organization", str(i), js, last_upd, rng.randrange(1, 4)))
+    return orgs, resources
+
+
+def gen_practitioners(rng: random.Random):
+    pracs, resources = [], []
+    gmp_pool = [f"G{rng.randrange(1000000, 9999999)}" for _ in range(int(N_PRACTITIONERS * 0.85))]
+    for i in range(N_PRACTITIONERS):
+        # ~15% of rows reuse a pool GMP -> duplicate-GMP groups for the dedup query
+        gmp = gmp_pool[i] if i < len(gmp_pool) else rng.choice(gmp_pool[:200])
+        identifier = f"{GMP_SYS}|{gmp},urn:oid:2.5|{_uuid(rng)[:8]}"
+        name = f"{rng.choice(SURNAMES)} {rng.choice(GIVEN)}"
+        doc = {
+            "resourceType": "Practitioner", "id": str(i),
+            "identifier": [{"system": GMP_SYS, "value": gmp}],
+            "name": [{"family": name.split(" ")[0], "given": name.split(" ")[1:]}],
+            "active": rng.random() < 0.95,
+        }
+        last_upd = _ts(rng, datetime(2025, 1, 1), 180)
+        js = json.dumps(doc, separators=(",", ":"))
+        pracs.append({
+            "_id": str(i), "key": f"Practitioner/{i}", "identifier": identifier,
+            "address_country": rng.choices(["GB", None], [90, 10])[0],
+            "_last_updated": last_upd, "resource_string": js,
+        })
+        resources.append(("Practitioner", str(i), js, last_upd, 1))
+    return pracs, resources
+
+
+def gen_roles(rng: random.Random):
+    roles, resources = [], []
+    for i in range(N_ROLES):
+        gmp = f"G{rng.randrange(1000000, 9999999)}"
+        ods = f"F{82000 + rng.randrange(N_ORGS)}"
+        # some rows carry non-matching identifier systems (J9 guard coverage)
+        gmp_sys = GMP_SYS if rng.random() < 0.9 else "urn:oid:0.0"
+        ods_sys = ODS_SYS if rng.random() < 0.9 else "urn:oid:0.0"
+        started = date(2000 + rng.randrange(25), rng.randrange(1, 13), rng.randrange(1, 29))
+        doc = {
+            "resourceType": "PractitionerRole", "id": str(i),
+            "practitioner": {"identifier": {"system": gmp_sys, "value": gmp}},
+            "organization": {"identifier": {"system": ods_sys, "value": ods}},
+            "period": {"start": started.isoformat()},
+            "active": True,
+        }
+        last_upd = _ts(rng, datetime(2025, 1, 1), 180)
+        js = json.dumps(doc, separators=(",", ":"))
+        roles.append({"_id": str(i), "key": f"PractitionerRole/{i}", "_last_updated": last_upd, "resource_string": js})
+        resources.append(("PractitionerRole", str(i), js, last_upd, 1))
+    return roles, resources
+
+
+def gen_tasks(rng: random.Random):
+    tasks, resources = [], []
+    statuses = ["requested", "accepted", "in-progress", "completed", "failed", "cancelled", "rejected"]
+    for i in range(N_TASKS):
+        status = rng.choices(statuses, [15, 30, 10, 30, 5, 5, 5])[0]
+        authored = _ts(rng, datetime(2025, 5, 1), 150)  # straddles 2025-07-01
+        # version guards: a few runaway rows >100 and >1000
+        version = rng.choices([rng.randrange(1, 20), rng.randrange(101, 200), rng.randrange(1001, 1100)], [92, 5, 3])[0]
+        enc_val = f"ENC-{rng.randrange(40)}"
+        tid = _uuid(rng)
+        doc = {
+            "resourceType": "Task", "id": tid, "status": status,
+            "authoredOn": authored.strftime("%Y-%m-%dT%H:%M:%S+00:00"),
+            "meta": {"versionId": str(version)},
+            "focus": {"identifier": {"system": "https://fhir.virtually.healthcare/Id/Encounter", "value": enc_val}},
+        }
+        js = json.dumps(doc, separators=(",", ":"))
+        tasks.append({
+            "id": tid, "status": status, "authored_on": authored, "version_id": version,
+            "focus_identifier_system": "https://fhir.virtually.healthcare/Id/Encounter",
+            "focus_identifier_value": enc_val,
+            "note": json.dumps([{"time": authored.strftime("%Y-%m-%dT%H:%M:%S+00:00"), "text": "created"}]),
+            "output": "[]", "resource_string": js,
+        })
+        resources.append(("Task", tid, js, authored, version))
+    return tasks, resources
+
+
+def gen_bundles(rng: random.Random):
+    bundles, compositions = [], []
+    for i in range(40):
+        enc_val = f"ENC-{i}"
+        pid = rng.randrange(N_PATIENTS)
+        has_dbid = rng.random() < 0.8
+        patient_ident = [{"system": SYNTHEA, "value": _uuid(rng)}]
+        if has_dbid:
+            patient_ident.append({"system": "https://emis.com/Id/Patient/DBID", "value": str(10000 + pid)})
+        legacy = rng.random() < 0.5
+        qr_items = (
+            [{"text": "Presenting complaint", "answer": [{"valueString": "cough"}]},
+             {"text": "Problem", "answer": [{"valueString": "URTI"}]}]
+            if legacy
+            else [{"linkId": "61149-1", "text": "consultation", "item": [
+                {"linkId": "q1", "text": "Presenting complaint", "answer": [{"valueString": "cough"}]}]}]
+        )
+        entries = [
+            {"fullUrl": f"urn:uuid:{_uuid(rng)}", "resource": {"resourceType": "Patient", "id": str(pid), "identifier": patient_ident}},
+            {"fullUrl": f"urn:uuid:{_uuid(rng)}", "resource": {
+                "resourceType": "Encounter", "id": f"e{i}",
+                "identifier": [{"system": "https://fhir.virtually.healthcare/Id/Encounter", "value": enc_val}]}},
+            {"fullUrl": f"urn:uuid:{_uuid(rng)}", "resource": {
+                "resourceType": "Observation", "id": f"o{i}",
+                "code": {"coding": [{"system": LOINC, "code": "8302-2"}]},
+                "valueQuantity": {"value": round(rng.uniform(150, 200), 1), "unit": "cm"}}},
+            {"fullUrl": f"urn:uuid:{_uuid(rng)}", "resource": {
+                "resourceType": "QuestionnaireResponse", "id": f"q{i}", "status": "completed", "item": qr_items}},
+        ]
+        bundle = {"resourceType": "Bundle", "type": "collection", "entry": entries}
+        bundles.append({"encounter_identifier": enc_val, "bundle_json": json.dumps(bundle, separators=(",", ":"))})
+        if rng.random() < 0.4:  # DUPLICATE branch rows for the semi-join check
+            compositions.append({
+                "patient_id": str(10000 + pid), "encounter_identifier_value": enc_val,
+                "composition_json": json.dumps({"resourceType": "Composition", "id": f"c{i}",
+                                                "subject": {"reference": f"Patient/{pid}"}}, separators=(",", ":")),
+            })
+    return bundles, compositions
+
+
+def gen_ods_csvs(rng: random.Random, orgs, pracs):
+    """Headerless positional CSVs per dags/ODSImport.py:84-97/:319-327.
+    Overlap matrix vs the DB-side tables: rows only in CSV (create), in both
+    equal (no-op), in both differing (update), only in DB (delete-candidate)."""
+    ep_rows = []
+    for i in range(N_EPRACCUR):
+        ods = f"F{82000 + i}"  # i < N_ORGS overlap; i >= N_ORGS are CSV-only creates
+        name = f"PRACTICE {i}"
+        opened = 19900000 + rng.randrange(1, 12) * 100 + rng.randrange(1, 28) + rng.randrange(30) * 10000
+        closed = "" if rng.random() < 0.9 else str(opened + 200000)
+        postal = f"SW{rng.randrange(1, 20)} {rng.randrange(1, 9)}AA"
+        phone = f" 0{rng.randrange(1000000000, 1999999999)} "  # leading/trailing spaces (strip target)
+        row = [ods, name, "Y56", f"{i} HIGH ST", "SUITE 1", f"TOWN{i % 50}", "COUNTY", "", postal,
+               str(opened), closed, "A", "", "4", f"F{82000 + (i % 100)}", phone, "", "", "", "", "0", "", "", "", "", ""]
+        ep_rows.append(",".join('"' + c + '"' if "," in c else c for c in row))
+    with open(os.path.join(OUT, "epraccur.csv"), "w") as f:
+        f.write("\n".join(ep_rows) + "\n")
+    print(f"  epraccur.csv: {len(ep_rows)} rows")
+
+    eg_rows = []
+    for i in range(N_EGPCUR):
+        gmp = f"G{1000000 + i}"
+        # single-token names exercise the given() edge case (ODSImport.py:328-334)
+        name = rng.choice(SURNAMES) if rng.random() < 0.1 else f"{rng.choice(SURNAMES)} {rng.choice(GIVEN)} {rng.choice(GIVEN)}"
+        ods = f"F{82000 + rng.randrange(N_EPRACCUR + 100)}"  # some dangling FKs
+        started = 19900101 + rng.randrange(30) * 10000
+        ended = "" if rng.random() < 0.85 else str(started + 150000)
+        status = "C" if rng.random() < 0.9 else "L"
+        row = [gmp, name, "Y56", f"{i} LOW ST", "", f"TOWN{i % 50}", "COUNTY", "", f"E{rng.randrange(1, 20)} {rng.randrange(1, 9)}BB",
+               str(started), ended, status, "", "4", ods, f"0{rng.randrange(1000000000, 1999999999)}", "", "", "", "", "0", "", "", "", "", ""]
+        eg_rows.append(",".join(row))
+    with open(os.path.join(OUT, "egpcur.csv"), "w") as f:
+        f.write("\n".join(eg_rows) + "\n")
+    print(f"  egpcur.csv: {len(eg_rows)} rows")
+
+
+def main() -> None:
+    os.makedirs(OUT, exist_ok=True)
+    rng = random.Random(SEED)
+    print(f"writing fixtures to {OUT}")
+
+    patients, r1 = gen_patients(rng)
+    conditions, r2 = gen_conditions(rng)
+    observations, child, r3 = gen_observations(rng)
+    orgs, r4 = gen_organizations(rng)
+    pracs, r5 = gen_practitioners(rng)
+    roles, r6 = gen_roles(rng)
+    tasks, r7 = gen_tasks(rng)
+    bundles, compositions = gen_bundles(rng)
+
+    ts = pa.timestamp("us")
+    write_parquet("patients", patients, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("identifier", pa.string()),
+        ("birthdate", pa.date32()), ("gender", pa.string()), ("address_country", pa.string()),
+        ("_last_updated", ts), ("resource_string", pa.string())]))
+    write_parquet("conditions", conditions, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("patient", pa.string()),
+        ("code", pa.string()), ("onset_date_start", pa.string())]))
+    write_parquet("observations", observations, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("patient", pa.string()),
+        ("code", pa.string()), ("date_start", pa.string()), ("unit", pa.string()),
+        ("vq_value", pa.float64()), ("vq_unit", pa.string())]))
+    write_parquet("observation_value_quantity", child, pa.schema([
+        ("key", pa.string()), ("value", pa.float64()), ("unit", pa.string())]))
+    write_parquet("organizations", orgs, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("identifier", pa.string()),
+        ("type", pa.string()), ("address_country", pa.string()), ("_last_updated", ts),
+        ("resource_string", pa.string())]))
+    write_parquet("practitioners", pracs, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("identifier", pa.string()),
+        ("address_country", pa.string()), ("_last_updated", ts), ("resource_string", pa.string())]))
+    write_parquet("practitioner_roles", roles, pa.schema([
+        ("_id", pa.string()), ("key", pa.string()), ("_last_updated", ts), ("resource_string", pa.string())]))
+    write_parquet("tasks", tasks, pa.schema([
+        ("id", pa.string()), ("status", pa.string()), ("authored_on", ts), ("version_id", pa.int32()),
+        ("focus_identifier_system", pa.string()), ("focus_identifier_value", pa.string()),
+        ("note", pa.string()), ("output", pa.string()), ("resource_string", pa.string())]))
+    write_parquet("encounter_bundles", bundles, pa.schema([
+        ("encounter_identifier", pa.string()), ("bundle_json", pa.string())]))
+    write_parquet("compositions", compositions, pa.schema([
+        ("patient_id", pa.string()), ("encounter_identifier_value", pa.string()), ("composition_json", pa.string())]))
+
+    all_res = []
+    rid = 0
+    for rtype, key_id, js, last_upd, version in r1 + r2 + r3 + r4 + r5 + r6 + r7:
+        all_res.append({
+            "id": rid, "key": f"{rtype}/{key_id}", "resource_type": rtype,
+            "resource_string": js, "last_updated": last_upd, "version_id": version,
+        })
+        rid += 1
+    write_parquet("resources", all_res, pa.schema([
+        ("id", pa.int64()), ("key", pa.string()), ("resource_type", pa.string()),
+        ("resource_string", pa.string()), ("last_updated", ts), ("version_id", pa.int32())]))
+
+    gen_ods_csvs(rng, orgs, pracs)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
