@@ -1,1 +1,615 @@
-"""Placeholder — populated in a later milestone."""
+"""L4 — FHIR analytic queries (the reference's healthcare workload).
+
+Each query re-expresses one of the reference's IRIS SQL artifacts over the
+FHIR fixture tables (``tools/gen_fixtures.py``, schemas in FIXTURES.md),
+with a DuckDB oracle over the same parquet for the driver's correctness
+gate. Reference citations give the exact source cell/line.
+
+Scale design (these run against a 100 TB bronze store on a real cluster):
+
+* every query filters ``resource_type`` / code **before** any join or UDF,
+  so the predicate reaches the parquet scan (partition pruning on a
+  type-partitioned bronze table);
+* the reference's N-way self-join / left-join-per-code patterns are
+  collapsed into single-pass conditional aggregations — one shuffle on
+  ``patient`` instead of N join shuffles with fan-out;
+* the FHIRPath pandas UDF (the one Python stage) always runs scan-local —
+  after a pushed filter, before any shuffle — so it scales linearly with
+  executors and never sits on a shuffle boundary;
+* small dimension sides (compositions, code tables) are broadcast.
+
+The fixture tables live in the repo (``<repo>/fixtures``) and do not scale
+with ``sf_dir``; the callables accept ``sf_dir`` for driver-contract
+uniformity and ignore it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import (
+    age_years,
+    fhir_contains,
+    ifnull3,
+    isnull2,
+    piece,
+    register_all,
+)
+from ..sources.fhir import FIXTURES_DIR, load_fhir_tables, resources_of_type
+from .registry import register
+
+FX = FIXTURES_DIR  # absolute path, embedded into the DuckDB oracle SQL
+
+RACE_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-race"
+ETH_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-ethnicity"
+SEX_URL = "http://hl7.org/fhir/us/core/StructureDefinition/us-core-birthsex"
+ODS_SYS = "https://fhir.nhs.uk/Id/ods-organization-code"
+GMP_SYS = "https://fhir.hl7.org.uk/Id/gmp-number"
+ROLE_SYS = "https://fhir.nhs.uk/CodeSystem/organisation-role"
+DBID_SYS = "https://emis.com/Id/Patient/DBID"
+ENC_SYS = "https://fhir.virtually.healthcare/Id/Encounter"
+
+
+# ---------------------------------------------------------------------------
+# q11 — diabetes cohort wide table
+# Reference: notebooks/DiabetesSQL.ipynb cell 3 — Patient with 4 left outer
+# joins to Condition, each with an IRIS contains residual
+# (`diabetes.code [ '44054006'`), IFNULL3 presence flags, CASE gender
+# recode, DATEDIFF('year') ages (SURVEY §2 J2, F6-F9, P3).
+#
+# The reference's per-code left joins fan out when a patient has several
+# matching conditions. Here the four joins collapse into ONE conditional
+# aggregation over conditions (flags + earliest onset per code) followed by
+# a single left join — one shuffle on `patient`, no fan-out, AQE-skew-safe.
+# Onset ages use the EARLIEST matching onset (deterministic where the
+# reference's join order is not).
+
+_COND_CODES = {
+    "type2diabetes": "44054006",
+    "hypertension": "59621000",
+    "obese": "162864005",
+    "very_obese": "408512008",
+}
+
+
+def _gender_uk(col):
+    return (
+        F.when(col == "male", 1)
+        .when(col == "female", 2)
+        .when(col == "other", 0)
+        .otherwise(9)
+        .cast("int")
+    )
+
+
+@register(
+    "q11_diabetes_cohort",
+    oracle=f"""
+    WITH f AS (
+      SELECT patient,
+        {", ".join(
+            f"max(CASE WHEN contains(code, '{code}') THEN 1 ELSE 0 END) AS {name}_flag, "
+            f"min(CASE WHEN contains(code, '{code}') THEN CAST(onset_date_start AS DATE) END) AS {name}_onset"
+            for name, code in _COND_CODES.items()
+        )}
+      FROM read_parquet('{FX}/conditions.parquet')
+      GROUP BY patient
+    )
+    SELECT p._id, p.key,
+      CAST(year(current_date) - year(p.birthdate) AS INT) AS age,
+      p.gender,
+      CAST(CASE p.gender WHEN 'male' THEN 1 WHEN 'female' THEN 2
+                         WHEN 'other' THEN 0 ELSE 9 END AS INT) AS gender_uk,
+      {", ".join(
+          f"CAST(coalesce(f.{name}_flag, 0) AS INT) AS {name}, "
+          f"CAST(year(f.{name}_onset) - year(p.birthdate) AS INT) AS {name}_age"
+          for name in _COND_CODES
+      )}
+    FROM read_parquet('{FX}/patients.parquet') p
+    LEFT JOIN f ON p.key = f.patient
+    """,
+    doc="diabetes cohort wide table (DiabetesSQL cell 3): J2x4 -> 1 agg",
+    tags=("fhir", "J2", "F6", "F8", "F9", "P3"),
+)
+def q11_diabetes_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["patients", "conditions"])
+    conds = t["conditions"]
+
+    aggs = []
+    for name, code in _COND_CODES.items():
+        hit = fhir_contains(conds.code, code)
+        aggs.append(F.max(F.when(hit, 1).otherwise(0)).alias(f"{name}_flag"))
+        aggs.append(
+            F.min(F.when(hit, F.to_date(conds.onset_date_start))).alias(f"{name}_onset")
+        )
+    flags = conds.groupBy("patient").agg(*aggs)
+
+    p = t["patients"]
+    out = p.join(flags, p.key == flags.patient, "left")
+    cols = [
+        p._id,
+        p.key,
+        age_years(p.birthdate).alias("age"),
+        p.gender,
+        _gender_uk(p.gender).alias("gender_uk"),
+    ]
+    for name in _COND_CODES:
+        cols.append(
+            F.coalesce(F.col(f"{name}_flag"), F.lit(0)).cast("int").alias(name)
+        )
+        # IFNULL(x._id, null, DATEDIFF('year', birthdate, onset)) — IRIS
+        # year-boundary diff, NULL when the condition is absent.
+        cols.append(
+            (F.year(F.col(f"{name}_onset")) - F.year(p.birthdate))
+            .cast("int")
+            .alias(f"{name}_age")
+        )
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# q12 — lipid panel per patient
+# Reference: notebooks/DiabetesSQL.ipynb cell 23 — Observation self-joined
+# x3 (LDL/HDL/Total, IRIS contains on LOINC codes), each joined to the
+# HSFHIR_X0001_S_Observation.valueQuantity child table, group-by patient
+# with max() (SURVEY §2 J3, J4, A1).
+#
+# The 6-way join collapses to: child-table equi-join on `key` (the J4
+# parent-child edge, kept deliberately to exercise it) + ONE conditional
+# aggregation. Inner-join existence semantics = HAVING all three panels
+# non-null. At 100 TB: one shuffle on `key` (co-located if both sides are
+# bucketed by key), one on `patient` — vs five shuffles with quadratic
+# fan-out for the literal self-join plan.
+
+
+@register(
+    "q12_lipid_panel",
+    oracle=f"""
+    SELECT o.patient AS key,
+           max(CASE WHEN contains(o.code, '18262-6') THEN v.value END) AS ldl_cholesterol,
+           max(CASE WHEN contains(o.code, '2085-9')  THEN v.value END) AS hdl_cholesterol,
+           max(CASE WHEN contains(o.code, '2093-3')  THEN v.value END) AS cholesterol
+    FROM read_parquet('{FX}/observations.parquet') o
+    JOIN read_parquet('{FX}/observation_value_quantity.parquet') v ON o.key = v.key
+    WHERE contains(o.code, '18262-6') OR contains(o.code, '2085-9')
+       OR contains(o.code, '2093-3')
+    GROUP BY o.patient
+    HAVING max(CASE WHEN contains(o.code, '18262-6') THEN v.value END) IS NOT NULL
+       AND max(CASE WHEN contains(o.code, '2085-9')  THEN v.value END) IS NOT NULL
+       AND max(CASE WHEN contains(o.code, '2093-3')  THEN v.value END) IS NOT NULL
+    """,
+    doc="lipid panel (DiabetesSQL cell 23): 3 self-joins + child joins -> 1 agg",
+    tags=("fhir", "J3", "J4", "A1"),
+)
+def q12_lipid_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["observations", "observation_value_quantity"])
+    o, v = t["observations"], t["observation_value_quantity"]
+
+    is_ldl = fhir_contains(o.code, "18262-6")
+    is_hdl = fhir_contains(o.code, "2085-9")
+    is_tot = fhir_contains(o.code, "2093-3")
+    # push the code filter below the child join: only panel rows join
+    panel = o.filter(is_ldl | is_hdl | is_tot).join(v, "key")
+
+    agg = panel.groupBy(o.patient.alias("key")).agg(
+        F.max(F.when(fhir_contains(F.col("code"), "18262-6"), v.value)).alias("ldl_cholesterol"),
+        F.max(F.when(fhir_contains(F.col("code"), "2085-9"), v.value)).alias("hdl_cholesterol"),
+        F.max(F.when(fhir_contains(F.col("code"), "2093-3"), v.value)).alias("cholesterol"),
+    )
+    return agg.filter(
+        F.col("ldl_cholesterol").isNotNull()
+        & F.col("hdl_cholesterol").isNotNull()
+        & F.col("cholesterol").isNotNull()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — BMI per patient
+# Reference: notebooks/DiabetesSQL.ipynb cell 24 — Observation ⋈ valueQuantity
+# child table, WHERE code [ '39156-5', group-by patient max (SURVEY §2 A2, J4).
+
+
+@register(
+    "q13_bmi_per_patient",
+    oracle=f"""
+    SELECT o.patient AS key, max(v.value) AS bmi
+    FROM read_parquet('{FX}/observations.parquet') o
+    JOIN read_parquet('{FX}/observation_value_quantity.parquet') v ON o.key = v.key
+    WHERE contains(o.code, '39156-5')
+    GROUP BY o.patient
+    """,
+    doc="BMI per patient (DiabetesSQL cell 24): child-table join + max",
+    tags=("fhir", "A2", "J4"),
+)
+def q13_bmi_per_patient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["observations", "observation_value_quantity"])
+    o, v = t["observations"], t["observation_value_quantity"]
+    return (
+        o.filter(fhir_contains(o.code, "39156-5"))  # pushed below the join
+        .join(v, "key")
+        .groupBy(o.patient.alias("key"))
+        .agg(F.max(v.value).alias("bmi"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — race / ethnicity / birth-sex extraction (FHIRPath UDF)
+# Reference: notebooks/RaceAndEthnicCategorySQL.ipynb cell 9 —
+# GetFHIRPathOne over Rsrc.ResourceString for the 3 observed path shapes:
+# nested extension('url').extension('url2').valueCoding.{code,display} and
+# extension('url').valueCode (SURVEY §2 F3/F4, X1).
+#
+# The pandas UDF is the deliberate slow path (SURVEY §7.3): Arrow-batched,
+# scan-local, placed AFTER the pushed `resource_type = 'Patient'` filter so
+# only Patient rows cross the Python boundary. Filters on its output do not
+# push down — none are used here.
+
+_DUCK_EXT = (
+    "list_filter(from_json(json_extract({src}, '$.extension'), '[\"JSON\"]'), "
+    "x -> json_extract_string(x, '$.url') = '{url}')[1]"
+)
+_DUCK_EXT2 = (
+    "list_filter(from_json(json_extract(" + _DUCK_EXT + ", '$.extension'), '[\"JSON\"]'), "
+    "y -> json_extract_string(y, '$.url') = '{url2}')[1]"
+)
+
+
+def _duck_omb(url: str, leaf: str) -> str:
+    e2 = _DUCK_EXT2.format(src="resource_string", url=url, url2="ombCategory")
+    return f"json_extract_string({e2}, '$.valueCoding.{leaf}')"
+
+
+@register(
+    "q14_race_ethnicity",
+    oracle=f"""
+    SELECT key,
+      {_duck_omb(RACE_URL, "display")} AS race,
+      {_duck_omb(RACE_URL, "code")} AS race_code,
+      {_duck_omb(ETH_URL, "display")} AS ethnic,
+      {_duck_omb(ETH_URL, "code")} AS ethnic_code,
+      json_extract_string({_DUCK_EXT.format(src="resource_string", url=SEX_URL)},
+                          '$.valueCode') AS birth_sex
+    FROM read_parquet('{FX}/resources.parquet')
+    WHERE resource_type = 'Patient'
+    """,
+    doc="US-Core race/ethnicity/birth-sex via FHIRPath UDF (RaceAndEthnicCategorySQL cell 9)",
+    tags=("fhir", "F3", "F4", "X1"),
+)
+def q14_race_ethnicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    res = resources_of_type(spark, "Patient")
+
+    def fp(path: str, alias: str):
+        return F.call_udf("fhirpath_one", F.col("resource_string"), F.lit(path)).alias(alias)
+
+    return res.select(
+        F.col("key"),
+        fp(f"Patient.extension('{RACE_URL}').extension('ombCategory').valueCoding.display", "race"),
+        fp(f"Patient.extension('{RACE_URL}').extension('ombCategory').valueCoding.code", "race_code"),
+        fp(f"Patient.extension('{ETH_URL}').extension('ombCategory').valueCoding.display", "ethnic"),
+        fp(f"Patient.extension('{ETH_URL}').extension('ombCategory').valueCoding.code", "ethnic_code"),
+        fp(f"Patient.extension('{SEX_URL}').valueCode", "birth_sex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — duplicate practitioners by GMP number
+# Reference: notebooks/DeleteDuplicatesinIRISFHIRServer.ipynb cell 0 —
+# Practitioner ⋈ Rsrc, GMP = GetFHIRPathOne(ResourceString,
+# 'Practitioner.identifier[0].value'), IsNull(addressCountry,'') <> 'US',
+# GROUP BY GMP HAVING count(*) > 1 (SURVEY §2 A3, F4, P4, J1).
+#
+# Plan: pushed type filter -> scan-local UDF -> single count shuffle on gmp.
+# The delete step (S8) is the MERGE-delete branch in operators/merge.py.
+
+
+@register(
+    "q15_dup_practitioner_gmp",
+    oracle=f"""
+    SELECT json_extract_string(r.resource_string, '$.identifier[0].value') AS gmp,
+           count(*) AS dup_count
+    FROM read_parquet('{FX}/practitioners.parquet') p
+    JOIN read_parquet('{FX}/resources.parquet') r ON r.key = p.key
+    WHERE coalesce(p.address_country, '') <> 'US'
+    GROUP BY 1 HAVING count(*) > 1
+    """,
+    doc="dup-GMP detection (DeleteDuplicates cell 0): UDF key + HAVING count>1",
+    tags=("fhir", "A3", "F4", "P4", "J1"),
+)
+def q15_dup_practitioner_gmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    t = load_fhir_tables(spark, ["practitioners"])
+    p = t["practitioners"]
+    r = resources_of_type(spark, "Practitioner")
+
+    # the silver fixture carries its own resource_string copy — drop it so the
+    # bronze-side column (the reference's Rsrc.ResourceString) is unambiguous
+    joined = p.drop("resource_string").join(
+        r.select("key", "resource_string"), "key"
+    ).filter(isnull2(p.address_country, F.lit("")) != "US")
+    gmp = F.call_udf(
+        "fhirpath_one",
+        F.col("resource_string"),
+        F.lit("Practitioner.identifier[0].value"),
+    ).alias("gmp")
+    return (
+        joined.select(gmp)
+        .groupBy("gmp")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — ODS organization extract (search row ⋈ raw JSON projection)
+# Reference: dags/ODSImport.py:119-123 — `select org._id, org.Key,
+# org.Identifier, org._lastUpdated, resource.ResourceString, null as ODS
+# from Organization org join Rsrc resource on resource.ID = org._id where
+# org.type [ '...organisation-role|76' and IsNull(org.addressCountry,'')
+# <> 'US'` (SURVEY §2 P1 incl. NULL literal, P3, P4, J1).
+
+
+@register(
+    "q16_org_extract",
+    oracle=f"""
+    SELECT o._id, o.key, o.identifier, o._last_updated,
+           r.resource_string, CAST(NULL AS VARCHAR) AS ods
+    FROM read_parquet('{FX}/organizations.parquet') o
+    JOIN read_parquet('{FX}/resources.parquet') r ON r.key = o.key
+    WHERE contains(o.type, '{ROLE_SYS}|76')
+      AND coalesce(o.address_country, '') <> 'US'
+    """,
+    doc="ODS org extract (ODSImport.py:119-123): J1 + NULL literal + IsNull<>",
+    tags=("fhir", "P1", "P3", "P4", "J1"),
+)
+def q16_org_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["organizations"])
+    o = t["organizations"]
+    r = resources_of_type(spark, "Organization").select("key", "resource_string")
+    return (
+        o.drop("resource_string")  # keep the bronze (Rsrc) copy unambiguous
+        .filter(
+            fhir_contains(o.type, f"{ROLE_SYS}|76")
+            & (isnull2(o.address_country, F.lit("")) != "US")
+        )
+        .join(r, "key")
+        .select(
+            o._id,
+            F.col("key"),
+            o.identifier,
+            o._last_updated,
+            F.col("resource_string"),
+            F.lit(None).cast("string").alias("ods"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — observation unit pieces ($piece)
+# Reference: OlderExamples/SQLConnections.ipynb cell 6 — nested `$piece`
+# over the pipe-delimited unit/code index columns of the Observation
+# search table + valueQuantity child join (SURVEY §2 F5, F12, J4, P3).
+
+
+@register(
+    "q17_obs_unit_piece",
+    oracle=f"""
+    SELECT o._id, o.key, o.patient,
+           coalesce(string_split(o.code, ',')[1], '') AS code_short,
+           coalesce(string_split(o.unit, '|')[3], '') AS unit_display,
+           v.value
+    FROM read_parquet('{FX}/observations.parquet') o
+    JOIN read_parquet('{FX}/observation_value_quantity.parquet') v ON v.key = o.key
+    WHERE contains(o.code, '38483-4')
+    """,
+    doc="$piece over delimited index columns (SQLConnections cell 6)",
+    tags=("fhir", "F5", "F12", "J4", "P3"),
+)
+def q17_obs_unit_piece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["observations", "observation_value_quantity"])
+    o, v = t["observations"], t["observation_value_quantity"]
+    return (
+        o.filter(fhir_contains(o.code, "38483-4"))
+        .join(v, "key")
+        .select(
+            o._id,
+            F.col("key"),
+            o.patient,
+            piece(o.code, ",", 1).alias("code_short"),
+            piece(o.unit, "|", 3).alias("unit_display"),
+            v.value,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — join-key derivation from nested JSON (PractitionerRole)
+# Reference: dags/ODSImport.py:500-515 — parse ResourceString, take
+# practitioner.identifier.{system,value} / organization.identifier.{system,
+# value}, keep the value only when the system matches (SURVEY §2 J9, F1/F2).
+# get_json_object is JVM-side — no Python boundary, stays in codegen.
+
+
+@register(
+    "q18_role_key_derivation",
+    oracle=f"""
+    SELECT _id, key,
+      CASE WHEN json_extract_string(resource_string, '$.practitioner.identifier.system')
+                = '{GMP_SYS}'
+           THEN json_extract_string(resource_string, '$.practitioner.identifier.value')
+      END AS gmp,
+      CASE WHEN json_extract_string(resource_string, '$.organization.identifier.system')
+                = '{ODS_SYS}'
+           THEN json_extract_string(resource_string, '$.organization.identifier.value')
+      END AS ods
+    FROM read_parquet('{FX}/practitioner_roles.parquet')
+    """,
+    doc="JSON join-key derivation (ODSImport.py:500-515): get_json_object + system guard",
+    tags=("fhir", "J9", "F1", "F2"),
+)
+def q18_role_key_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roles = load_fhir_tables(spark, ["practitioner_roles"])["practitioner_roles"]
+
+    def keyed(path: str, system: str, alias: str):
+        sys_c = F.get_json_object("resource_string", f"$.{path}.identifier.system")
+        val_c = F.get_json_object("resource_string", f"$.{path}.identifier.value")
+        return F.when(sys_c == system, val_c).alias(alias)
+
+    return roles.select(
+        "_id",
+        "key",
+        keyed("practitioner", GMP_SYS, "gmp"),
+        keyed("organization", ODS_SYS, "ods"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — join-key derivation via regex over delimited identifiers
+# Reference: dags/ODSImport.py:129-134 — python loop: split identifier on
+# ',', regex-match the ods-organization-code entry, take split('|')[1].
+# Vectorised with array higher-order functions — no loop, no UDF, fully
+# codegen (SURVEY §2 J8, F11, F12).
+
+_ODS_RE = "^https:.*ods-organization-code[|][A-Za-z0-9].*$"
+
+
+@register(
+    "q19_org_ods_regex",
+    oracle=f"""
+    SELECT _id, key,
+      string_split(
+        list_filter(string_split(identifier, ','),
+                    x -> regexp_matches(x, '^https:.*ods-organization-code\\|[A-Za-z0-9].*$'))[1],
+        '|')[2] AS ods
+    FROM read_parquet('{FX}/organizations.parquet')
+    """,
+    doc="regex join-key derivation (ODSImport.py:129-134), vectorised",
+    tags=("fhir", "J8", "F11", "F12"),
+)
+def q19_org_ods_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_fhir_tables(spark, ["organizations"])["organizations"]
+    matched = F.filter(
+        F.split(o.identifier, ","), lambda x: x.rlike(_ODS_RE)
+    )
+    # F.get: out-of-range / empty -> NULL (ANSI-safe, unlike element_at)
+    ods = F.get(F.split(F.get(matched, 0), "[|]"), 1).alias("ods")
+    return o.select("_id", "key", ods)
+
+
+# ---------------------------------------------------------------------------
+# q20 — bundle entry scan/extract
+# Reference: dags/ConsultationNoteWritebackX.py:306-322 — loop over
+# Bundle.entry pulling the Patient EMIS-DBID identifier and the Encounter
+# identifier. Here: from_json to a typed partial schema + array
+# higher-order filter — declarative, codegen, no UDF (SURVEY §2 U7, S5).
+
+_BUNDLE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("fullUrl", T.StringType()),
+            T.StructField(
+                "resource",
+                T.StructType(
+                    [
+                        T.StructField("resourceType", T.StringType()),
+                        T.StructField("id", T.StringType()),
+                        T.StructField(
+                            "identifier",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField("system", T.StringType()),
+                                        T.StructField("value", T.StringType()),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+)
+
+
+def _entry_ident(entries, rtype: str, system: str):
+    res = F.get(
+        F.filter(entries, lambda e: e.resource.resourceType == rtype), 0
+    ).resource
+    return F.get(F.filter(res.identifier, lambda i: i.system == system), 0).value
+
+
+def _bundle_idents(spark: SparkSession) -> DataFrame:
+    b = load_fhir_tables(spark, ["encounter_bundles"])["encounter_bundles"]
+    entries = F.from_json(F.get_json_object("bundle_json", "$.entry"), _BUNDLE_SCHEMA)
+    return b.select(
+        "encounter_identifier",
+        _entry_ident(entries, "Patient", DBID_SYS).alias("patient_dbid"),
+        _entry_ident(entries, "Encounter", ENC_SYS).alias("encounter_ident"),
+    )
+
+
+_DUCK_ENTRY = (
+    "list_filter(from_json(json_extract(bundle_json, '$.entry'), '[\"JSON\"]'), "
+    "e -> json_extract_string(e, '$.resource.resourceType') = '{rtype}')[1]"
+)
+_DUCK_ENTRY_IDENT = (
+    "json_extract_string(list_filter(from_json(json_extract("
+    + _DUCK_ENTRY
+    + ", '$.resource.identifier'), '[\"JSON\"]'), "
+    "i -> json_extract_string(i, '$.system') = '{system}')[1], '$.value')"
+)
+
+
+@register(
+    "q20_bundle_entry_extract",
+    oracle=f"""
+    SELECT encounter_identifier,
+      {_DUCK_ENTRY_IDENT.format(rtype="Patient", system=DBID_SYS)} AS patient_dbid,
+      {_DUCK_ENTRY_IDENT.format(rtype="Encounter", system=ENC_SYS)} AS encounter_ident
+    FROM read_parquet('{FX}/encounter_bundles.parquet')
+    """,
+    doc="bundle entry identifier extract (ConsultationNoteWritebackX.py:306-322)",
+    tags=("fhir", "U7", "S5"),
+)
+def q20_bundle_entry_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bundle_idents(spark)
+
+
+# ---------------------------------------------------------------------------
+# q21 — duplicate-consultation check (left-semi join)
+# Reference: dags/ConsultationNoteWritebackX.py:297-333 — incoming
+# encounter bundles are checked against existing Compositions on
+# (patient DBID, encounter identifier); a hit routes to the DUPLICATE
+# branch. Semantically a left-semi join (SURVEY §2.3 note, T2).
+# compositions is tiny → broadcast; no shuffle of the probe side.
+
+
+@register(
+    "q21_duplicate_consultations",
+    oracle=f"""
+    SELECT b.encounter_identifier,
+      {_DUCK_ENTRY_IDENT.format(rtype="Patient", system=DBID_SYS)} AS patient_dbid
+    FROM read_parquet('{FX}/encounter_bundles.parquet') b
+    WHERE EXISTS (
+      SELECT 1 FROM read_parquet('{FX}/compositions.parquet') c
+      WHERE c.patient_id =
+        {_DUCK_ENTRY_IDENT.format(rtype="Patient", system=DBID_SYS)}
+        AND c.encounter_identifier_value = b.encounter_identifier
+    )
+    """,
+    doc="duplicate-consultation semi-join (ConsultationNoteWritebackX.py:297-333)",
+    tags=("fhir", "T2", "J_semi"),
+)
+def q21_duplicate_consultations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idents = _bundle_idents(spark)
+    comps = load_fhir_tables(spark, ["compositions"])["compositions"]
+    dup = idents.join(
+        F.broadcast(comps),
+        (idents.patient_dbid == comps.patient_id)
+        & (idents.encounter_identifier == comps.encounter_identifier_value),
+        "left_semi",
+    )
+    return dup.select("encounter_identifier", "patient_dbid")
