@@ -1,1 +1,280 @@
-"""Placeholder — populated in a later milestone."""
+"""L4 — deduplication operators over the ``documents`` table (LLM-pipeline
+surface; builder brief "Deduplication" + SURVEY §2 A3/W4 generalized).
+
+Four dedup families, each chosen for 100 TB behavior:
+
+* **q22 exact** — normalize → sha256 → hash-groupBy. One shuffle on the
+  hash; at scale the hash column is a perfect partitioner (uniform, no
+  skew). The reference's analog is the dup-GMP HAVING count(*)>1 pattern
+  (``notebooks/DeleteDuplicatesinIRISFHIRServer.ipynb`` cell 0).
+* **q23 n-gram Jaccard** — shingle-join candidate generation: ONLY pairs
+  sharing ≥1 shingle are ever joined (the classic inverted-index trick);
+  never an O(n²) cross join. Shingle hot-keys (stopword-only shingles) are
+  the skew risk at scale → AQE skew-join handles the residual.
+* **q24 MinHash-LSH** — 16 permutations, 8 bands × 2 rows. Candidate pairs
+  come from band-bucket self-joins, so work scales with bucket sizes (tied
+  to the similarity threshold), not n². All hashing is explicit modular
+  arithmetic over an md5-derived integer, so the ENTIRE pipeline —
+  signatures, banding, pair generation — is reproduced exactly by the
+  DuckDB oracle (no "approximate so untestable" cop-out).
+* **q25 SimHash** — 32-bit sign-of-sums fingerprint; near-dups differ in
+  few bits. Fingerprinting is a pure map + one groupBy(doc) — embarrassing
+  parallel at any scale; Hamming-banding for pair generation would reuse
+  the q24 band-join shape.
+
+Everything is built-in Column expressions (md5/sha2/split/explode/
+aggregates) — zero Python UDFs, full codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_tables
+from .registry import register
+
+# --- shared deterministic hashing ------------------------------------------
+# 60-bit integer from md5 (15 hex chars): identical in Spark
+# (conv(substr(md5(x),1,15),16,10)) and DuckDB (('0x'||substr)::UBIGINT).
+P = 2147483647  # 2^31 - 1; keeps a*x + b inside int64 after x % P
+
+# 16 fixed affine permutations (a, b) — odd multipliers, deterministic.
+MINHASH_COEFFS = [(2 * i + 1, 104729 * (i + 1) % P) for i in range(1, 17)]
+N_BANDS, ROWS_PER_BAND = 8, 2
+
+
+def _md5_int(col) -> F.Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _duck_md5_int(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15))::UBIGINT AS BIGINT)"
+
+
+def _word_trigrams(tokens) -> F.Column:
+    """Word 3-gram shingles via sequence+transform — pure codegen, no UDF."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - 3),
+        lambda i: F.concat_ws(
+            " ", F.get(tokens, i), F.get(tokens, i + 1), F.get(tokens, i + 2)
+        ),
+    )
+
+
+_DUCK_TRIGRAMS = (
+    "list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])"
+)
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs — the shared candidate substrate."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tokens = F.split(docs.text, " ")
+    return (
+        docs.select("doc_id", F.explode(_word_trigrams(tokens)).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLES = f"""
+  tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (SELECT DISTINCT doc_id, unnest({_DUCK_TRIGRAMS}) AS shingle FROM tok)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — exact dedup: normalize -> sha256 -> hash-groupBy keep-first.
+
+
+@register(
+    "q22_exact_dedup",
+    oracle="""
+    SELECT sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+           min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup via normalized sha256 hash-groupBy (keep-first)",
+    tags=("dedup", "llm"),
+)
+def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
+    return (
+        docs.select(F.sha2(norm, 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — n-gram Jaccard near-dup pairs via shingle-join candidates.
+# Pairs must share >= 2 shingles (candidate pruning); jaccard is exact
+# |A∩B| / |A∪B| over distinct word-trigram sets.
+
+
+@register(
+    "q23_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT i.doc_a, i.doc_b, i.shared,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    doc="n-gram Jaccard near-dup pairs; shingle-join candidates, never O(n^2)",
+    tags=("dedup", "llm"),
+)
+def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    # sizes is tiny relative to the pair set — broadcast both lookups
+    sa = F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"))
+    sb = F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            (F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q24 — MinHash-LSH candidate pairs. Fully deterministic: md5-derived
+# shingle ints, 16 affine permutations mod 2^31-1, 8 bands x 2 rows,
+# within-bucket self-join. The DuckDB oracle reproduces every step.
+
+
+def _duck_minhash_oracle() -> str:
+    sig_exprs = ", ".join(
+        f"min(({a} * x + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat_ws('-', s{2 * j}, s{2 * j + 1}) AS bkey FROM sigs"
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH {_DUCK_SHINGLES},
+    xs AS (SELECT doc_id, {_duck_md5_int('shingle')} % {P} AS x FROM sh),
+    sigs AS (SELECT doc_id, {sig_exprs} FROM xs GROUP BY doc_id),
+    bands AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "q24_minhash_lsh_pairs",
+    oracle=_duck_minhash_oracle(),
+    doc="MinHash(16)-LSH(8x2) candidate pairs; bucket-join only, oracle-exact",
+    tags=("dedup", "llm"),
+)
+def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingles(spark, sf_dir)
+    x = (_md5_int(F.col("shingle")) % P).alias("x")
+    xs = sh.select("doc_id", x)
+
+    sigs = xs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.concat_ws("-", F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}")).alias("bkey"),
+                    )
+                    for j in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q25 — 32-bit SimHash fingerprint per document (token-frequency weighted:
+# each occurrence votes ±1 per bit; bit set iff the vote sum is positive).
+
+
+def _duck_simhash_oracle() -> str:
+    h = _duck_md5_int("w")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    recompose = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    hs AS (SELECT doc_id, {h} AS h FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM hs GROUP BY doc_id)
+    SELECT doc_id, CAST({recompose} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register(
+    "q25_simhash_fingerprint",
+    oracle=_duck_simhash_oracle(),
+    doc="32-bit SimHash document fingerprint; map + one groupBy, no UDF",
+    tags=("dedup", "llm"),
+)
+def q25_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tok = docs.select("doc_id", F.explode(F.split(docs.text, " ")).alias("w"))
+    hs = tok.select("doc_id", _md5_int(F.col("w")).alias("h"))
+
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    bits = hs.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
