@@ -1,1 +1,254 @@
-"""Placeholder — populated in a later milestone."""
+"""L4 — text-analysis operators over the ``documents`` table (LLM-pipeline
+surface; builder brief "Text analysis").
+
+Token counting, corpus statistics, n-gram frequency, quality scoring, and
+an n-gram-profile language-ID heuristic — every one a pure Column
+expression (split/explode/length/replace/aggregates), zero Python UDFs,
+so the hot path stays inside whole-stage codegen.
+
+Scale notes:
+* q26/q29/q30 are map-only — no shuffle at all; they scale with scan
+  bandwidth.
+* q27 aggregates on (lang, source) — tiny key space, partial aggregation
+  does almost all the work map-side; the final exchange moves ~|groups|
+  rows.
+* q28's explode multiplies rows by ~tokens-per-doc before the count
+  shuffle; partial aggregation collapses that map-side too, so the
+  exchange carries one row per distinct bigram per partition, not one per
+  occurrence. Top-k uses orderBy+limit → TakeOrderedAndProject (no global
+  sort materialization).
+
+Substring-occurrence counting uses the length-difference idiom
+``(len(s) - len(replace(s, sub, ''))) / len(sub)`` — identical semantics
+in Spark and DuckDB, and cheaper than regex extraction at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_tables
+from .registry import register
+
+STOPWORDS = ["the", "a", "of", "and", "in"]
+
+# char-bigram profiles for the language-ID heuristic: weights per bigram
+# per language (deterministic toy profiles — the synthetic corpus shares
+# one vocabulary across lang labels, so this tests the machinery, not
+# linguistics).
+LANG_PROFILES = {
+    "en": ["th", "he", "er"],
+    "de": ["ch", "ei", "en"],
+    "es": ["os", "ar", "la"],
+    "fr": ["le", "ou", "re"],
+    "zh": ["zh", "ng", "sh"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+def _count_sub(col, sub: str):
+    """Occurrences of ``sub`` in ``col`` via the length-difference idiom."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(sub), F.lit("")))) / len(sub)
+
+
+# ---------------------------------------------------------------------------
+# q26 — per-document token statistics (map-only).
+
+
+@register(
+    "q26_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) AS text_len,
+           n_chars
+    FROM documents
+    """,
+    doc="per-doc token counts (whitespace tokenizer); map-only, no shuffle",
+    tags=("text", "llm"),
+)
+def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tokens = F.split(d.text, " ")
+    return d.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
+        F.length(d.text).alias("text_len"),
+        "n_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q27 — corpus statistics by (lang, source): the partial-agg sweet spot.
+
+
+@register(
+    "q27_corpus_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           sum(len(string_split(text, ' '))) AS total_tokens
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="corpus stats by (lang, source); map-side partial agg does the work",
+    tags=("text", "llm"),
+)
+def q27_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(F.size(F.split(d.text, " "))).alias("total_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q28 — top-20 word bigrams (explode → count → top-k with deterministic
+# tie-break so the LIMIT boundary is stable for the oracle compare).
+
+
+@register(
+    "q28_top_bigrams",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+    doc="top-20 word bigrams; partial agg collapses occurrences map-side",
+    tags=("text", "llm", "J4"),
+)
+def q28_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.split(d.text, " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q29 — quality scoring: stopword ratio, mean token length, length gates.
+# The keep/drop heuristic shape used by LLM data pipelines; all arithmetic
+# over ints → bit-identical across engines.
+
+
+@register(
+    "q29_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_token_len,
+           (n_tokens >= 10 AND n_tokens <= 200
+            AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5) AS keep
+    FROM s
+    """,
+    doc="doc quality gates: stopword ratio + mean token length + bounds",
+    tags=("text", "llm"),
+)
+def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.split(d.text, " ")
+    n_tokens = F.size(t)
+    n_stop = F.size(F.filter(t, lambda w: w.isin(STOPWORDS)))
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stop"),
+    )
+    ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    # single-space-joined text: sum(len(token)) == n_chars - (n_tokens - 1)
+    mean_len = (F.col("n_chars") - F.col("n_tokens") + 1).cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        ratio.alias("stopword_ratio"),
+        mean_len.alias("mean_token_len"),
+        (
+            (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 200) & (ratio < 0.5)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — n-gram-profile language ID: score each language's char-bigram
+# profile by occurrence counts, pick the argmax (deterministic tie order =
+# profile declaration order via the CASE chain).
+
+
+def _duck_lang_score(lang: str) -> str:
+    return " + ".join(
+        f"(length(text) - length(replace(text, '{bg}', ''))) / 2"
+        for bg in LANG_PROFILES[lang]
+    )
+
+
+@register(
+    "q30_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+        {", ".join(f"CAST({_duck_lang_score(lg)} AS DOUBLE) AS sc_{lg}" for lg in LANG_PROFILES)}
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      {", ".join(f"sc_{lg}" for lg in LANG_PROFILES)},
+      CASE {" ".join(f"WHEN sc_{lg} = greatest({', '.join('sc_' + l for l in LANG_PROFILES)}) THEN '{lg}'" for lg in LANG_PROFILES)}
+      END AS lang_guess
+    FROM s
+    """,
+    doc="char-bigram-profile language ID heuristic; map-only, deterministic argmax",
+    tags=("text", "llm"),
+)
+def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scores = {
+        lg: sum(_count_sub(d.text, bg) for bg in LANG_PROFILES[lg]).cast("double")
+        for lg in LANG_PROFILES
+    }
+    base = d.select(
+        "doc_id", "lang", *[c.alias(f"sc_{lg}") for lg, c in scores.items()]
+    )
+    best = F.greatest(*[F.col(f"sc_{lg}") for lg in LANG_PROFILES])
+    expr = None
+    for lg in LANG_PROFILES:
+        cond = F.col(f"sc_{lg}") == best
+        expr = F.when(cond, lg) if expr is None else expr.when(cond, lg)
+    return base.select(
+        "doc_id",
+        "lang",
+        *[f"sc_{lg}" for lg in LANG_PROFILES],
+        expr.alias("lang_guess"),
+    )
