@@ -1,0 +1,87 @@
+"""Behavioral tests for the LLM-pipeline modules (dedup / similarity /
+text) beyond the DuckDB hash-parity gate: do the approximate operators
+actually FIND near-duplicates and neighbors?
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_examples_spark.plans.registry import all_specs
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """A corpus with known exact and near duplicates, written in the
+    documents.parquet layout so the dedup queries run on it unchanged."""
+    base = "key agg row scan slow fast table value part hash merge batch spark window sort line group order column stream filter big small the a data query join"
+    near = base.replace("slow", "quick")  # 1-token edit → high jaccard
+    docs = [
+        (0, base, "en", "src0"),
+        (1, base, "en", "src1"),          # exact duplicate of 0
+        (2, "  " + base.upper() + " ", "en", "src2"),  # normalizes to dup of 0
+        (3, near, "en", "src0"),          # near duplicate of 0
+        (4, "completely different tiny text", "en", "src3"),
+    ]
+    d = tmp_path_factory.mktemp("dupsf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_exact_dedup_finds_duplicates(spark, dup_corpus):
+    rows = all_specs()["q22_exact_dedup"].fn(spark, dup_corpus).collect()
+    by_keeper = {r.keeper_doc_id: r.n_copies for r in rows}
+    # doc 0, 1 and the case/whitespace variant 2 normalize to one group
+    assert by_keeper[0] == 3
+    assert by_keeper[3] == 1
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, dup_corpus):
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in all_specs()["q24_minhash_lsh_pairs"].fn(spark, dup_corpus).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides in every band
+    assert (0, 3) in pairs  # 1-token edit shares most shingles
+    assert not any(4 in p for p in pairs)  # unrelated doc stays unpaired
+
+
+def test_jaccard_ranks_near_dup_high(spark, dup_corpus):
+    rows = all_specs()["q23_ngram_jaccard_pairs"].fn(spark, dup_corpus).collect()
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 3)] > 0.7
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """LSH ANN must recover a reasonable fraction of the true top-10."""
+    sf = "/root/testdata/sf0.001"
+    truth = all_specs()["q31_cosine_topk"].fn(spark, sf).collect()
+    approx = all_specs()["q32_ann_lsh_topk"].fn(spark, sf).collect()
+    t = {(r.probe_id, r.neighbor_id) for r in truth}
+    a = {(r.probe_id, r.neighbor_id) for r in approx}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_simhash_close_for_near_dup(spark, dup_corpus):
+    rows = {r.doc_id: r.simhash for r in all_specs()["q25_simhash_fingerprint"].fn(spark, dup_corpus).collect()}
+    assert rows[0] == rows[1]  # identical text → identical fingerprint
+    ham_near = bin(rows[0] ^ rows[3]).count("1")
+    ham_far = bin(rows[0] ^ rows[4]).count("1")
+    assert ham_near < ham_far
