@@ -1,0 +1,205 @@
+"""L5 — ODS-import ETL queries: CSV master data vs FHIR repository
+changesets (SURVEY §2 S1, S6-S8, U1, U4, J5-J8; reference
+``dags/ODSImport.py``).
+
+The reference's pipeline is: download positional CSV → SQL-extract
+current orgs (+ regex ODS key) → pandas left merge → per-row loop that
+POSTs creates and field-diff PUTs updates. Here the same semantics are
+set-based and oracle-checked:
+
+* **q33** — the full create/update/noop classification as ONE
+  full-outer-join changeset (``operators/merge.py``): the reference's
+  per-row isUpdate branches (postcode / partOf / active,
+  ``dags/ODSImport.py:260-291``) become null-safe column diffs.
+* **q34** — the row→Organization-JSON builder (U1) verified by field
+  extraction: build with ``to_json(struct(...))``, read scalars back
+  with ``get_json_object``; the oracle computes the expected values
+  straight from the CSV. Conditional blocks (no postcode → no address;
+  Closed → active=false) are exercised by fixture coverage.
+* **q35** — delete-duplicates (S8): keep-newest per derived GMP, emit
+  the rest as delete actions (the reference deletes them per-row over
+  REST; ``notebooks/DeleteDuplicatesinIRISFHIRServer.ipynb`` cell 1).
+
+Scale: the changeset is one shuffle on the ODS key; the CSV side reads
+with an explicit schema (no inference pass); JSON building/extraction is
+all codegen. No collect(), no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.merge import changeset
+from ..sources.fhir import FIXTURES_DIR
+from ..sources.ods import EPRACCUR_COLS, read_epraccur, with_organisation_json
+from ..sources.tables import load_tables
+from .fhir_queries import _ODS_RE
+from .registry import register
+
+FX = FIXTURES_DIR
+_EP_CSV = f"{FX}/epraccur.csv"
+_DUCK_EP_NAMES = "[" + ", ".join(f"'{c}'" for c in EPRACCUR_COLS) + "]"
+_DUCK_EPRACCUR = (
+    f"read_csv('{_EP_CSV}', header=false, names={_DUCK_EP_NAMES}, all_varchar=true)"
+)
+
+# current-state extraction from the stored Organization JSON — the fields
+# the reference's isUpdate branches compare (dags/ODSImport.py:260-291)
+_CURRENT_FIELDS = {
+    "postal_code": "$.address[0].postalCode",
+    "part_of": "$.partOf.identifier.value",
+    "active": "$.active",
+}
+
+
+def _incoming(spark: SparkSession) -> DataFrame:
+    ep = read_epraccur(spark, _EP_CSV)
+    return ep.select(
+        "ods",
+        ep.organisation_name.alias("name"),
+        ep.postcode.alias("postal_code"),
+        ep.national_grouping.alias("part_of"),
+        # Closed set → inactive (convertOrganisationFHIR, ODSImport.py:224)
+        F.when(ep.closed.isNotNull() & (ep.closed != ""), "false")
+        .otherwise("true")
+        .alias("active"),
+    )
+
+
+def _current(spark: SparkSession) -> DataFrame:
+    orgs = load_tables(spark, FX, ["organizations"])["organizations"]
+    matched = F.filter(F.split(orgs.identifier, ","), lambda x: x.rlike(_ODS_RE))
+    ods = F.get(F.split(F.get(matched, 0), "[|]"), 1).alias("ods")
+    cur = orgs.select(
+        ods,
+        *[
+            F.get_json_object("resource_string", path).alias(name)
+            for name, path in _CURRENT_FIELDS.items()
+        ],
+    )
+    return cur.filter(F.col("ods").isNotNull())
+
+
+@register(
+    "q33_ods_org_changeset",
+    oracle=f"""
+    WITH inc AS (
+      SELECT ods, organisation_name AS name, postcode AS postal_code,
+             national_grouping AS part_of,
+             CASE WHEN closed IS NOT NULL AND closed <> '' THEN 'false'
+                  ELSE 'true' END AS active
+      FROM {_DUCK_EPRACCUR}
+    ),
+    cur AS (
+      SELECT string_split(
+               list_filter(string_split(identifier, ','),
+                 x -> regexp_matches(x, '^https:.*ods-organization-code\\|[A-Za-z0-9].*$'))[1],
+               '|')[2] AS ods,
+             json_extract_string(resource_string, '$.address[0].postalCode') AS postal_code,
+             json_extract_string(resource_string, '$.partOf.identifier.value') AS part_of,
+             json_extract_string(resource_string, '$.active') AS active
+      FROM read_parquet('{FX}/organizations.parquet')
+      WHERE string_split(
+               list_filter(string_split(identifier, ','),
+                 x -> regexp_matches(x, '^https:.*ods-organization-code\\|[A-Za-z0-9].*$'))[1],
+               '|')[2] IS NOT NULL
+    ),
+    j AS (
+      SELECT coalesce(inc.ods, cur.ods) AS ods,
+             inc.ods IS NOT NULL AS in_inc, cur.ods IS NOT NULL AS in_cur,
+             list_filter([
+               CASE WHEN cur.postal_code IS DISTINCT FROM inc.postal_code THEN 'postal_code' END,
+               CASE WHEN cur.part_of     IS DISTINCT FROM inc.part_of     THEN 'part_of' END,
+               CASE WHEN cur.active      IS DISTINCT FROM inc.active      THEN 'active' END
+             ], x -> x IS NOT NULL) AS changed
+      FROM cur FULL OUTER JOIN inc ON cur.ods = inc.ods
+    )
+    SELECT ods,
+           CASE WHEN in_inc AND NOT in_cur THEN 'insert'
+                WHEN in_cur AND NOT in_inc THEN 'delete'
+                WHEN len(changed) > 0 THEN 'update'
+                ELSE 'noop' END AS action,
+           CASE WHEN len(changed) > 0 THEN array_to_string(changed, ',') END
+             AS changed_fields
+    FROM j
+    """,
+    doc="ODS org changeset (ODSImport.py:237-305 set-based): full-outer diff",
+    tags=("etl", "S6", "S7", "U4", "J5"),
+)
+def q33_ods_org_changeset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cs = changeset(
+        _current(spark),
+        _incoming(spark),
+        key="ods",
+        compare_cols=["postal_code", "part_of", "active"],
+    )
+    return cs.select(
+        "ods",
+        "action",
+        F.array_join("changed_fields", ",").alias("changed_fields"),
+    )
+
+
+@register(
+    "q34_org_fhir_build",
+    oracle=f"""
+    SELECT ods,
+           organisation_name AS name,
+           CASE WHEN closed IS NOT NULL AND closed <> '' THEN 'false'
+                ELSE 'true' END AS active,
+           postcode AS postal_code,
+           national_grouping AS part_of_value,
+           trim(phone_number) AS phone
+    FROM {_DUCK_EPRACCUR}
+    """,
+    doc="row->Organization JSON builder (U1) verified by scalar extraction",
+    tags=("etl", "U1", "U9", "S1"),
+)
+def q34_org_fhir_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ep = with_organisation_json(read_epraccur(spark, _EP_CSV))
+    g = lambda p: F.get_json_object("organisation_json", p)  # noqa: E731
+    return ep.select(
+        "ods",
+        g("$.name").alias("name"),
+        g("$.active").alias("active"),
+        g("$.address[0].postalCode").alias("postal_code"),
+        g("$.partOf.identifier.value").alias("part_of_value"),
+        g("$.telecom[0].value").alias("phone"),
+    )
+
+
+@register(
+    "q35_practitioner_dedup_deletes",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT _id, _last_updated,
+        string_split(
+          list_filter(string_split(identifier, ','),
+            x -> regexp_matches(x, '^https:.*gmp-number\\|G[0-9].*$'))[1],
+          '|')[2] AS gmp
+      FROM read_parquet('{FX}/practitioners.parquet')
+    ),
+    ranked AS (
+      SELECT _id, gmp,
+             row_number() OVER (PARTITION BY gmp
+                                ORDER BY _last_updated DESC, _id) AS rn
+      FROM keyed WHERE gmp IS NOT NULL
+    )
+    SELECT _id, gmp, 'delete' AS action FROM ranked WHERE rn > 1
+    """,
+    doc="delete-duplicates plan (S8): keep-newest per GMP, rest -> deletes",
+    tags=("etl", "S8", "A3", "W4", "J8"),
+)
+def q35_practitioner_dedup_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pracs = load_tables(spark, FX, ["practitioners"])["practitioners"]
+    gmp_re = "^https:.*gmp-number[|]G[0-9].*$"
+    matched = F.filter(F.split(pracs.identifier, ","), lambda x: x.rlike(gmp_re))
+    gmp = F.get(F.split(F.get(matched, 0), "[|]"), 1).alias("gmp")
+    keyed = pracs.select("_id", "_last_updated", gmp).filter(F.col("gmp").isNotNull())
+    w = Window.partitionBy("gmp").orderBy(F.desc("_last_updated"), F.asc("_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("_id", "gmp", F.lit("delete").alias("action"))
+    )

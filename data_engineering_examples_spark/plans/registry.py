@@ -42,6 +42,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import similarity_queries  # noqa: F401
     from . import text_queries  # noqa: F401
     from . import fhir_queries  # noqa: F401
+    from . import etl_queries  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -1,0 +1,229 @@
+"""L5 — NHS ODS master-data source + row→FHIR-JSON struct builders.
+
+Re-expresses the reference's ODS import extract/transform surface
+(SURVEY §2 S1, U1-U3, U9) set-based:
+
+* ``read_epraccur`` / ``read_egpcur`` — headerless positional CSV
+  (column lists per ``dags/ODSImport.py:84-97`` and ``:319-327``), read
+  with an explicit schema: no inference pass over 100 TB of files, and
+  Catalyst prunes unused positions at the scan.
+* ``with_organisation_json`` — ``dags/ODSImport.py:160-230``
+  (``convertOrganisationFHIR``): constant identifier/type blocks,
+  conditional address/telecom/partOf, ``active=False`` when Closed.
+  Built with ``to_json(struct(...))`` + ``when()`` per optional block —
+  pure expressions, whole-stage codegen, no per-row Python. (The
+  reference's ``organisationJSON["address"]:`` annotation-typo bug at
+  ``:187-192`` is NOT reproduced; intent per
+  ``notebooks/OrganisationalDataServices.ipynb`` cell 9.)
+* ``with_practitioner_json`` — ``dags/ODSImport.py:388-431``: surname =
+  first name token, given = the rest (``given()`` edge case for
+  single-token names at ``:328-334``), Status 'C' → active.
+* ``with_practitioner_role_json`` — ``dags/ODSImport.py:526-583``:
+  Practitioner/Organization references + period from resliced YYYYMMDD
+  dates.
+* ``validate_organisation`` — the pydantic gate (U9,
+  ``Organization(**organisationJSON)`` at ``:229``) as a declarative
+  rule column: required-field and shape checks that run in codegen
+  instead of a Python model per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import yyyymmdd_to_date
+
+ODS_SYS = "https://fhir.nhs.uk/Id/ods-organization-code"
+GMP_SYS = "https://fhir.hl7.org.uk/Id/gmp-number"
+ROLE_SYS = "https://fhir.nhs.uk/CodeSystem/organisation-role"
+
+# positional column names per dags/ODSImport.py:84-97 (epraccur) and
+# :319-327 (egpcur); numeric filler positions keep their index names.
+EPRACCUR_COLS = [
+    "ods", "organisation_name", "national_grouping", "c3",
+    "address_line_1", "address_line_2", "address_line_3",
+    "address_line_4", "address_line_5", "postcode",
+    "opened", "closed", "c12", "c13", "prac_ods", "c15", "c16",
+    "phone_number", "c18", "c19", "c20", "c21", "c22", "c23", "c24", "c25",
+]
+EGPCUR_COLS = [
+    "gmp", "practitioner_name", "c2", "c3",
+    "address_line_1", "address_line_2", "address_line_3",
+    "address_line_4", "address_line_5", "postcode",
+    "c10", "c11", "status", "c13", "ods",
+    "started", "ended", "phone_number",
+    "c18", "c19", "c20", "c21", "c22", "c23", "c24", "c25", "c26",
+]
+
+
+def _csv_schema(cols: list[str]) -> T.StructType:
+    return T.StructType([T.StructField(c, T.StringType()) for c in cols])
+
+
+def _read_ods_csv(spark: SparkSession, path: str, cols: list[str]) -> DataFrame:
+    # explicit schema, no header, no inference — empty fields arrive as NULL
+    return spark.read.csv(path, schema=_csv_schema(cols), header=False)
+
+
+def read_epraccur(spark: SparkSession, path: str) -> DataFrame:
+    df = _read_ods_csv(spark, path, EPRACCUR_COLS)
+    # PhoneNumber carries stray spaces in the source file (.strip() at
+    # dags/ODSImport.py:205)
+    return df.withColumn("phone_number", F.trim("phone_number"))
+
+
+def read_egpcur(spark: SparkSession, path: str) -> DataFrame:
+    return _read_ods_csv(spark, path, EGPCUR_COLS)
+
+
+def _nonempty(c: Column) -> Column:
+    return c.isNotNull() & (c != "")
+
+
+def organisation_struct(df: DataFrame) -> Column:
+    """Organization FHIR struct per convertOrganisationFHIR
+    (dags/ODSImport.py:160-230). Optional blocks are NULL when absent —
+    to_json drops NULL fields, matching the reference's conditional dict
+    inserts."""
+    addr_line = F.array_compact(
+        F.array(
+            F.when(_nonempty(df.address_line_1), df.address_line_1),
+            F.when(_nonempty(df.address_line_2), df.address_line_2),
+        )
+    )
+    address = F.when(
+        _nonempty(df.postcode),
+        F.array(
+            F.struct(
+                F.when(F.size(addr_line) > 0, addr_line).alias("line"),
+                F.when(_nonempty(df.address_line_3), df.address_line_3).alias("city"),
+                F.when(_nonempty(df.address_line_4), df.address_line_4).alias("district"),
+                df.postcode.alias("postalCode"),
+            )
+        ),
+    )
+    return F.struct(
+        F.lit("Organization").alias("resourceType"),
+        F.array(
+            F.struct(F.lit(ODS_SYS).alias("system"), df.ods.alias("value"))
+        ).alias("identifier"),
+        (~_nonempty(df.closed)).alias("active"),  # Closed set → inactive
+        F.array(
+            F.struct(
+                F.array(
+                    F.struct(
+                        F.lit(ROLE_SYS).alias("system"),
+                        F.lit("76").alias("code"),
+                        F.lit("GP PRACTICE").alias("display"),
+                    )
+                ).alias("coding")
+            )
+        ).alias("type"),
+        df.organisation_name.alias("name"),
+        address.alias("address"),
+        F.when(
+            _nonempty(df.phone_number),
+            F.array(
+                F.struct(
+                    F.lit("phone").alias("system"),
+                    F.trim(df.phone_number).alias("value"),
+                    F.lit("work").alias("use"),
+                )
+            ),
+        ).alias("telecom"),
+        F.when(
+            _nonempty(df.national_grouping),
+            F.struct(
+                F.struct(
+                    F.lit(ODS_SYS).alias("system"),
+                    df.national_grouping.alias("value"),
+                ).alias("identifier")
+            ),
+        ).alias("partOf"),
+    )
+
+
+def with_organisation_json(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "organisation_json", F.to_json(organisation_struct(df), {"ignoreNullFields": "true"})
+    )
+
+
+def practitioner_struct(df: DataFrame) -> Column:
+    """Practitioner struct per convertPractitionerFHIR
+    (dags/ODSImport.py:388-431): name 'SURNAME A B' → family=SURNAME,
+    given=[A, B]; single-token names get an empty given list
+    (the given() edge case at :328-334). Status 'C' → active."""
+    toks = F.split(F.trim(df.practitioner_name), " ")
+    family = F.get(toks, 0)
+    given = F.slice(toks, 2, 100)
+    return F.struct(
+        F.lit("Practitioner").alias("resourceType"),
+        F.array(
+            F.struct(F.lit(GMP_SYS).alias("system"), df.gmp.alias("value"))
+        ).alias("identifier"),
+        F.array(
+            F.struct(
+                family.alias("family"),
+                F.when(F.size(given) > 0, given).alias("given"),
+            )
+        ).alias("name"),
+        (df.status == "C").alias("active"),
+    )
+
+
+def with_practitioner_json(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "practitioner_json", F.to_json(practitioner_struct(df), {"ignoreNullFields": "true"})
+    )
+
+
+def practitioner_role_struct(df: DataFrame, prac_id: Column, org_id: Column) -> Column:
+    """PractitionerRole per convertPractitionerRoleFHIR
+    (dags/ODSImport.py:526-583): literal references + period from the
+    compact YYYYMMDD Started/Ended columns."""
+    period = F.struct(
+        F.date_format(yyyymmdd_to_date(df.started), "yyyy-MM-dd").alias("start"),
+        F.when(
+            _nonempty(df.ended),
+            F.date_format(yyyymmdd_to_date(df.ended), "yyyy-MM-dd"),
+        ).alias("end"),
+    )
+    return F.struct(
+        F.lit("PractitionerRole").alias("resourceType"),
+        F.struct(F.concat(F.lit("Practitioner/"), prac_id).alias("reference")).alias(
+            "practitioner"
+        ),
+        F.struct(F.concat(F.lit("Organization/"), org_id).alias("reference")).alias(
+            "organization"
+        ),
+        F.when(df.started.isNotNull(), period).alias("period"),
+        (df.status == "C").alias("active"),
+    )
+
+
+ORG_VALIDATION_RULES = {
+    "missing_ods": lambda d: ~_nonempty(F.col("ods")),
+    "missing_name": lambda d: ~_nonempty(F.col("organisation_name")),
+    "bad_ods_format": lambda d: ~F.col("ods").rlike("^[A-Za-z][0-9]{5}$"),
+}
+
+
+def validate_organisation(df: DataFrame) -> DataFrame:
+    """The pydantic `Organization(**json)` gate (U9) as declarative rules:
+    adds `validation_errors array<string>` + boolean `is_valid`. Runs in
+    codegen; invalid rows are routed, not thrown — at scale you quarantine,
+    not crash."""
+    errs = F.array_compact(
+        F.array(
+            *[
+                F.when(rule(df), F.lit(name))
+                for name, rule in ORG_VALIDATION_RULES.items()
+            ]
+        )
+    )
+    return df.withColumn("validation_errors", errs).withColumn(
+        "is_valid", F.size("validation_errors") == 0
+    )

@@ -1,0 +1,105 @@
+"""Tests for the L5 merge/changeset operators and ODS struct builders:
+idempotence (re-run after apply → all noop), apply semantics, the
+delete-duplicates plan, and the conditional FHIR-JSON builder blocks.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.operators.merge import (
+    apply_changeset,
+    changeset,
+    dedup_deletes,
+)
+from data_engineering_examples_spark.sources.fhir import FIXTURES_DIR
+from data_engineering_examples_spark.sources.ods import (
+    read_egpcur,
+    read_epraccur,
+    validate_organisation,
+    with_organisation_json,
+    with_practitioner_json,
+)
+
+
+def _frames(spark):
+    cur = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 2), ("k3", "c", 3)], ["k", "v", "n"]
+    )
+    inc = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "B", 2), ("k4", "d", 4)], ["k", "v", "n"]
+    )
+    return cur, inc
+
+
+def test_changeset_classification(spark):
+    cur, inc = _frames(spark)
+    cs = changeset(cur, inc, key="k")
+    actions = {r.k: r.action for r in cs.collect()}
+    assert actions == {"k1": "noop", "k2": "update", "k3": "delete", "k4": "insert"}
+    changed = {r.k: r.changed_fields for r in cs.collect()}
+    assert changed["k2"] == ["v"]
+
+
+def test_apply_then_rediff_is_idempotent(spark):
+    cur, inc = _frames(spark)
+    cs = changeset(cur, inc, key="k")
+    merged = apply_changeset(cur, cs, key="k")
+    # post-merge table == incoming table (delete removed k3)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in inc.collect()}
+    # second pass: nothing left to do
+    cs2 = changeset(merged, inc, key="k")
+    assert {r.action for r in cs2.collect()} == {"noop"}
+
+
+def test_dedup_deletes_keeps_one_per_group(spark):
+    df = spark.createDataFrame(
+        [("g1", "2025-01-01", "a"), ("g1", "2025-02-01", "b"), ("g2", "2025-01-01", "c")],
+        ["gmp", "updated", "_id"],
+    )
+    dels = dedup_deletes(df, "gmp", "updated", ["_id"]).collect()
+    assert [(r._id, r.gmp) for r in dels] == [("a", "g1")]  # keeps newest 'b'
+
+
+def test_organisation_json_conditional_blocks(spark):
+    ep = read_epraccur(spark, f"{FIXTURES_DIR}/epraccur.csv")
+    built = with_organisation_json(ep)
+    rows = built.select("ods", "closed", "phone_number", "organisation_json").collect()
+    for r in rows[:200]:
+        doc = json.loads(r.organisation_json)
+        assert doc["resourceType"] == "Organization"
+        assert doc["identifier"][0]["value"] == r.ods
+        assert doc["active"] == (r.closed is None or r.closed == "")
+        if r.phone_number:
+            assert doc["telecom"][0]["value"] == r.phone_number.strip()
+        else:
+            assert "telecom" not in doc
+
+
+def test_practitioner_json_single_token_name(spark):
+    eg = read_egpcur(spark, f"{FIXTURES_DIR}/egpcur.csv")
+    built = with_practitioner_json(eg)
+    single = built.filter(~F.col("practitioner_name").contains(" ")).head(3)
+    assert single, "fixture must contain single-token names"
+    for r in single:
+        doc = json.loads(r.practitioner_json)
+        assert doc["name"][0]["family"] == r.practitioner_name
+        assert "given" not in doc["name"][0]  # given() edge case
+    multi = built.filter(F.col("practitioner_name").contains(" ")).head(1)[0]
+    doc = json.loads(multi.practitioner_json)
+    assert doc["name"][0]["given"] == multi.practitioner_name.split(" ")[1:]
+
+
+def test_validation_gate(spark):
+    bad = spark.createDataFrame(
+        [("F82000", "OK PRACTICE"), (None, "NO ODS"), ("XX", "BAD FORMAT"), ("F82001", None)],
+        ["ods", "organisation_name"],
+    )
+    v = validate_organisation(bad).collect()
+    by_name = {r.organisation_name: (r.is_valid, r.validation_errors) for r in v}
+    assert by_name["OK PRACTICE"][0]
+    assert "missing_ods" in by_name["NO ODS"][1]
+    assert "bad_ods_format" in by_name["BAD FORMAT"][1]
+    assert not by_name[None][0]

@@ -388,8 +388,12 @@ def gen_ods_csvs(rng: random.Random, orgs, pracs):
         closed = "" if rng.random() < 0.9 else str(opened + 200000)
         postal = f"SW{rng.randrange(1, 20)} {rng.randrange(1, 9)}AA"
         phone = f" 0{rng.randrange(1000000000, 1999999999)} "  # leading/trailing spaces (strip target)
-        row = [ods, name, "Y56", f"{i} HIGH ST", "SUITE 1", f"TOWN{i % 50}", "COUNTY", "", postal,
-               str(opened), closed, "A", "", "4", f"F{82000 + (i % 100)}", phone, "", "", "", "", "0", "", "", "", "", ""]
+        # positional layout per dags/ODSImport.py:84-97 (26 cols):
+        # 0 ODS, 1 Name, 2 NationalGrouping, 3 filler, 4-8 AddressLine_1..5,
+        # 9 PostCode, 10 Opened, 11 Closed, 12-13 filler, 14 PRAC_ODS,
+        # 15-16 filler, 17 PhoneNumber, 18-25 filler
+        row = [ods, name, "Y56", "", f"{i} HIGH ST", "SUITE 1", f"TOWN{i % 50}", "COUNTY", "", postal,
+               str(opened), closed, "", "4", f"F{82000 + (i % 100)}", "", "", phone, "", "0", "", "", "", "", "", ""]
         ep_rows.append(",".join('"' + c + '"' if "," in c else c for c in row))
     with open(os.path.join(OUT, "epraccur.csv"), "w") as f:
         f.write("\n".join(ep_rows) + "\n")
@@ -404,8 +408,14 @@ def gen_ods_csvs(rng: random.Random, orgs, pracs):
         started = 19900101 + rng.randrange(30) * 10000
         ended = "" if rng.random() < 0.85 else str(started + 150000)
         status = "C" if rng.random() < 0.9 else "L"
-        row = [gmp, name, "Y56", f"{i} LOW ST", "", f"TOWN{i % 50}", "COUNTY", "", f"E{rng.randrange(1, 20)} {rng.randrange(1, 9)}BB",
-               str(started), ended, status, "", "4", ods, f"0{rng.randrange(1000000000, 1999999999)}", "", "", "", "", "0", "", "", "", "", ""]
+        # positional layout per dags/ODSImport.py:319-327 (27 cols):
+        # 0 GMP, 1 Practitioner_Name, 2-3 filler, 4-8 AddressLine_1..5,
+        # 9 PostCode, 10-11 filler, 12 Status, 13 filler, 14 ODS,
+        # 15 Started, 16 Ended, 17 PhoneNumber, 18-26 filler
+        postcode = f"E{rng.randrange(1, 20)} {rng.randrange(1, 9)}BB"
+        phone = f"0{rng.randrange(1000000000, 1999999999)}"
+        row = [gmp, name, "", "", f"{i} LOW ST", "", f"TOWN{i % 50}", "COUNTY", "", postcode,
+               "", "", status, "4", ods, str(started), ended, phone, "", "0", "", "", "", "", "", "", ""]
         eg_rows.append(",".join(row))
     with open(os.path.join(OUT, "egpcur.csv"), "w") as f:
         f.write("\n".join(eg_rows) + "\n")
