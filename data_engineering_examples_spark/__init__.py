@@ -3,13 +3,14 @@ Virtually-Healthcare/data-engineering-examples (reference read-only at
 /root/reference) on Spark DataFrames / Spark SQL / Structured Streaming.
 
 Layers (SURVEY.md §7.1):
-  L0 session       -> .session
-  L1 bronze/source -> .sources
-  L2 functions     -> .functions
-  L3 silver views  -> .fhir.views
-  L4 queries       -> .plans
-  L5 ETL           -> .operators.merge, .sources.ods
-  L6 streaming     -> .streaming
+  L0 session        -> .session
+  L1 bronze/sources -> .sources (generic tables, FHIR store, ODS CSV)
+  L2 functions      -> .functions (IRIS SQL fns, FHIRPath, doc transforms)
+  L3 silver views   -> .fhir.views (bronze -> search projections)
+  L4 queries        -> .plans (41 registered, DuckDB-oracle-checked)
+  L5 ETL            -> .operators.merge, .sources.ods, .sinks.external
+  L6 streaming      -> .streaming.tasks (poll, state machine, watermark)
+  search façade     -> .search.params (FHIR search dict -> plan)
 """
 
 __version__ = "0.1.0"

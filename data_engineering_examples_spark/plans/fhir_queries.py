@@ -613,3 +613,142 @@ def q21_duplicate_consultations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return dup.select("encounter_identifier", "patient_dbid")
+
+
+# ---------------------------------------------------------------------------
+# q37 — vital-signs time series (W3, F16)
+# Reference: notebooks/VitalSignsREST.ipynb cell 4 /
+# OlderExamples/SQLConnections.ipynb cell 7 — per-patient observation
+# series ordered by effective time, values rounded for display. The
+# ordering is a per-patient window sequence number, NOT a global sort —
+# at 100 TB a global orderBy of a series extract is a pointless
+# exchange+sort; the window shuffles once on patient and sorts locally.
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+
+@register(
+    "q37_vital_signs_series",
+    oracle=f"""
+    SELECT o.patient, o.key, o.date_start,
+           round(v.value, 3) AS value,
+           CAST(row_number() OVER (PARTITION BY o.patient
+                                   ORDER BY o.date_start, o.key) AS INT) AS seq
+    FROM read_parquet('{FX}/observations.parquet') o
+    JOIN read_parquet('{FX}/observation_value_quantity.parquet') v ON v.key = o.key
+    WHERE contains(o.code, '8302-2')
+    """,
+    doc="per-patient vital-signs time series (W3): window seq, no global sort",
+    tags=("fhir", "W3", "F16", "J4"),
+)
+def q37_vital_signs_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["observations", "observation_value_quantity"])
+    o, v = t["observations"], t["observation_value_quantity"]
+    w = _W.partitionBy("patient").orderBy(F.asc("date_start"), F.asc("key"))
+    return (
+        o.filter(fhir_contains(o.code, "8302-2"))
+        .join(v, "key")
+        .select(
+            o.patient,
+            F.col("key"),
+            o.date_start,
+            F.round(v.value, 3).alias("value"),
+        )
+        .withColumn("seq", F.row_number().over(w).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — one-hot encoding of the cohort's categorical columns (F19/F20)
+# Reference: notebooks/DiabetesSQL.ipynb cell 21 — OneHotEncoder on
+# RaceCode/genderUK, concat back, rename to readable names
+# (LatinoHispanic = EthnicCode=='2135-2'). Expressed as when() pivots —
+# map-only, no encoder fit pass needed for a fixed vocabulary.
+
+_RACE_ONEHOT = {
+    "native": "1002-5",
+    "black": "2054-5",
+    "white": "2106-3",
+    "asian": "2028-9",
+}
+
+
+@register(
+    "q38_cohort_onehot",
+    oracle=f"""
+    WITH x AS (
+      SELECT key,
+        json_extract_string(resource_string, '$.gender') AS gender,
+        {_duck_omb(RACE_URL, "code")} AS race_code,
+        {_duck_omb(ETH_URL, "code")} AS ethnic_code
+      FROM read_parquet('{FX}/resources.parquet')
+      WHERE resource_type = 'Patient'
+    )
+    SELECT key,
+      {", ".join(f"CAST(CASE WHEN race_code = '{code}' THEN 1 ELSE 0 END AS INT) AS race_{name}" for name, code in _RACE_ONEHOT.items())},
+      CAST(CASE WHEN ethnic_code = '2135-2' THEN 1 ELSE 0 END AS INT) AS latino_hispanic,
+      CAST(CASE WHEN gender = 'male' THEN 1 ELSE 0 END AS INT) AS gender_male,
+      CAST(CASE WHEN gender = 'female' THEN 1 ELSE 0 END AS INT) AS gender_female
+    FROM x
+    """,
+    doc="one-hot encode race/ethnicity/gender (F19/F20) as when() pivots",
+    tags=("fhir", "F19", "F20", "X1"),
+)
+def q38_cohort_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_all(spark)
+    res = resources_of_type(spark, "Patient")
+
+    def fp(path: str, alias: str):
+        return F.call_udf("fhirpath_one", F.col("resource_string"), F.lit(path)).alias(alias)
+
+    x = res.select(
+        "key",
+        F.get_json_object("resource_string", "$.gender").alias("gender"),
+        fp(f"Patient.extension('{RACE_URL}').extension('ombCategory').valueCoding.code", "race_code"),
+        fp(f"Patient.extension('{ETH_URL}').extension('ombCategory').valueCoding.code", "ethnic_code"),
+    )
+    onehot = lambda cond, name: F.when(cond, 1).otherwise(0).cast("int").alias(name)  # noqa: E731
+    return x.select(
+        "key",
+        *[onehot(F.col("race_code") == code, f"race_{name}") for name, code in _RACE_ONEHOT.items()],
+        onehot(F.col("ethnic_code") == "2135-2", "latino_hispanic"),
+        onehot(F.col("gender") == "male", "gender_male"),
+        onehot(F.col("gender") == "female", "gender_female"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q41 — bronze → silver derivation lineage
+# The reference's HSFHIR_X0001_S.Patient table is maintained by the FHIR
+# server; here the SAME projection is DERIVED from the bronze document
+# store with get_json_object + the IRIS multi-value identifier encoding
+# (fhir/views.py). This query is the lineage proof: silver is a pure
+# function of bronze. At scale the view materializes incrementally from
+# the ingest stream; the expressions are identical.
+
+
+@register(
+    "q41_patient_silver_from_bronze",
+    oracle=f"""
+    SELECT json_extract_string(resource_string, '$.id') AS _id,
+           key,
+           array_to_string(list_transform(
+             from_json(json_extract(resource_string, '$.identifier'), '["JSON"]'),
+             x -> json_extract_string(x, '$.system') || '|' || json_extract_string(x, '$.value')
+           ), ',') AS identifier,
+           CAST(json_extract_string(resource_string, '$.birthDate') AS DATE) AS birthdate,
+           json_extract_string(resource_string, '$.gender') AS gender,
+           json_extract_string(resource_string, '$.address[0].country') AS address_country
+    FROM read_parquet('{FX}/resources.parquet')
+    WHERE resource_type = 'Patient'
+    """,
+    doc="silver Patient projection derived from bronze JSON (L3 lineage)",
+    tags=("fhir", "L3", "F1", "F2"),
+)
+def q41_patient_silver_from_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..fhir.views import patient_view
+
+    res = load_fhir_tables(spark, ["resources"])["resources"]
+    return patient_view(res).select(
+        "_id", "key", "identifier", "birthdate", "gender", "address_country"
+    )

@@ -43,6 +43,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import text_queries  # noqa: F401
     from . import fhir_queries  # noqa: F401
     from . import etl_queries  # noqa: F401
+    from . import workflow_queries  # noqa: F401
 
     return dict(_REGISTRY)
 
