@@ -752,3 +752,60 @@ def q41_patient_silver_from_bronze(spark: SparkSession, sf_dir: str) -> DataFram
     return patient_view(res).select(
         "_id", "key", "identifier", "birthdate", "gender", "address_country"
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — $extract-collection: per-patient record assembly (S5)
+# Reference: dags/ConsultationNoteWritebackX.py:264-291 — GET
+# /Encounter/$extract-collection returns a Bundle holding the whole
+# consultation (patient + conditions + observations…). The engine form:
+# multi-way join of resource views on the patient key, collected into a
+# sorted entry array (sorted so the assembly is deterministic — a real
+# Bundle's entry order is producer-defined).
+# Scale: two shuffles (conditions, observations each groupBy patient)
+# then a join on patient; entry arrays stay bounded by per-patient
+# fan-in, never a global collect.
+
+
+@register(
+    "q45_extract_collection",
+    oracle=f"""
+    WITH c AS (
+      SELECT patient, list_sort(list('Condition/' || _id)) AS cond_entries
+      FROM read_parquet('{FX}/conditions.parquet') GROUP BY patient
+    ),
+    o AS (
+      SELECT patient, count(*) AS n_obs
+      FROM read_parquet('{FX}/observations.parquet') GROUP BY patient
+    )
+    SELECT p.key AS patient_key,
+           coalesce(c.cond_entries, []) AS cond_entries,
+           coalesce(o.n_obs, 0) AS n_obs,
+           1 + len(coalesce(c.cond_entries, [])) + coalesce(o.n_obs, 0) AS n_entries
+    FROM read_parquet('{FX}/patients.parquet') p
+    LEFT JOIN c ON c.patient = p.key
+    LEFT JOIN o ON o.patient = p.key
+    """,
+    doc="$extract-collection assembly: joins collected into sorted entry lists (S5)",
+    tags=("fhir", "S5", "A5"),
+)
+def q45_extract_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_fhir_tables(spark, ["patients", "conditions", "observations"])
+    conds = (
+        t["conditions"]
+        .groupBy("patient")
+        .agg(F.array_sort(F.collect_list(F.concat(F.lit("Condition/"), F.col("_id")))).alias("cond_entries"))
+    )
+    obs = t["observations"].groupBy("patient").agg(F.count(F.lit(1)).alias("n_obs"))
+    p = t["patients"]
+    joined = p.join(conds, p.key == conds.patient, "left").join(
+        obs, p.key == obs.patient, "left"
+    )
+    cond_entries = F.coalesce(F.col("cond_entries"), F.array().cast("array<string>"))
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
+    return joined.select(
+        p.key.alias("patient_key"),
+        cond_entries.alias("cond_entries"),
+        n_obs.alias("n_obs"),
+        (F.lit(1) + F.size(cond_entries) + n_obs).alias("n_entries"),
+    )

@@ -1,0 +1,98 @@
+"""L4 — multimodal-column queries over the ``media`` fixture (builder
+brief "Multimodal columns"; operators in ``operators/media.py``).
+
+* **q42** — typed-metadata accounting: size/dimension stats by
+  (kind, format). Pure columnar — the payload bytes are touched only by
+  ``octet_length``, which parquet answers without materializing the blob
+  in the JVM heap beyond the page read. Oracle-checked.
+* **q43** — media↔caption pairing: binary table joined to the text
+  corpus on ``doc_id`` — the multimodal training-pair shape (image +
+  caption). Slim projections only; payloads never enter the join.
+  Oracle-checked.
+* **q44** — the Arrow-batched featurizer stage (``mapInPandas``) with
+  the deterministic stand-in encoder. Not SQL-expressible (rows-only
+  driver check); determinism + shape are pytest-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.media import extract_features
+from ..sources.fhir import FIXTURES_DIR
+from ..sources.tables import load_tables
+from .registry import register
+
+FX = FIXTURES_DIR
+
+
+def _media(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(f"{FX}/media.parquet")
+
+
+@register(
+    "q42_media_stats",
+    oracle=f"""
+    SELECT kind, format,
+           count(*) AS n,
+           sum(octet_length(payload)) AS total_bytes,
+           min(octet_length(payload)) AS min_bytes,
+           max(octet_length(payload)) AS max_bytes,
+           max(width) AS max_width,
+           max(duration_ms) AS max_duration_ms
+    FROM read_parquet('{FX}/media.parquet')
+    GROUP BY kind, format
+    """,
+    doc="typed-metadata media accounting by (kind, format); payload stays opaque",
+    tags=("multimodal", "llm"),
+)
+def q42_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark)
+    return m.groupBy("kind", "format").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.octet_length("payload")).alias("min_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.max("width").alias("max_width"),
+        F.max("duration_ms").alias("max_duration_ms"),
+    )
+
+
+@register(
+    "q43_media_caption_pairs",
+    oracle=f"""
+    SELECT m.media_id, m.kind, d.doc_id, d.lang,
+           len(string_split(d.text, ' ')) AS caption_tokens,
+           octet_length(m.payload) AS media_bytes
+    FROM read_parquet('{FX}/media.parquet') m
+    JOIN documents d ON d.doc_id = m.doc_id
+    """,
+    doc="media-caption training pairs: binary table ⋈ text corpus on doc_id",
+    tags=("multimodal", "llm"),
+)
+def q43_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark)
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    return (
+        m.select("media_id", "kind", "doc_id", F.octet_length("payload").alias("media_bytes"))
+        .join(docs, "doc_id")
+        .select(
+            "media_id",
+            "kind",
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("caption_tokens"),
+            "media_bytes",
+        )
+    )
+
+
+@register(
+    "q44_media_features",
+    oracle=None,  # mapInPandas featurizer: not SQL-expressible; pytest-gated
+    doc="Arrow-batched byte-histogram featurizer (stand-in encoder stage)",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q44_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features(_media(spark))

@@ -44,6 +44,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import fhir_queries  # noqa: F401
     from . import etl_queries  # noqa: F401
     from . import workflow_queries  # noqa: F401
+    from . import multimodal_queries  # noqa: F401
 
     return dict(_REGISTRY)
 

@@ -252,3 +252,34 @@ def q30_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"sc_{lg}" for lg in LANG_PROFILES],
         expr.alias("lang_guess"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — BPE-ish regex tokenization: word pieces + punctuation as separate
+# tokens (the pre-tokenizer split most BPE vocabularies assume),
+# vs the whitespace count — both via regexp_extract_all, JVM-side.
+
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "q48_regex_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(list_distinct(regexp_extract_all(text, '{_TOKEN_RE}'))) AS n_distinct_bpe
+    FROM documents
+    """,
+    doc="BPE-ish regex pre-tokenizer counts vs whitespace tokens; map-only",
+    tags=("text", "llm", "F11"),
+)
+def q48_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.regexp_extract_all(d.text, F.lit(_TOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.split(d.text, " ")).alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )

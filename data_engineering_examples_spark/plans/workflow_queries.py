@@ -103,3 +103,52 @@ def q40_event_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q46/q47 — the two workflow document UDF stages as registry entries
+# (X2/X3; U5/U6). Recursive JSON restructuring is not SQL-expressible —
+# the driver records its weaker rows-only check here; exact-shape
+# verification lives in tests/test_streaming_workflow.py. The message
+# uuid is DERIVED (md5 of the encounter identifier), not random: replays
+# mint the same identity (T2 idempotence; F17 notes uuid() exists for
+# when global uniqueness is the requirement).
+
+
+@register(
+    "q46_legacy_qr_batch",
+    oracle=None,  # recursive JSON restructure (U5): rows-only + pytest
+    doc="legacy QuestionnaireResponse conversion over bundle QR entries (X2/U5)",
+    tags=("workflow", "U5", "X2"),
+)
+def q46_legacy_qr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.documents import register_document_udfs
+
+    register_document_udfs(spark)
+    b = load_tables(spark, FX, ["encounter_bundles"])["encounter_bundles"]
+    # the QR sits at a fixed entry position in the collection bundles
+    # (gen_fixtures emits Patient, Encounter, Observation, QR)
+    qr = F.get_json_object("bundle_json", "$.entry[3].resource")
+    return b.select(
+        "encounter_identifier",
+        F.call_udf("legacy_qr_convert", qr).alias("converted_qr"),
+    ).filter(F.col("converted_qr").isNotNull())
+
+
+@register(
+    "q47_bundle_to_message",
+    oracle=None,  # whole-document assembly (U6): rows-only + pytest
+    doc="collection Bundle -> FHIR message with A04 MessageHeader (X3/U6)",
+    tags=("workflow", "U6", "X3", "F17"),
+)
+def q47_bundle_to_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.documents import register_document_udfs
+
+    register_document_udfs(spark)
+    b = load_tables(spark, FX, ["encounter_bundles"])["encounter_bundles"]
+    # replay-stable message identity: derived, not minted per run
+    msg_uuid = F.md5(F.col("encounter_identifier"))
+    return b.select(
+        "encounter_identifier",
+        F.call_udf("bundle_to_message", F.col("bundle_json"), msg_uuid).alias("message_json"),
+    )

@@ -422,6 +422,31 @@ def gen_ods_csvs(rng: random.Random, orgs, pracs):
     print(f"  egpcur.csv: {len(eg_rows)} rows")
 
 
+def gen_media(rng: random.Random):
+    """Multimodal fixture: opaque binary payloads + typed metadata
+    (builder brief "Multimodal columns"). Payload bytes are deterministic
+    pseudo-content; real decoders are stubbed in the engine (image/audio
+    libs absent), but the Spark-side schema/partitioning/UDF plumbing is
+    real and must have data to run against."""
+    kinds = [("image", "png"), ("image", "jpeg"), ("audio", "wav"), ("video", "mp4")]
+    rows = []
+    for i in range(300):
+        kind, fmt = rng.choice(kinds)
+        n = rng.randrange(200, 4000)
+        payload = bytes(rng.randrange(256) for _ in range(n))
+        rows.append({
+            "media_id": i,
+            "doc_id": rng.randrange(500),  # FK → documents (caption pairing)
+            "kind": kind,
+            "format": fmt,
+            "payload": payload,
+            "width": rng.randrange(64, 4096) if kind == "image" else None,
+            "height": rng.randrange(64, 4096) if kind == "image" else None,
+            "duration_ms": rng.randrange(500, 600000) if kind in ("audio", "video") else None,
+        })
+    return rows
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = random.Random(SEED)
@@ -481,6 +506,12 @@ def main() -> None:
         ("resource_string", pa.string()), ("last_updated", ts), ("version_id", pa.int32())]))
 
     gen_ods_csvs(rng, orgs, pracs)
+
+    media = gen_media(random.Random(SEED + 1))  # own stream: stable vs earlier tables
+    write_parquet("media", media, pa.schema([
+        ("media_id", pa.int64()), ("doc_id", pa.int64()), ("kind", pa.string()),
+        ("format", pa.string()), ("payload", pa.binary()),
+        ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64())]))
     print("done")
 
 
