@@ -68,7 +68,11 @@ _DUCK_TRIGRAMS = (
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs — the shared candidate substrate."""
+    """Distinct (doc_id, shingle) pairs — the shared candidate substrate.
+
+    At 100 TB this substrate is materialized once (bucketed by shingle
+    hash) rather than recomputed per consumer; the query plans here stay
+    pure/declarative and recompute it, which AQE handles fine at test SF."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tokens = F.split(docs.text, " ")
     return (
@@ -77,9 +81,34 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with the shingle reduced to a 60-bit md5 int BEFORE the
+    distinct/shuffle: the exchange and join keys carry 8 bytes instead of
+    the shingle string — materially narrower shuffles at scale. Collision
+    probability at 2^60 is negligible and, being the same function in the
+    DuckDB oracle, bit-identical anyway."""
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tokens = F.split(docs.text, " ")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_word_trigrams(tokens), lambda s: _md5_int(s))
+        ).alias("sh"),
+    ).distinct()
+
+
 _DUCK_SHINGLES = f"""
   tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
   sh AS (SELECT DISTINCT doc_id, unnest({_DUCK_TRIGRAMS}) AS shingle FROM tok)
+"""
+
+_DUCK_HASHED_SHINGLES = f"""
+  tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform({_DUCK_TRIGRAMS},
+                       s -> CAST(('0x' || substr(md5(s), 1, 15))::UBIGINT AS BIGINT)))
+                  AS sh
+         FROM tok)
 """
 
 
@@ -118,11 +147,11 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q23_ngram_jaccard_pairs",
     oracle=f"""
-    WITH {_DUCK_SHINGLES},
+    WITH {_DUCK_HASHED_SHINGLES},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2
     )
     SELECT i.doc_a, i.doc_b, i.shared,
@@ -131,11 +160,11 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     """,
-    doc="n-gram Jaccard near-dup pairs; shingle-join candidates, never O(n^2)",
+    doc="n-gram Jaccard near-dup pairs; hashed-shingle join, never O(n^2)",
     tags=("dedup", "llm"),
 )
 def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
+    sh = _hashed_shingles(spark, sf_dir).withColumnRenamed("sh", "shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")
@@ -177,8 +206,8 @@ def _duck_minhash_oracle() -> str:
         for j in range(N_BANDS)
     )
     return f"""
-    WITH {_DUCK_SHINGLES},
-    xs AS (SELECT doc_id, {_duck_md5_int('shingle')} % {P} AS x FROM sh),
+    WITH {_DUCK_HASHED_SHINGLES},
+    xs AS (SELECT doc_id, sh % {P} AS x FROM sh),
     sigs AS (SELECT doc_id, {sig_exprs} FROM xs GROUP BY doc_id),
     bands AS ({band_selects})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -194,9 +223,7 @@ def _duck_minhash_oracle() -> str:
     tags=("dedup", "llm"),
 )
 def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingles(spark, sf_dir)
-    x = (_md5_int(F.col("shingle")) % P).alias("x")
-    xs = sh.select("doc_id", x)
+    xs = _hashed_shingles(spark, sf_dir).select("doc_id", (F.col("sh") % P).alias("x"))
 
     sigs = xs.groupBy("doc_id").agg(
         *[
