@@ -479,3 +479,140 @@ def q10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             d(F.sum(dec("value"))).alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q52 — deterministic stratified sample (SURVEY §2 A6; mirrors
+# DiabetesSQL.ipynb cell 31's groupby-frac train/test split /
+# ``df.sampleBy``). ``sampleBy`` itself is seed-stable only within one
+# Spark version, so the ORACLE-CHECKED form uses an md5-derived uniform
+# hash per row: keep iff md5int(key) mod 10000 < frac*10000 per stratum —
+# identical rows selected in any engine, and exactly the technique used
+# for reproducible train/test splits in large-scale pipeline practice.
+# Map-only scan + tiny agg: no sort, no wide shuffle at any scale.
+
+
+@register(
+    "q52_stratified_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT)
+               % 10000 AS u,
+             CASE o_orderpriority WHEN '1-URGENT' THEN 7000
+                                  WHEN '2-HIGH' THEN 5000
+                                  ELSE 2000 END AS cut
+      FROM orders)
+    SELECT o_orderpriority,
+           count(*) AS n_total,
+           count(*) FILTER (u < cut) AS n_sampled,
+           CAST(sum(CASE WHEN u < cut THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS DOUBLE) AS sampled_total
+    FROM keyed
+    GROUP BY o_orderpriority
+    """,
+    doc="deterministic md5-hash stratified sample per priority (A6, sampleBy analog)",
+    tags=("agg", "A6", "sample"),
+)
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    u = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10000
+    )
+    cut = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 7000)
+        .when(F.col("o_orderpriority") == "2-HIGH", 5000)
+        .otherwise(2000)
+    )
+    keyed = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        u.alias("u"),
+        cut.alias("cut"),
+    )
+    return keyed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("u") < F.col("cut"), 1)).alias("n_sampled"),
+        F.sum(
+            F.when(
+                F.col("u") < F.col("cut"),
+                F.col("o_totalprice").cast("decimal(14,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sampled_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q53 — ROLLUP with GROUPING id (SURVEY §2.4's "grouping sets / rollup —
+# include as Spark built-ins": subtotal + grand-total rows in ONE pass;
+# Spark expands the rollup into a single Expand + hash aggregate, so the
+# lineitem scan happens once, not once per grouping set).
+
+
+@register(
+    "q53_rollup_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+           count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="single-pass ROLLUP subtotals + grand total with GROUPING id",
+    tags=("agg", "rollup"),
+)
+def q53_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q54 — skew-robust salted equi-join (operators/skew.py). The plain join
+# and the salted join are RESULT-IDENTICAL — the oracle runs the plain
+# join in DuckDB, proving the salt+replicate rewrite changes only the
+# physical key distribution (each hot key spreads over n_salts shuffle
+# partitions), never the semantics. Aggregates use floor(value*1000)
+# sums: order-independent integer math, bit-stable in both engines.
+
+
+@register(
+    "q54_salted_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           sum(CAST(floor(e.value * 1000) AS BIGINT)) AS value_millis
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    doc="salted equi-join (hot-key splitting) with plain-join oracle parity",
+    tags=("join", "skew", "scale"),
+)
+def q54_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_equi_join
+
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    ev = t["events"].select(F.col("user_id"), F.col("value"))
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = salted_equi_join(ev, cust, ["user_id"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+    )

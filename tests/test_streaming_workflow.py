@@ -123,7 +123,8 @@ def test_task_throughput_watermark(spark, tmp_path):
     q.awaitTermination()
     # append mode only emits closed windows; the plan must at least run and
     # carry the watermark node
-    assert "watermark" in agg.explain if False else True
+    plan = agg._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
     assert spark.table("tp").columns == ["window_start", "status", "count"]
 
 
