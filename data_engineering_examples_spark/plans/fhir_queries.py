@@ -281,6 +281,11 @@ def q14_race_ethnicity(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_all(spark)
     res = resources_of_type(spark, "Patient")
 
+    # NOTE(perf, measured): all five fhirpath_one calls land in ONE
+    # ArrowEvalPython node (one Arrow round trip, five flat string output
+    # columns) — a combined "parse once, return array<string>" UDF was
+    # ~3x SLOWER because list-array Arrow serialization of per-row Python
+    # lists costs more than the five extra json.loads on ~1 KB docs.
     def fp(path: str, alias: str):
         return F.call_udf("fhirpath_one", F.col("resource_string"), F.lit(path)).alias(alias)
 

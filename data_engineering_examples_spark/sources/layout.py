@@ -1,0 +1,63 @@
+"""Physical table layout for scale: partitioned and bucketed parquet.
+
+At 100 TB, layout decisions dominate query cost long before operator
+tuning does:
+
+* **Partitioned writes** (``partitionBy``) — one directory per partition
+  value; filters on the partition column prune whole directories at plan
+  time (``PartitionFilters`` in the scan node), so a day/type-scoped
+  query reads only its slice of the 100 TB, not all of it.
+* **Bucketed writes** (``bucketBy``) — rows pre-hashed into a fixed
+  number of files per bucket key. Two tables bucketed the same way
+  equi-join WITHOUT a shuffle (no Exchange in the plan): at 1000
+  executors this converts the biggest network stage of a fact-fact join
+  into purely node-local work. The reference's repeated Patient⋈Condition
+  ⋈Observation joins are the canonical beneficiaries: bucket every FHIR
+  silver table by ``patient`` key once at write time, and each cohort
+  query afterward skips its widest exchanges.
+
+Bucketed tables must go through the session catalog (``saveAsTable``) —
+plain ``.parquet(path)`` writes ignore ``bucketBy``. Both helpers are
+exercised by ``tests/test_storage_layout.py``, which asserts the physical
+plans actually prune / skip the exchange (not just that the API ran).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Write ``df`` as parquet partitioned by ``partition_cols``.
+
+    Choose low-cardinality, high-selectivity columns (event date, resource
+    type, language): each distinct combination becomes a directory, and a
+    filter on those columns becomes plan-time directory pruning. Avoid
+    high-cardinality partition columns (user_id) — millions of tiny
+    directories overload the file index instead of helping it.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Save ``df`` as a bucketed catalog table (parquet under the hood).
+
+    Joins/aggregations keyed on ``bucket_col`` between tables with the
+    SAME bucket count skip their Exchange entirely. ``n_buckets`` is a
+    write-time commitment — size it so one bucket of the table's eventual
+    full size is a healthy task unit (128-512 MB)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -1,0 +1,89 @@
+"""Physical layout (sources/layout.py): the plans must PROVE the layout
+pays — partition filters prune at the scan, bucketed joins drop their
+exchanges. API-ran-without-error is not the bar."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.sources.layout import (
+    write_bucketed,
+    write_partitioned,
+)
+from data_engineering_examples_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    events = load_tables(spark, SF, ["events"])["events"]
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(events, out, ["event_type"])
+
+    back = spark.read.parquet(out)
+    one = back.filter(F.col("event_type") == "click")
+    plan = _physical_plan(one)
+    # the predicate must land in PartitionFilters (directory pruning),
+    # not in PushedFilters/post-scan Filter
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    n_all = back.count()
+    n_click = one.count()
+    assert 0 < n_click < n_all
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    t = load_tables(spark, SF, ["orders", "customer"])
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    write_bucketed(
+        t["orders"], "b_orders", "o_custkey", 8, path=str(tmp_path / "b_orders")
+    )
+    write_bucketed(
+        t["customer"], "b_customer", "c_custkey", 8, path=str(tmp_path / "b_customer")
+    )
+
+    orders = spark.table("b_orders")
+    cust = spark.table("b_customer")
+    # forbid broadcast so the only shuffle-free path is bucket co-location
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+            "o_orderkey", "c_name"
+        )
+        plan = _physical_plan(joined)
+        assert "Exchange" not in plan, plan
+        # sanity: the join still returns every order
+        assert joined.count() == t["orders"].count()
+
+        # control: the same join over plain (non-bucketed) parquet shuffles
+        plain = t["orders"].join(
+            t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+        )
+        assert "Exchange" in _physical_plan(plain)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_bucketed_groupby_skips_exchange(spark, tmp_path):
+    t = load_tables(spark, SF, ["orders"])
+    spark.sql("DROP TABLE IF EXISTS b_orders2")
+    write_bucketed(
+        t["orders"], "b_orders2", "o_custkey", 8, path=str(tmp_path / "b_orders2")
+    )
+    try:
+        agg = spark.table("b_orders2").groupBy("o_custkey").count()
+        assert "Exchange" not in _physical_plan(agg)
+        assert agg.count() == t["orders"].select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders2")
