@@ -203,3 +203,55 @@ def q35_practitioner_dedup_deletes(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rn") > 1)
         .select("_id", "gmp", F.lit("delete").alias("action"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — composite-key left merge (J6): the egpcur-derived incoming role
+# rows merge against the repository's PractitionerRole rows on the
+# COMPOSITE key (ods, gmp) — ``pd.merge(..., on=['ODS','GMP'])`` at
+# dags/ODSImport.py:517 — and split into create-vs-exists actions (the
+# `_id == ''` branch at :242/:257). Key derivation on the repository side
+# is the J9 JSON path extraction; the join is one shuffle on the
+# composite key (or zero against a (ods,gmp)-bucketed repository table).
+
+_EG_CSV = f"{FX}/egpcur.csv"
+
+
+@register(
+    "q55_role_composite_merge",
+    oracle=f"""
+    WITH incoming AS (
+      SELECT column14 AS ods, column00 AS gmp, column15 AS started
+      FROM read_csv('{_EG_CSV}', header=false, all_varchar=true)
+    ),
+    existing AS (
+      SELECT json_extract_string(resource_string, '$.organization.identifier.value') AS ods,
+             json_extract_string(resource_string, '$.practitioner.identifier.value') AS gmp,
+             _id
+      FROM read_parquet('{FX}/practitioner_roles.parquet')
+    )
+    SELECT i.ods, i.gmp, i.started, e._id,
+           CASE WHEN e._id IS NULL THEN 'create' ELSE 'exists' END AS action
+    FROM incoming i LEFT JOIN existing e ON e.ods = i.ods AND e.gmp = i.gmp
+    """,
+    doc="composite-key (ods,gmp) left merge -> create/exists split (J6, ODSImport:517)",
+    tags=("etl", "J6", "J9", "S6"),
+)
+def q55_role_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ods import read_egpcur
+
+    incoming = read_egpcur(spark, _EG_CSV).select("ods", "gmp", "started")
+    roles = load_tables(spark, FX, ["practitioner_roles"])["practitioner_roles"]
+    existing = roles.select(
+        F.get_json_object("resource_string", "$.organization.identifier.value").alias("ods"),
+        F.get_json_object("resource_string", "$.practitioner.identifier.value").alias("gmp"),
+        "_id",
+    )
+    merged = incoming.join(existing, ["ods", "gmp"], "left")
+    return merged.select(
+        "ods",
+        "gmp",
+        "started",
+        "_id",
+        F.when(F.col("_id").isNull(), "create").otherwise("exists").alias("action"),
+    )

@@ -207,3 +207,67 @@ def task_throughput(stream: DataFrame, window: str = "1 hour") -> DataFrame:
             "count",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Advanced stateful form (SURVEY §1.1 task-queue row: "Structured Streaming
+# source + applyInPandasWithState/foreachBatch upsert"). The MERGE-per-batch
+# TaskStateMachine above is the simple, Delta-friendly form; this is the
+# operator-state form — per-key state lives in the streaming state store
+# (checkpointed, partitioned by key), so no external state table is read or
+# rewritten per batch. Use it when per-key logic outgrows MERGE algebra
+# (counters, timers, session-like accumulation).
+
+TASK_PROGRESS_SCHEMA = (
+    "id string, status string, n_updates int, max_version int"
+)
+_PROGRESS_STATE_SCHEMA = "n_updates int, max_version int, status string"
+
+
+def task_progress_stateful(stream: DataFrame) -> DataFrame:
+    """Per-task progress tracker: counts deliveries, keeps the
+    highest-version status seen (at-least-once tolerant — re-deliveries
+    bump ``n_updates`` but can never regress ``status`` to a lower
+    version). State is (n_updates, max_version, status) per task id."""
+    import pandas as pd  # local: executors import lazily
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, vmax, status = state.get
+        else:
+            n, vmax, status = 0, -1, None
+        for pdf in pdfs:
+            for ver, st in zip(pdf["version_id"], pdf["status"]):
+                n += 1
+                v = -1 if ver is None or pd.isna(ver) else int(ver)
+                if v > vmax:
+                    vmax, status = v, st
+        state.update((n, vmax, status))
+        yield pd.DataFrame(
+            [{"id": key[0], "status": status, "n_updates": n, "max_version": vmax}]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("id").applyInPandasWithState(
+        update,
+        TASK_PROGRESS_SCHEMA,
+        _PROGRESS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_stream(stream: DataFrame, ttl: str = "30 minutes") -> DataFrame:
+    """Streaming at-least-once → effectively-once (T2) via
+    ``dropDuplicatesWithinWatermark``: duplicate (id, version_id)
+    deliveries inside the watermark horizon are dropped IN the stream —
+    state for a key is reclaimed once the watermark passes it, so the
+    dedup store is bounded by arrival rate × ttl, not by history size
+    (the unbounded-state trap of plain ``dropDuplicates`` on streams)."""
+    return (
+        stream.withColumn("ts", F.col("authored_on").cast("timestamp"))
+        .withWatermark("ts", ttl)
+        .dropDuplicatesWithinWatermark(["id", "version_id"])
+        .drop("ts")
+    )

@@ -204,3 +204,85 @@ def test_operation_outcome_triage(spark):
     )
     res = {r.name: r.failed for r in rows.select("name", operation_outcome_failed("outcome").alias("failed")).collect()}
     assert res == {"warn_only": False, "hard_error": True, "allowlisted": False, "mixed": True}
+
+
+def test_stateful_progress_two_restarts(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state in the CHECKPOINT across
+    query restarts: batch 2 must see batch 1's counters."""
+    from data_engineering_examples_spark.streaming.tasks import (
+        task_progress_stateful,
+    )
+
+    in_dir, ckpt = str(tmp_path / "in3"), str(tmp_path / "ck3")
+    out = str(tmp_path / "out3")
+    os.makedirs(in_dir)
+
+    def run_once():
+        stream = spark.readStream.schema(TASK_SCHEMA).parquet(in_dir)
+        prog = task_progress_stateful(stream)
+        q = (
+            prog.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    b1 = spark.createDataFrame(
+        [_task_row(1, version=1), _task_row(1, version=2), _task_row(2, version=1)],
+        TASK_SCHEMA,
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    # batch 2: re-delivery of t1 v2 (dup) plus a newer v3
+    b2 = spark.createDataFrame(
+        [_task_row(1, version=2), _task_row(1, version=3)], TASK_SCHEMA
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+
+    rows = {
+        (r.id, r.n_updates, r.max_version)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch1 emissions: t1 has 2 deliveries/maxv2, t2 has 1/v1
+    assert ("t1", 2, 2) in rows and ("t2", 1, 1) in rows
+    # batch2 emission proves state carried over: 2+2=4 deliveries, maxv3
+    assert ("t1", 4, 3) in rows
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path):
+    from data_engineering_examples_spark.streaming.tasks import dedup_stream
+
+    import datetime as dt
+
+    in_dir, ckpt = str(tmp_path / "in4"), str(tmp_path / "ck4")
+    out = str(tmp_path / "out4")
+    os.makedirs(in_dir)
+
+    def row(version):
+        # dropDuplicatesWithinWatermark needs a real event time
+        base = list(_task_row(1, version=version))
+        base[2] = dt.datetime(2025, 7, 1, 12, 0, 0)
+        return tuple(base)
+
+    b1 = spark.createDataFrame([row(1), row(1), row(2)], TASK_SCHEMA)
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(TASK_SCHEMA).parquet(in_dir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r.id, r.version_id) for r in spark.read.parquet(out).collect()]
+    assert sorted(got) == [("t1", 1), ("t1", 2)]
