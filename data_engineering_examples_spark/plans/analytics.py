@@ -81,7 +81,7 @@ def one() -> F.Column:
     ORDER BY l_returnflag, l_linestatus
     """,
     doc="Group-by aggregate summary; TPC-H Q1 shape (SURVEY §2.4 A1).",
-    tags=("agg",),
+    tags=("agg", "S2", "S3"),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
@@ -135,7 +135,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, n.n_name
     """,
     doc="Star join (broadcast dims) + agg (SURVEY §2.3 J1/J5).",
-    tags=("join", "agg"),
+    tags=("join", "agg", "P5", "J7"),
 )
 def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
@@ -184,7 +184,7 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="Top-k by sort+limit (SURVEY §2.5 W1/W2).",
-    tags=("topk",),
+    tags=("topk", "W2", "A7", "F18"),
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
@@ -241,7 +241,7 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c.c_custkey
     """,
     doc="Presence-flag cohort wide table (SURVEY §2.3 J2 + §2.7 F6/F8/F9).",
-    tags=("join", "agg", "cohort"),
+    tags=("join", "agg", "cohort", "F15"),
 )
 def q04_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
@@ -311,7 +311,7 @@ def q04_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_custkey
     """,
     doc="Self-join panel → single-pass conditional-agg pivot (SURVEY J3/A1).",
-    tags=("agg", "pivot"),
+    tags=("agg", "pivot", "P6"),
 )
 def q05_priority_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
@@ -343,7 +343,7 @@ def q05_priority_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, event_type
     """,
     doc="Dup-group detection via HAVING count>1 (SURVEY §2.4 A3).",
-    tags=("agg", "dedup"),
+    tags=("agg", "dedup", "P7", "A4"),
 )
 def q06_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, ["events"])["events"]
@@ -409,7 +409,7 @@ def q07_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_custkey
     """,
     doc="Anti join / NOT EXISTS (SURVEY §2.3 semi/anti note).",
-    tags=("join",),
+    tags=("join", "J_anti"),
 )
 def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
@@ -435,7 +435,7 @@ def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_custkey
     """,
     doc="Semi join / EXISTS with pushed residual predicate.",
-    tags=("join",),
+    tags=("join", "P2"),
 )
 def q09_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders"])
@@ -465,7 +465,7 @@ def q09_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFr
     ORDER BY k
     """,
     doc="JSON scalar extraction → group key (SURVEY §2.7 F1/F2, §2.3 J9).",
-    tags=("json", "agg"),
+    tags=("json", "agg", "A4"),
 )
 def q10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, ["events"])["events"]

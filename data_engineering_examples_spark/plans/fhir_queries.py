@@ -111,7 +111,7 @@ def _gender_uk(col):
     LEFT JOIN f ON p.key = f.patient
     """,
     doc="diabetes cohort wide table (DiabetesSQL cell 3): J2x4 -> 1 agg",
-    tags=("fhir", "J2", "F6", "F8", "F9", "P3"),
+    tags=("fhir", "J2", "F6", "F7", "F8", "F9", "P3"),
 )
 def q11_diabetes_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_fhir_tables(spark, ["patients", "conditions"])
@@ -367,7 +367,7 @@ def q15_dup_practitioner_gmp(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND coalesce(o.address_country, '') <> 'US'
     """,
     doc="ODS org extract (ODSImport.py:119-123): J1 + NULL literal + IsNull<>",
-    tags=("fhir", "P1", "P3", "P4", "J1"),
+    tags=("fhir", "P1", "P3", "P4", "F10", "J1"),
 )
 def q16_org_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_fhir_tables(spark, ["organizations"])

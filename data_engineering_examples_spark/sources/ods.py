@@ -15,7 +15,7 @@ Re-expresses the reference's ODS import extract/transform surface
   reference's ``organisationJSON["address"]:`` annotation-typo bug at
   ``:187-192`` is NOT reproduced; intent per
   ``notebooks/OrganisationalDataServices.ipynb`` cell 9.)
-* ``with_practitioner_json`` — ``dags/ODSImport.py:388-431``: surname =
+* ``with_practitioner_json`` (U2, F13) — ``dags/ODSImport.py:388-431``: surname =
   first name token, given = the rest (``given()`` edge case for
   single-token names at ``:328-334``), Status 'C' → active.
 * ``with_practitioner_role_json`` — ``dags/ODSImport.py:526-583``:

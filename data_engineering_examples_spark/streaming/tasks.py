@@ -9,7 +9,7 @@ audit notes (``:128-234``). Here:
 * **poll** (T1/W1/P8) — the search-param dict becomes a filter + sort +
   limit over the tasks table; the version runaway guard (versionId>1000,
   ``:88``) and the completed-skip (``:404-411``) are predicates.
-* **stream** — ``readStream`` over the tasks directory; each new file is
+* **stream** (S9: status writeback) — ``readStream`` over the tasks directory; each new file is
   a micro-batch (the 1-minute poll becomes a trigger interval;
   ``availableNow`` in tests). State transitions run in ``foreachBatch``
   through the same set-based changeset algebra as L5 — on a Delta sink

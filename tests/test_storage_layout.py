@@ -87,3 +87,26 @@ def test_bucketed_groupby_skips_exchange(spark, tmp_path):
         assert agg.count() == t["orders"].select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders2")
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from data_engineering_examples_spark.sources.layout import compact_parquet
+
+    out = str(tmp_path / "fragmented")
+    events = load_tables(spark, SF, ["events"])["events"]
+    # simulate micro-batch accretion: 20 tiny appends
+    for i in range(20):
+        events.filter(F.col("event_id") % 20 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+
+    import glob
+
+    before = len(glob.glob(out + "/*.parquet"))
+    assert before >= 20
+    n_total = spark.read.parquet(out).count()
+
+    written = compact_parquet(spark, out, target_mb=256)
+    after = len(glob.glob(out + "/*.parquet"))
+    assert written == 1 and after == 1  # tiny data → one right-sized file
+    assert spark.read.parquet(out).count() == n_total
