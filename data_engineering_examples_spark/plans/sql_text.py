@@ -1,0 +1,49 @@
+"""SQL-text entry point (SURVEY §3.1: "Spark engine equivalent:
+spark.sql(query_text) → Catalyst parse → analyze against registered FHIR
+views").
+
+``register_views`` publishes every data source as a temp view — the ten
+generic tables, the FHIR fixture tables, and the silver projections — so
+the full workload is reachable from SQL text exactly as the reference's
+users write it (IRIS SQL strings). The L2 function surface
+(``fhir_contains``, ``ifnull3``, ``piece``, ``age_years``,
+``fhirpath_one``…) is registered SQL-callable by ``functions.register_all``,
+so reference-shaped statements like
+
+    SELECT key FROM conditions WHERE fhir_contains(code, '44054006')
+
+parse and run unchanged. ``tests/test_sql_text.py`` asserts SQL-text and
+DataFrame plans return identical results for representative queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..functions import register_all
+from ..sources.fhir import FIXTURES_DIR, load_fhir_tables
+from ..sources.tables import TABLES, load_tables
+
+FHIR_TABLES = [
+    "patients",
+    "conditions",
+    "observations",
+    "observation_value_quantity",
+    "organizations",
+    "practitioners",
+    "practitioner_roles",
+    "tasks",
+    "compositions",
+    "encounter_bundles",
+    "media",
+    "resources",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create temp views for every table + register the L2 functions."""
+    register_all(spark)
+    for name, df in load_tables(spark, sf_dir, TABLES).items():
+        df.createOrReplaceTempView(name)
+    for name, df in load_fhir_tables(spark, FHIR_TABLES).items():
+        df.createOrReplaceTempView(name)
