@@ -1,0 +1,53 @@
+"""Hard physical-plan invariants over EVERY registered query — the
+plan-shape contract that keeps the workload scale-safe:
+
+* no CartesianProduct anywhere (candidate generation must be bucketed);
+* no row-at-a-time BatchEvalPython — Python only via Arrow batches
+  (ArrowEvalPython / MapInPandas);
+* every per-query limit becomes TakeOrderedAndProject or CollectLimit,
+  never a global sort feeding a limit.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_examples_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in all_specs().items():
+        out[name] = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_cartesian_product(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], offenders
+
+
+def test_no_row_at_a_time_python(plans):
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], offenders
+
+
+def test_python_stages_are_arrow_batched(plans):
+    with_python = {
+        n: p
+        for n, p in plans.items()
+        if "ArrowEvalPython" in p or "MapInPandas" in p
+    }
+    # the UDF surface exists and is Arrow-only
+    assert len(with_python) >= 3
+
+
+def test_limits_are_topk_not_global_sort(plans):
+    # every query that limits must use TakeOrderedAndProject or
+    # CollectLimit (never Sort -> GlobalLimit over the full input)
+    for name, p in plans.items():
+        if "GlobalLimit" in p and "TakeOrderedAndProject" not in p:
+            assert "CollectLimit" in p or "LocalLimit" in p, name
