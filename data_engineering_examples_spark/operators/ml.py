@@ -1,0 +1,73 @@
+"""ML helpers on pyspark.ml (SURVEY §2.10 X4).
+
+The reference's notebook runs sklearn DecisionTree / RandomForest with a
+permutation-importance pass (``notebooks/DiabetesSQL.ipynb`` cells 27/32/
+36). Model fitting maps 1:1 onto ``pyspark.ml`` (exercised in
+``tests/test_search_sinks_ml.py``); the piece without a built-in is
+**permutation importance**, provided here distributed-style:
+
+for each feature column, break its association with the label by a
+DETERMINISTIC cyclic shift of the column (each row takes the value of the
+row ``k`` positions later in a fixed ordering — a derangement for any
+0 < k < n), re-evaluate, and report the metric drop. A cyclic shift is
+the distributed-friendly permutation: one window function over a fixed
+order, no random state to synchronize across executors, reproducible
+across runs.
+
+At scale this is |features| evaluation passes over the eval set — each a
+scan + model transform (map-only) + metric aggregation; nothing shuffles
+except the one window ordering per pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cyclic_shift_column(
+    df: DataFrame, col: str, order_col: str, k: int = 1
+) -> DataFrame:
+    """Replace ``col`` with the value ``k`` positions later, wrapping, in
+    the deterministic ordering of ``order_col`` — a reproducible
+    derangement (for 0 < k < n) that breaks the feature↔label pairing.
+    Implemented as rank → modular-target self-join on the single shifted
+    column; every other column rides along unchanged."""
+    w = Window.orderBy(order_col)
+    n = df.count()
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    donor = ranked.select(
+        ((F.col("__rn") - 1 - k) % n + n) % n + 1,  # receiver rank
+        F.col(col),
+    ).toDF("__rn", "__shifted")
+    return (
+        ranked.join(donor, "__rn")
+        .withColumn(col, F.col("__shifted"))
+        .drop("__rn", "__shifted")
+    )
+
+
+def permutation_importance(
+    model,
+    eval_df: DataFrame,
+    feature_cols: list[str],
+    assembler,
+    evaluator,
+    order_col: str,
+    k: int = 1,
+) -> dict[str, float]:
+    """Metric drop per feature under a cyclic-shift permutation.
+
+    ``model`` is a fitted pyspark.ml model, ``assembler`` the
+    VectorAssembler producing its ``features`` column, ``evaluator`` a
+    pyspark.ml evaluator (higher-is-better metrics give positive
+    importance for useful features; for loss metrics like MAE the sign
+    flips — callers interpret accordingly).
+    """
+    base = evaluator.evaluate(model.transform(assembler.transform(eval_df)))
+    out: dict[str, float] = {}
+    for c in feature_cols:
+        permuted = cyclic_shift_column(eval_df, c, order_col, k)
+        score = evaluator.evaluate(model.transform(assembler.transform(permuted)))
+        out[c] = base - score
+    return out

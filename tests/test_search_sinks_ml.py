@@ -112,3 +112,32 @@ def test_stratified_split_and_ml_surface(spark):
     )
     mae = RegressionEvaluator(metricName="mae").evaluate(reg_pred)
     assert mae >= 0.0 and mae == mae  # finite
+
+
+def test_permutation_importance_identifies_signal_feature(spark):
+    """X4 permutation importance (DiabetesSQL cell 36): shifting the
+    feature the label depends on must hurt accuracy more than shifting a
+    noise feature."""
+    mlc = pytest.importorskip("pyspark.ml.classification")
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from data_engineering_examples_spark.operators.ml import permutation_importance
+
+    # label is a pure function of `signal`; `noise` is independent
+    df = spark.range(400).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("double").alias("signal"),
+        ((F.col("id") * 31 % 13)).cast("double").alias("noise"),
+        ((F.col("id") % 7) >= 4).cast("double").alias("label"),
+    )
+    va = VectorAssembler(inputCols=["signal", "noise"], outputCol="features")
+    model = mlc.DecisionTreeClassifier(maxDepth=3, seed=7).fit(va.transform(df))
+    ev = MulticlassClassificationEvaluator(metricName="accuracy")
+
+    imp = permutation_importance(
+        model, df, ["signal", "noise"], va, ev, order_col="id", k=13
+    )
+    assert imp["signal"] > 0.2           # breaking the signal hurts a lot
+    assert imp["signal"] > imp["noise"] + 0.1
+    assert abs(imp["noise"]) < 0.1       # noise never mattered
