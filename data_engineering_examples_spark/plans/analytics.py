@@ -616,3 +616,149 @@ def q54_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q56 — top supplier by revenue (TPC-H Q15 shape): aggregate lineitem
+# revenue per supplier, keep the max-revenue supplier(s) via a rank over
+# the ALREADY-AGGREGATED (tiny) result — the 100 TB scan collapses to
+# |suppliers| rows before any window/sort runs. The revenue comparison
+# for the tie-rank happens in exact DECIMAL (doubles would make "equals
+# max" partition-order-dependent).
+
+
+@register(
+    "q56_top_supplier_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total = (SELECT max(total) FROM rev)
+    """,
+    doc="top supplier by revenue (Q15 shape): agg -> tiny rank -> broadcast join",
+    tags=("join", "agg", "window", "A1"),
+)
+def q56_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier"])
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    rev = (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01 00:00:00")))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("total"))
+    )
+    w = Window.orderBy(F.desc("total"))
+    top = rev.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    return (
+        top.join(F.broadcast(t["supplier"]), top.l_suppkey == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — promo revenue share (TPC-H Q14 shape): lineitem ⋈ part with the
+# dimension broadcast, conditional aggregation for the share — one scan,
+# one broadcast, one single-row result; no shuffle of lineitem at all.
+
+
+@register(
+    "q57_promo_revenue_share",
+    oracle="""
+    SELECT
+      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
+           AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+           AS DOUBLE) AS total_revenue,
+      CAST(100.0 AS DOUBLE)
+        * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
+               AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+               AS DOUBLE) AS promo_share_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    doc="promo revenue share (Q14 shape): broadcast dim + conditional agg",
+    tags=("join", "agg", "F19"),
+)
+def q57_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", revenue))
+    total = F.sum(revenue)
+    return (
+        t["lineitem"]
+        .where(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-03-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            d(promo).alias("promo_revenue"),
+            d(total).alias("total_revenue"),
+            (F.lit(100.0).cast("double") * d(promo) / d(total)).alias("promo_share_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q58 — small-quantity order revenue (TPC-H Q17 shape): the correlated
+# "below 20% of this part's average quantity" subquery becomes a per-part
+# aggregate joined back to lineitem — two shuffles on l_partkey (one
+# collapses to co-located if lineitem is bucketed by partkey), never a
+# per-row subquery.
+
+
+@register(
+    "q58_small_qty_revenue",
+    oracle="""
+    WITH avgq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           count(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    GROUP BY p.p_brand
+    """,
+    doc="small-qty revenue (Q17 shape): correlated subquery -> per-part agg join",
+    tags=("join", "agg", "A2"),
+)
+def q58_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    li = t["lineitem"]
+    avgq = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (d(F.sum(dec("l_quantity"))) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(avgq, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .join(F.broadcast(t["part"]), li.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            d(F.sum(dec("l_extendedprice"))).alias("small_revenue"),
+        )
+    )
