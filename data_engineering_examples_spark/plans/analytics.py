@@ -762,3 +762,55 @@ def q58_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             d(F.sum(dec("l_extendedprice"))).alias("small_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — sessionization via session_window (beyond-reference engine
+# surface; the canonical large-scale event-stream op). Spark computes
+# sessions with a single groupBy(user, session_window(ts, gap)) — state
+# merges map-side, one shuffle on user_id; the same operator runs
+# unchanged under Structured Streaming with a watermark. The DuckDB
+# oracle derives identical sessions with the gaps-and-islands idiom
+# (lag → new-session flag → running sum → group), proving the
+# session-merge semantics (new session iff gap >= 30 min; end = last
+# event + gap) match exactly.
+
+
+@register(
+    "q59_user_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flag AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flag
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           count(*) AS n_events
+    FROM sid
+    GROUP BY user_id, s
+    """,
+    doc="sessionization: session_window vs gaps-and-islands oracle (30 min gap)",
+    tags=("window", "agg", "session", "T5"),
+)
+def q59_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("w.end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+        )
+    )
