@@ -32,9 +32,19 @@ def cyclic_shift_column(
     the deterministic ordering of ``order_col`` — a reproducible
     derangement (for 0 < k < n) that breaks the feature↔label pairing.
     Implemented as rank → modular-target self-join on the single shifted
-    column; every other column rides along unchanged."""
-    w = Window.orderBy(order_col)
+    column; every other column rides along unchanged.
+
+    ``order_col`` MUST be unique: with ties, row_number's tie order is
+    not stable across the two computations feeding the self-join, so a
+    row could silently receive its own value back (no permutation).
+    Enforced with an explicit check rather than corrupted importances."""
     n = df.count()
+    n_keys = df.select(order_col).distinct().count()
+    if n_keys != n:
+        raise ValueError(
+            f"order_col {order_col!r} must be unique: {n} rows, {n_keys} distinct"
+        )
+    w = Window.orderBy(order_col)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     donor = ranked.select(
         ((F.col("__rn") - 1 - k) % n + n) % n + 1,  # receiver rank

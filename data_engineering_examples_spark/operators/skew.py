@@ -46,15 +46,21 @@ def salted_equi_join(
     replicated ``n_salts``×. Semantics identical to
     ``big.join(small, keys, how)`` for how in {inner, left}.
 
-    The salt is a deterministic hash of the big row's key columns plus a
-    row-local component (all big columns), so a hot key's rows spread
-    uniformly; replication of the small side multiplies its size by
-    ``n_salts`` — pick ``n_salts`` so that small × n_salts still fits the
+    The salt hashes all big-side columns PLUS a row-local id, so even
+    byte-identical duplicate rows of a hot key spread across salts (a
+    values-only hash would send identical rows to one partition — the
+    exact straggler this operator exists to break). The id is
+    nondeterministic across retries, but the salt is dropped after the
+    join, so results are unaffected. Replication multiplies the small
+    side by ``n_salts`` — pick it so small × n_salts still fits the
     shuffle comfortably (at 1000 executors, 8-32 is typical).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
-    salt: Column = F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    salt: Column = F.pmod(
+        F.hash(*[F.col(c) for c in big.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     big_s = big.withColumn(SALT_COL, salt)
     small_s = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -73,24 +79,22 @@ def two_stage_agg(
     ``n_salts`` reducers — stage 2 merges the partials on keys alone.
 
     Returns columns: ``*keys, n_rows`` (+ ``n_distinct`` when
-    ``count_distinct_col`` is given; stage 1 collapses to the distinct
-    (key, value) pairs so stage 2's count is exact, never double-counted).
+    ``count_distinct_col`` is given). The distinct count NEVER gathers a
+    key's values into one buffer (a collect_set merge would re-create the
+    hot-key concentration on the stage-2 reducer): it deduplicates on the
+    (keys, value) COMPOSITE — the value being part of the grouping key is
+    itself the salt — then counts per key.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in df.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     stage1_keys = [*keys, SALT_COL]
     s1 = df.withColumn(SALT_COL, salt)
+    partial = s1.groupBy(*stage1_keys).agg(F.count(F.lit(1)).alias("__n"))
+    n_rows = partial.groupBy(*keys).agg(F.sum("__n").alias("n_rows"))
     if count_distinct_col is None:
-        partial = s1.groupBy(*stage1_keys).agg(F.count(F.lit(1)).alias("__n"))
-        return partial.groupBy(*keys).agg(F.sum("__n").alias("n_rows"))
-    partial = s1.groupBy(*stage1_keys).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.collect_set(count_distinct_col).alias("__vals"),
-    )
-    # merge: rows sum; distincts via exploded set union counted exactly
-    merged = partial.groupBy(*keys).agg(
-        F.sum("__n").alias("n_rows"),
-        F.size(F.array_distinct(F.flatten(F.collect_list("__vals")))).alias(
-            "n_distinct"
-        ),
-    )
-    return merged
+        return n_rows
+    pairs = df.select(*keys, count_distinct_col).distinct()
+    n_distinct = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_distinct"))
+    return n_rows.join(n_distinct, list(keys), "left").na.fill({"n_distinct": 0})

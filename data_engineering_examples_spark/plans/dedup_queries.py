@@ -95,7 +95,11 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     4-8× slower at sf0.1; HOFs stay out of this hot path deliberately."""
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     tk = docs.select("doc_id", F.split(docs.text, " ").alias("t"))
-    pos = tk.select(
+    # <3-token docs MUST be filtered before sequence(): sequence(0, n-3)
+    # with n<3 descends through negatives and element_at(t, 0) throws
+    # INVALID_INDEX_OF_ZERO — the filter keeps the old explode form's
+    # "short doc → no shingles" semantics (and is a free codegen predicate)
+    pos = tk.filter(F.size("t") >= 3).select(
         "doc_id", "t", F.explode(F.sequence(F.lit(0), F.size("t") - 3)).alias("i")
     )
     shingle = F.concat_ws(

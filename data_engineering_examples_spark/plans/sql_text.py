@@ -41,9 +41,22 @@ FHIR_TABLES = [
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Create temp views for every table + register the L2 functions."""
+    """Create temp views for every table + register the L2 functions.
+
+    Fails fast with the missing names if any fixture is absent —
+    ``load_fhir_tables`` silently drops missing files, which would
+    otherwise surface much later as a confusing TABLE_OR_VIEW_NOT_FOUND
+    inside user SQL."""
     register_all(spark)
+    registered: set[str] = set()
     for name, df in load_tables(spark, sf_dir, TABLES).items():
         df.createOrReplaceTempView(name)
+        registered.add(name)
     for name, df in load_fhir_tables(spark, FHIR_TABLES).items():
         df.createOrReplaceTempView(name)
+        registered.add(name)
+    missing = (set(TABLES) | set(FHIR_TABLES)) - registered
+    if missing:
+        raise FileNotFoundError(
+            f"fixtures missing for views: {sorted(missing)} (fixtures dir: {FIXTURES_DIR})"
+        )

@@ -140,7 +140,12 @@ def q28_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluates interpreted — measurably slower on this hot path).
     d = _docs(spark, sf_dir)
     tk = d.select(F.split(d.text, " ").alias("t"))
-    pos = tk.select("t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"))
+    # single-token docs must not reach sequence(): sequence(0, -1) yields
+    # [0,-1] and element_at(t, 0) throws — filter keeps null-tolerant
+    # "no bigrams" semantics
+    pos = tk.filter(F.size("t") >= 2).select(
+        "t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i")
+    )
     bigram = F.concat_ws(
         " ", F.element_at("t", F.col("i") + 1), F.element_at("t", F.col("i") + 2)
     )

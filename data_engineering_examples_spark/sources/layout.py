@@ -75,10 +75,17 @@ def compact_parquet(
     scale the file-listing and per-file open costs then dominate scan
     time. Returns the number of files written.
 
-    Uses a temp-dir + atomic-ish swap (write new, delete old, rename) so
-    a reader mid-compaction sees either layout, never a partial mix.
-    On Delta/Iceberg this is OPTIMIZE/rewrite_data_files; this is the
-    plain-parquet equivalent.
+    Swap order is write-new → move-old-aside → move-new-in → drop-old:
+    the data always exists at either the live path or the retained
+    ``.__compact_old__`` side path, so a crash at any point is manually
+    recoverable and the reader-visible gap shrinks to the instant between
+    the two renames (plain-parquet directories cannot give a truly atomic
+    swap — that is exactly what Delta/Iceberg's OPTIMIZE/
+    rewrite_data_files metadata commit buys).
+
+    Returns the ACTUAL number of files written (counted post-swap; with
+    ``partition_cols`` the repartition target multiplies across
+    partition directories, so the pre-computed target would undercount).
     """
     import math
     import os
@@ -90,13 +97,20 @@ def compact_parquet(
         for f in fs
         if f.endswith(".parquet")
     )
-    n_files = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
+    n_target = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + ".__compact_tmp__"
-    writer = df.repartition(n_files).write.mode("overwrite")
+    old = path.rstrip("/") + ".__compact_old__"
+    writer = df.repartition(n_target).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
-    shutil.rmtree(path)
+    os.rename(path, old)
     os.rename(tmp, path)
-    return n_files
+    shutil.rmtree(old)
+    return sum(
+        1
+        for dp, _dn, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )

@@ -85,3 +85,32 @@ def test_simhash_close_for_near_dup(spark, dup_corpus):
     ham_near = bin(rows[0] ^ rows[3]).count("1")
     ham_far = bin(rows[0] ^ rows[4]).count("1")
     assert ham_near < ham_far
+
+
+def test_short_docs_do_not_crash_shingle_paths(spark, tmp_path):
+    """Docs with <3 (or <2) tokens must yield no shingles/bigrams, not an
+    INVALID_INDEX_OF_ZERO crash from sequence() descending through -1."""
+    import pyspark.sql.functions as F
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "one", "en", "web", 3),
+        (3, "two words", "en", "web", 9),
+        (4, "three words here", "en", "web", 16),
+        (5, "a longer document with several words in it", "en", "web", 42),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    specs = all_specs()
+    # q23/q24: only docs 4,5 produce trigram shingles; no pairs expected
+    assert specs["q23_ngram_jaccard_pairs"].fn(spark, sf).count() == 0
+    assert specs["q24_minhash_lsh_pairs"].fn(spark, sf).count() == 0
+    # q28: bigrams only from docs 3,4,5
+    bigrams = {r.bigram for r in specs["q28_top_bigrams"].fn(spark, sf).collect()}
+    assert "two words" in bigrams and "three words" in bigrams
+    # q51: all 5 docs present, short ones with zero fingerprints
+    fps = {r.doc_id: r.n_fps for r in specs["q51_winnow_fingerprint"].fn(spark, sf).collect()}
+    assert fps[1] == 0 and fps[2] == 0 and fps[5] > 0

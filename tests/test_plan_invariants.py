@@ -46,8 +46,13 @@ def test_python_stages_are_arrow_batched(plans):
 
 
 def test_limits_are_topk_not_global_sort(plans):
-    # every query that limits must use TakeOrderedAndProject or
-    # CollectLimit (never Sort -> GlobalLimit over the full input)
-    for name, p in plans.items():
-        if "GlobalLimit" in p and "TakeOrderedAndProject" not in p:
-            assert "CollectLimit" in p or "LocalLimit" in p, name
+    # an ordered limit must execute as TakeOrderedAndProject (per-partition
+    # top-k + k-row merge), never a full Sort materialized under a
+    # GlobalLimit. (GlobalLimit always carries a LocalLimit child, so the
+    # check must target the Sort-under-limit shape specifically.)
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "GlobalLimit" in p and "Sort " in p and "TakeOrderedAndProject" not in p
+    ]
+    assert offenders == [], offenders
