@@ -814,3 +814,50 @@ def q59_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — set operations (SURVEY §2.6: none in the reference; included as
+# engine surface via Spark built-ins). INTERSECT/EXCEPT compile to
+# left-semi/left-anti joins over distinct inputs — same shuffle shape as
+# q08/q09, no extra machinery. Customers who placed BOTH an urgent and a
+# low-priority order, minus those in ASIA nations.
+
+
+@register(
+    "q60_set_ops",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    EXCEPT
+    SELECT c.c_custkey FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+    """,
+    doc="INTERSECT + EXCEPT via built-ins (compile to semi/anti joins)",
+    tags=("setop", "join"),
+)
+def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation", "region"])
+    urgent = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    low = (
+        t["orders"]
+        .filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    asia = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return urgent.intersect(low).exceptAll(asia.distinct()).distinct()
