@@ -319,3 +319,77 @@ def q25_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# q61 — end-to-end dedup VERDICT: the decision table a training-data
+# pipeline actually consumes. Composes the exact pass (q22: keep the
+# min-doc_id copy of each normalized-text hash group) with the MinHash-
+# LSH near-dup pass (q24: of each candidate pair, drop the larger
+# doc_id). Priorities: exact_dup > near_dup > keep. Same substrate,
+# same shuffles as the component queries — the composition adds only a
+# broadcast of the (tiny) drop sets.
+
+
+@register(
+    "q61_dedup_verdict",
+    oracle=f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    xs AS (SELECT doc_id, sh % {P} AS x FROM sh),
+    sigs AS (SELECT doc_id, {", ".join(
+        f"min(({a} * x + {b}) % {P}) AS s{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS)
+    )} FROM xs GROUP BY doc_id),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, concat_ws('-', s{2 * j}, s{2 * j + 1}) AS bkey FROM sigs"
+        for j in range(N_BANDS)
+    )}),
+    near_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    exact_keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    )
+    SELECT d.doc_id,
+           CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'keep' END AS verdict
+    FROM documents d
+    LEFT JOIN exact_keep k ON k.doc_id = d.doc_id
+    LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+    """,
+    doc="dedup decision table: exact keep-first + LSH drop-larger, composed",
+    tags=("dedup", "llm"),
+)
+def q61_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
+    exact_keep = (
+        docs.select(F.sha2(norm, 256).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = (
+        q24_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    k = F.broadcast(exact_keep.withColumn("_keep", F.lit(1)))
+    n = F.broadcast(near_drop.withColumn("_near", F.lit(1)))
+    return (
+        docs.select("doc_id")
+        .join(k, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_keep").isNull(), "exact_dup")
+            .when(F.col("_near").isNotNull(), "near_dup")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

@@ -368,3 +368,81 @@ def q51_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — repetition / diversity quality signals (the Gopher-rules family
+# of quality filters): distinct-token ratio, top-token share, top-bigram
+# share per document. All ratios are bigint/bigint single divisions —
+# deterministic across engines. Two shuffles keyed on doc-scoped keys
+# ((doc, token) then doc), both with map-side partial aggregation; at
+# 100 TB this is the standard two-level word-count shape.
+
+
+@register(
+    "q62_repetition_signals",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tstats AS (
+      SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_c
+      FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS b
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+    bstats AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
+           CAST(t.top_c AS DOUBLE) / t.n_tokens AS top_token_share,
+           CAST(b.top_bc AS DOUBLE) / b.n_bigrams AS top_bigram_share
+    FROM tstats t LEFT JOIN bstats b ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition signals: distinct ratio, top token/bigram share",
+    tags=("text", "llm", "quality"),
+)
+def q62_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(d.text, " ")).alias("w"))
+    tc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    tstats = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    tk = d.select("doc_id", F.split(d.text, " ").alias("t"))
+    pos = tk.filter(F.size("t") >= 2).select(
+        "doc_id", "t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i")
+    )
+    bigram = F.concat_ws(
+        " ", F.element_at("t", F.col("i") + 1), F.element_at("t", F.col("i") + 2)
+    )
+    bc = (
+        pos.select("doc_id", bigram.alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bc")
+    )
+    return (
+        tstats.join(bstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias("distinct_ratio"),
+            (F.col("top_c").cast("double") / F.col("n_tokens")).alias("top_token_share"),
+            (F.col("top_bc").cast("double") / F.col("n_bigrams")).alias("top_bigram_share"),
+        )
+    )
