@@ -860,4 +860,6 @@ def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("c_custkey").alias("custkey"))
     )
-    return urgent.intersect(low).exceptAll(asia.distinct()).distinct()
+    # subtract == SQL EXCEPT (distinct) and compiles to the LeftAnti join
+    # the doc claims (exceptAll would rewrite to a union + vcol aggregate)
+    return urgent.intersect(low).subtract(asia)

@@ -210,7 +210,10 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # within-bucket self-join. The DuckDB oracle reproduces every step.
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_bands_cte() -> str:
+    """The shared shingles→signatures→bands CTE chain; q24's oracle and
+    q61's composition both build on this ONE definition so the LSH
+    structure can never silently diverge between them."""
     sig_exprs = ", ".join(
         f"min(({a} * x + {b}) % {P}) AS s{i}"
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -219,11 +222,15 @@ def _duck_minhash_oracle() -> str:
         f"SELECT doc_id, {j} AS band, concat_ws('-', s{2 * j}, s{2 * j + 1}) AS bkey FROM sigs"
         for j in range(N_BANDS)
     )
-    return f"""
-    WITH {_DUCK_HASHED_SHINGLES},
+    return f"""{_DUCK_HASHED_SHINGLES},
     xs AS (SELECT doc_id, sh % {P} AS x FROM sh),
     sigs AS (SELECT doc_id, {sig_exprs} FROM xs GROUP BY doc_id),
-    bands AS ({band_selects})
+    bands AS ({band_selects})"""
+
+
+def _duck_minhash_oracle() -> str:
+    return f"""
+    WITH {_duck_minhash_bands_cte()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -326,40 +333,38 @@ def q25_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline actually consumes. Composes the exact pass (q22: keep the
 # min-doc_id copy of each normalized-text hash group) with the MinHash-
 # LSH near-dup pass (q24: of each candidate pair, drop the larger
-# doc_id). Priorities: exact_dup > near_dup > keep. Same substrate,
-# same shuffles as the component queries — the composition adds only a
-# broadcast of the (tiny) drop sets.
+# doc_id). Priorities: exact_dup > near_dup > keep. Reuses the component
+# queries directly (q22's keeper column, q24's pair set) and the shared
+# DuckDB band CTE, so the verdict can never diverge from the operators
+# it composes. Only the DROP sets are broadcast — both are bounded by
+# the duplicate rate, not the corpus size (the keep-set would be ~every
+# document and must never be broadcast at 100 TB).
 
 
 @register(
     "q61_dedup_verdict",
     oracle=f"""
-    WITH {_DUCK_HASHED_SHINGLES},
-    xs AS (SELECT doc_id, sh % {P} AS x FROM sh),
-    sigs AS (SELECT doc_id, {", ".join(
-        f"min(({a} * x + {b}) % {P}) AS s{i}"
-        for i, (a, b) in enumerate(MINHASH_COEFFS)
-    )} FROM xs GROUP BY doc_id),
-    bands AS ({" UNION ALL ".join(
-        f"SELECT doc_id, {j} AS band, concat_ws('-', s{2 * j}, s{2 * j + 1}) AS bkey FROM sigs"
-        for j in range(N_BANDS)
-    )}),
+    WITH {_duck_minhash_bands_cte()},
     near_drop AS (
       SELECT DISTINCT b.doc_id
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
     ),
-    exact_keep AS (
-      SELECT min(doc_id) AS doc_id
-      FROM documents
-      GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                 PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ) AS keeper
+        FROM documents
+      ) WHERE doc_id <> keeper
     )
     SELECT d.doc_id,
-           CASE WHEN k.doc_id IS NULL THEN 'exact_dup'
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
                 WHEN n.doc_id IS NOT NULL THEN 'near_dup'
                 ELSE 'keep' END AS verdict
     FROM documents d
-    LEFT JOIN exact_keep k ON k.doc_id = d.doc_id
+    LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
     LEFT JOIN near_drop n ON n.doc_id = d.doc_id
     """,
     doc="dedup decision table: exact keep-first + LSH drop-larger, composed",
@@ -367,27 +372,32 @@ def q25_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q61_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
-    exact_keep = (
-        docs.select(F.sha2(norm, 256).alias("h"), "doc_id")
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # exact DROP set = docs minus q22's keepers; |drops| == number of
+    # duplicate copies — small whenever dup rate is low, broadcastable
+    exact_drop = (
+        docs.select("doc_id")
+        .join(
+            q22_exact_dedup(spark, sf_dir).select(
+                F.col("keeper_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
     )
     near_drop = (
         q24_minhash_lsh_pairs(spark, sf_dir)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    k = F.broadcast(exact_keep.withColumn("_keep", F.lit(1)))
+    e = F.broadcast(exact_drop.withColumn("_exact", F.lit(1)))
     n = F.broadcast(near_drop.withColumn("_near", F.lit(1)))
     return (
         docs.select("doc_id")
-        .join(k, "doc_id", "left")
+        .join(e, "doc_id", "left")
         .join(n, "doc_id", "left")
         .select(
             "doc_id",
-            F.when(F.col("_keep").isNull(), "exact_dup")
+            F.when(F.col("_exact").isNotNull(), "exact_dup")
             .when(F.col("_near").isNotNull(), "near_dup")
             .otherwise("keep")
             .alias("verdict"),
