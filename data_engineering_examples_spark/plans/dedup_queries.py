@@ -237,22 +237,17 @@ def _duck_minhash_oracle() -> str:
     """
 
 
-@register(
-    "q24_minhash_lsh_pairs",
-    oracle=_duck_minhash_oracle(),
-    doc="MinHash(16)-LSH(8x2) candidate pairs; bucket-join only, oracle-exact",
-    tags=("dedup", "llm"),
-)
-def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, bkey) — the LSH band index; one definition shared by
+    the full pairwise query (q24) and the incremental probe (q63)."""
     xs = _hashed_shingles(spark, sf_dir).select("doc_id", (F.col("sh") % P).alias("x"))
-
     sigs = xs.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"s{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -267,6 +262,15 @@ def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
 
+
+@register(
+    "q24_minhash_lsh_pairs",
+    oracle=_duck_minhash_oracle(),
+    doc="MinHash(16)-LSH(8x2) candidate pairs; bucket-join only, oracle-exact",
+    tags=("dedup", "llm"),
+)
+def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -402,4 +406,46 @@ def q61_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("keep")
             .alias("verdict"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — INCREMENTAL near-dup: a new ingest batch (doc_id >= NEW_SPLIT
+# stands in for today's arrivals) probes the EXISTING corpus's LSH band
+# index instead of re-pairing the whole corpus. This is the form a daily
+# 100 TB pipeline actually runs: the index is materialized once (bucketed
+# by (band, bkey)), the probe side is only the new batch, and candidate
+# work scales with |new| × bucket occupancy — re-running the full
+# pairwise q24 daily would re-shuffle the entire history every day.
+
+NEW_SPLIT = 450  # fixture corpus is 500 docs; last 50 are the "new batch"
+
+
+@register(
+    "q63_incremental_neardup",
+    oracle=f"""
+    WITH {_duck_minhash_bands_cte()}
+    SELECT DISTINCT n.doc_id AS new_doc, x.doc_id AS existing_doc
+    FROM bands n JOIN bands x
+      ON n.band = x.band AND n.bkey = x.bkey
+    WHERE n.doc_id >= {NEW_SPLIT} AND x.doc_id < {NEW_SPLIT}
+    """,
+    doc="incremental near-dup: new batch probes existing band index only",
+    tags=("dedup", "llm", "T2"),
+)
+def q63_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands(spark, sf_dir)
+    index = bands.filter(F.col("doc_id") < NEW_SPLIT).select(
+        F.col("doc_id").alias("existing_doc"), "band", "bkey"
+    )
+    probe = bands.filter(F.col("doc_id") >= NEW_SPLIT).select(
+        F.col("doc_id").alias("new_doc"), "band", "bkey"
+    )
+    # probe side is the small one — broadcast it against the (large,
+    # pre-bucketed at scale) index
+    return (
+        F.broadcast(probe)
+        .join(index, ["band", "bkey"])
+        .select("new_doc", "existing_doc")
+        .distinct()
     )
