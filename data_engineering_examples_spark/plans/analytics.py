@@ -863,3 +863,54 @@ def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (distinct) and compiles to the LeftAnti join
     # the doc claims (exceptAll would rewrite to a union + vcol aggregate)
     return urgent.intersect(low).subtract(asia)
+
+
+# ---------------------------------------------------------------------------
+# q64 — window FRAMES: 30-day range-frame moving revenue per customer +
+# previous-order gap via lag (SURVEY §2.5 notes the reference has no
+# true window functions; rank/lag/frames are included as engine
+# surface). One shuffle on o_custkey; the range frame slides over the
+# date-ordered partition without re-sorting per row. Decimal sums keep
+# the moving aggregate bit-stable; the frame is inclusive on both
+# engines (RANGE BETWEEN 30 days PRECEDING AND CURRENT ROW == Spark
+# rangeBetween(-30 days, 0) over epoch seconds).
+
+
+@register(
+    "q64_rolling_revenue",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate
+                  RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS revenue_30d,
+           CAST(date_diff('day', lag(o_orderdate) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ), o_orderdate) AS INT) AS days_since_prev
+    FROM orders
+    """,
+    doc="30-day range-frame moving revenue + lag gap (window frames)",
+    tags=("window", "frames", "W3"),
+)
+def q64_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    epoch = F.unix_timestamp(F.col("o_orderdate"))
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", TS_FMT_SPARK).alias("order_ts"),
+        F.sum(dec("o_totalprice", 14))
+        .over(w_range)
+        .cast("double")
+        .alias("revenue_30d"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_lag))
+        .cast("int")
+        .alias("days_since_prev"),
+    )
