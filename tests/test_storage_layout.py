@@ -110,3 +110,35 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     after = len(glob.glob(out + "/*.parquet"))
     assert written == 1 and after == 1  # tiny data → one right-sized file
     assert spark.read.parquet(out).count() == n_total
+
+
+def test_bucketed_fhir_cohort_join_skips_exchanges(spark, tmp_path):
+    """The fhir_queries docstring claims the cohort shuffles collapse to
+    co-located work when silver tables are bucketed by patient key —
+    prove it: conditions agg + patients join, zero Exchange."""
+    from data_engineering_examples_spark.sources.fhir import load_fhir_tables
+
+    t = load_fhir_tables(spark, ["patients", "conditions"])
+    spark.sql("DROP TABLE IF EXISTS b_patients")
+    spark.sql("DROP TABLE IF EXISTS b_conditions")
+    write_bucketed(t["patients"], "b_patients", "key", 8, path=str(tmp_path / "bp"))
+    write_bucketed(
+        t["conditions"], "b_conditions", "patient", 8, path=str(tmp_path / "bc")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        conds = spark.table("b_conditions")
+        pats = spark.table("b_patients")
+        flags = conds.groupBy("patient").agg(F.count(F.lit(1)).alias("n_conditions"))
+        cohort = pats.join(flags, pats.key == flags.patient, "left").select(
+            "key", "gender", "n_conditions"
+        )
+        plan = _physical_plan(cohort)
+        assert "Exchange" not in plan, plan
+        assert cohort.count() == t["patients"].count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_patients")
+        spark.sql("DROP TABLE IF EXISTS b_conditions")
