@@ -895,13 +895,17 @@ def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q64_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
-    epoch = F.unix_timestamp(F.col("o_orderdate"))
-    w_range = (
-        Window.partitionBy("o_custkey")
-        .orderBy(epoch)
-        .rangeBetween(-30 * 86400, 0)
-    )
-    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # Frame ordering by DAY NUMBER, not unix_timestamp: epoch seconds are
+    # timezone-independent only when the column reads as TIMESTAMP_NTZ —
+    # under an LTZ read on a DST-observing host, a 30-day calendar gap
+    # crossing a fall-back transition is 30d+1h of epoch and silently
+    # falls out of the frame (diverging from the oracle's calendar
+    # INTERVAL). datediff from a fixed origin is tz-proof either way.
+    daynum = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w_range = Window.partitionBy("o_custkey").orderBy(daynum).rangeBetween(-30, 0)
+    # same ordering prefix as w_range (daynum is monotone in o_orderdate)
+    # so EnsureRequirements reuses ONE partition sort for both windows
+    w_lag = Window.partitionBy("o_custkey").orderBy(daynum, F.col("o_orderkey"))
     return orders.select(
         "o_custkey",
         "o_orderkey",

@@ -16,6 +16,36 @@ from data_engineering_examples_spark.sources.tables import load_tables
 SF = "/root/testdata/sf0.001"
 
 
+
+import contextlib
+
+
+@contextlib.contextmanager
+def no_broadcast(spark):
+    """Disable broadcast joins, restoring the PRIOR session values (a bare
+    unset would clobber any session-level override with the Spark default)."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    prev = {}
+    for k in keys:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k in keys:
+        spark.conf.set(k, "-1")
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -52,25 +82,22 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     orders = spark.table("b_orders")
     cust = spark.table("b_customer")
     # forbid broadcast so the only shuffle-free path is bucket co-location
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-            "o_orderkey", "c_name"
-        )
-        plan = _physical_plan(joined)
-        assert "Exchange" not in plan, plan
-        # sanity: the join still returns every order
-        assert joined.count() == t["orders"].count()
+        with no_broadcast(spark):
+            joined = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+                "o_orderkey", "c_name"
+            )
+            plan = _physical_plan(joined)
+            assert "Exchange" not in plan, plan
+            # sanity: the join still returns every order
+            assert joined.count() == t["orders"].count()
 
-        # control: the same join over plain (non-bucketed) parquet shuffles
-        plain = t["orders"].join(
-            t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
-        )
-        assert "Exchange" in _physical_plan(plain)
+            # control: the same join over plain (non-bucketed) parquet shuffles
+            plain = t["orders"].join(
+                t["customer"], t["orders"].o_custkey == t["customer"].c_custkey
+            )
+            assert "Exchange" in _physical_plan(plain)
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
@@ -125,20 +152,17 @@ def test_bucketed_fhir_cohort_join_skips_exchanges(spark, tmp_path):
     write_bucketed(
         t["conditions"], "b_conditions", "patient", 8, path=str(tmp_path / "bc")
     )
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        conds = spark.table("b_conditions")
-        pats = spark.table("b_patients")
-        flags = conds.groupBy("patient").agg(F.count(F.lit(1)).alias("n_conditions"))
-        cohort = pats.join(flags, pats.key == flags.patient, "left").select(
-            "key", "gender", "n_conditions"
-        )
-        plan = _physical_plan(cohort)
-        assert "Exchange" not in plan, plan
-        assert cohort.count() == t["patients"].count()
+        with no_broadcast(spark):
+            conds = spark.table("b_conditions")
+            pats = spark.table("b_patients")
+            flags = conds.groupBy("patient").agg(F.count(F.lit(1)).alias("n_conditions"))
+            cohort = pats.join(flags, pats.key == flags.patient, "left").select(
+                "key", "gender", "n_conditions"
+            )
+            plan = _physical_plan(cohort)
+            assert "Exchange" not in plan, plan
+            assert cohort.count() == t["patients"].count()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_patients")
         spark.sql("DROP TABLE IF EXISTS b_conditions")
