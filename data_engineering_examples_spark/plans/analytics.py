@@ -918,3 +918,125 @@ def q64_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("days_since_prev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q65 — AS-OF JOIN (builder brief §custom operators: "as-of join"): for
+# every event, the customer's latest order at-or-before the event time.
+# Spark has no asof operator; the scale-correct construction is the
+# union+window trick — tag both streams, union, and carry the last
+# non-null order key forward over (user, time) — ONE shuffle on the
+# user key, no inequality-join explosion, no per-row subquery. The
+# right side is first deduplicated to unique (user, t) (keep max
+# orderkey) so the as-of pick is deterministic in both engines; the
+# DuckDB oracle uses its NATIVE ASOF LEFT JOIN.
+
+
+@register(
+    "q65_asof_join",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS okey
+      FROM orders GROUP BY 1, 2
+    ),
+    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
+    SELECT e.event_id, e.user_id, o.okey AS asof_orderkey
+    FROM ev e ASOF LEFT JOIN od o
+      ON e.user_id = o.user_id AND e.t >= o.t
+    """,
+    doc="as-of join via union+window (one shuffle); DuckDB native ASOF oracle",
+    tags=("join", "asof", "window"),
+)
+def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "events"])
+    od = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    ev = t["events"].select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("t")
+    )
+    u = od.select(
+        "user_id",
+        "t",
+        "okey",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_event"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            "t",
+            F.lit(None).cast("long").alias("okey"),
+            "event_id",
+            F.lit(1).alias("is_event"),
+        )
+    )
+    # orders sort before same-timestamp events (at-or-before includes ties)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "asof_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q66 — RANGE JOIN (builder brief §custom operators: "range join"):
+# events within 7 days after an order of the same customer. A naive
+# inequality join degenerates to per-key cross products; the scale form
+# BINS time into band-width buckets — each order covers at most two
+# adjacent bins (exploded), each event lands in exactly one — so the
+# join is an EQUI-join on (user, bin) with a cheap residual filter, and
+# the shuffle is keyed and bounded. Bin math uses day numbers
+# (tz-proof, cf. q64). Output is the per-order event count.
+
+
+@register(
+    "q66_range_join",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders),
+    e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et FROM events)
+    SELECT o.o_orderkey, count(*) AS n_events_7d
+    FROM o JOIN e
+      ON e.user_id = o.o_custkey
+     AND e.et >= o.o_orderdate
+     AND e.et < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="range join via band-binned equi-join + residual (never per-key cross)",
+    tags=("join", "range", "T5"),
+)
+def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "events"])
+    o = t["orders"].select(
+        "o_orderkey",
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ot"),
+    )
+    obin = F.floor(
+        F.datediff(F.col("ot").cast("date"), F.lit("1970-01-01")) / 7
+    )
+    o2 = o.select(
+        "o_orderkey",
+        "user_id",
+        "ot",
+        F.explode(F.array(obin, obin + 1)).alias("bin"),
+    )
+    e = t["events"].select(
+        "user_id", F.col("ts").cast("timestamp_ntz").alias("et")
+    )
+    ebin = F.floor(F.datediff(F.col("et").cast("date"), F.lit("1970-01-01")) / 7)
+    e2 = e.withColumn("bin", ebin)
+    joined = o2.join(e2, ["user_id", "bin"]).filter(
+        (F.col("et") >= F.col("ot"))
+        & (F.col("et") < F.expr("ot + INTERVAL 7 DAYS"))
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_events_7d"))
