@@ -990,53 +990,76 @@ def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q66 — RANGE JOIN (builder brief §custom operators: "range join"):
-# events within 7 days after an order of the same customer. A naive
-# inequality join degenerates to per-key cross products; the scale form
-# BINS time into band-width buckets — each order covers at most two
-# adjacent bins (exploded), each event lands in exactly one — so the
-# join is an EQUI-join on (user, bin) with a cheap residual filter, and
-# the shuffle is keyed and bounded. Bin math uses day numbers
-# (tz-proof, cf. q64). Output is the per-order event count.
+# for each event, how many same-user events follow within 6 hours. A
+# naive inequality self-join degenerates to per-user cross products; the
+# scale form BINS time into band-width buckets — each anchor event
+# probes its own and the next bin (exploded), each candidate lands in
+# exactly one — so the join is an EQUI-join on (user, bin) with a cheap
+# residual filter, and the shuffle is keyed and bounded. Bin seconds are
+# derived from NTZ field extraction (day-number*86400 + hh/mm/ss) —
+# tz-proof regardless of how the column is read (cf. q64).
+
+
+BAND_S = 6 * 3600  # 6-hour band
+
+
+def _ntz_secs(col):
+    """Seconds from a fixed origin via field extraction — identical no
+    matter what timezone the session would assign the column."""
+    return (
+        F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("bigint") * 86400
+        + F.hour(col).cast("bigint") * 3600
+        + F.minute(col).cast("bigint") * 60
+        + F.second(col).cast("bigint")
+    )
 
 
 @register(
     "q66_range_join",
-    oracle="""
-    WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders),
-    e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS et FROM events)
-    SELECT o.o_orderkey, count(*) AS n_events_7d
-    FROM o JOIN e
-      ON e.user_id = o.o_custkey
-     AND e.et >= o.o_orderdate
-     AND e.et < o.o_orderdate + INTERVAL 7 DAY
-    GROUP BY o.o_orderkey
+    oracle=f"""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS et FROM events)
+    SELECT a.event_id, count(b.event_id) AS n_followups_6h
+    FROM e a LEFT JOIN e b
+      ON b.user_id = a.user_id
+     AND b.et > a.et
+     AND b.et <= a.et + INTERVAL 6 HOUR
+    GROUP BY a.event_id
     """,
-    doc="range join via band-binned equi-join + residual (never per-key cross)",
+    doc="range self-join via band-binned equi-join + residual (never per-key cross)",
     tags=("join", "range", "T5"),
 )
 def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["orders", "events"])
-    o = t["orders"].select(
-        "o_orderkey",
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp_ntz").alias("ot"),
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "event_id", "user_id", F.col("ts").alias("et")
     )
-    obin = F.floor(
-        F.datediff(F.col("ot").cast("date"), F.lit("1970-01-01")) / 7
-    )
-    o2 = o.select(
-        "o_orderkey",
+    secs = _ntz_secs(F.col("et"))
+    anchors = ev.select(
+        "event_id",
         "user_id",
-        "ot",
-        F.explode(F.array(obin, obin + 1)).alias("bin"),
+        "et",
+        F.explode(
+            F.array(F.floor(secs / BAND_S), F.floor(secs / BAND_S) + 1)
+        ).alias("bin"),
     )
-    e = t["events"].select(
-        "user_id", F.col("ts").cast("timestamp_ntz").alias("et")
+    cands = ev.select(
+        F.col("event_id").alias("cand_id"),
+        F.col("user_id"),
+        F.col("et").alias("cet"),
+        F.floor(_ntz_secs(F.col("et")) / BAND_S).alias("bin"),
     )
-    ebin = F.floor(F.datediff(F.col("et").cast("date"), F.lit("1970-01-01")) / 7)
-    e2 = e.withColumn("bin", ebin)
-    joined = o2.join(e2, ["user_id", "bin"]).filter(
-        (F.col("et") >= F.col("ot"))
-        & (F.col("et") < F.expr("ot + INTERVAL 7 DAYS"))
+    hits = (
+        anchors.join(cands, ["user_id", "bin"])
+        .filter(
+            (F.col("cet") > F.col("et"))
+            & (F.col("cet") <= F.expr("et + INTERVAL 6 HOURS"))
+        )
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_followups_6h"))
     )
-    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_events_7d"))
+    # left join back so zero-followup events appear (matching the oracle's
+    # LEFT JOIN + count(b...) = 0 rows)
+    return (
+        ev.select("event_id")
+        .join(hits, "event_id", "left")
+        .na.fill({"n_followups_6h": 0})
+    )
