@@ -935,29 +935,31 @@ def q64_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q65_asof_join",
     oracle="""
-    WITH od AS (
-      SELECT o_custkey AS user_id, o_orderdate AS t, max(o_orderkey) AS okey
-      FROM orders GROUP BY 1, 2
+    WITH vw AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, max(event_id) AS okey
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
     ),
-    ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events)
-    SELECT e.event_id, e.user_id, o.okey AS asof_orderkey
-    FROM ev e ASOF LEFT JOIN od o
-      ON e.user_id = o.user_id AND e.t >= o.t
+    pur AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+            FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, v.okey AS asof_view_event
+    FROM pur p ASOF LEFT JOIN vw v
+      ON p.user_id = v.user_id AND p.t >= v.t
     """,
     doc="as-of join via union+window (one shuffle); DuckDB native ASOF oracle",
     tags=("join", "asof", "window"),
 )
 def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["orders", "events"])
+    # attribution as-of: each purchase event joined to the same user's
+    # latest PRECEDING view event — both sides interleave through the
+    # whole 30-day window, so the as-of pick genuinely varies per row
+    # (purchases before any view get NULL: the left-asof miss path).
+    events = load_tables(spark, sf_dir, ["events"])["events"]
     od = (
-        t["orders"]
-        .groupBy(
-            F.col("o_custkey").alias("user_id"),
-            F.col("o_orderdate").cast("timestamp_ntz").alias("t"),
-        )
-        .agg(F.max("o_orderkey").alias("okey"))
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").cast("timestamp_ntz").alias("t"))
+        .agg(F.max("event_id").alias("okey"))
     )
-    ev = t["events"].select(
+    ev = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("t")
     )
     u = od.select(
@@ -982,9 +984,9 @@ def q65_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        u.withColumn("asof_orderkey", F.last("okey", ignorenulls=True).over(w))
+        u.withColumn("asof_view_event", F.last("okey", ignorenulls=True).over(w))
         .filter(F.col("is_event") == 1)
-        .select("event_id", "user_id", "asof_orderkey")
+        .select("event_id", "user_id", "asof_view_event")
     )
 
 
