@@ -8,7 +8,7 @@ Layers (SURVEY.md §7.1):
                        physical layout: partitioned/bucketed, compaction)
   L2 functions      -> .functions (IRIS SQL fns, FHIRPath, doc transforms)
   L3 silver views   -> .fhir.views (bronze -> search projections)
-  L4 queries        -> .plans (66 registered, DuckDB-oracle-checked)
+  L4 queries        -> .plans (67 registered, DuckDB-oracle-checked)
   L5 ETL            -> .operators (merge changesets, skew-robust joins),
                        .sources.ods, .sinks.external
   L6 streaming      -> .streaming.tasks (poll, state machine, stateful

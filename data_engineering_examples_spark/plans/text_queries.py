@@ -446,3 +446,78 @@ def q62_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("top_bc").cast("double") / F.col("n_bigrams")).alias("top_bigram_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — the CLEAN CORPUS: what a training-data pipeline actually emits.
+# Composes three oracle-checked stages — the q29 quality gate (length
+# bounds + stopword ratio), the q61 dedup verdict (exact keep-first +
+# LSH near-dup drop), and per-doc token stats — into the final kept
+# document set with corpus summary columns. Every stage reuses the
+# registered query function (and the shared DuckDB CTE helpers), so the
+# composite can never drift from its components. Plan shape: the
+# verdict's drop-set broadcasts and the quality gate is map-only, so
+# the composition adds no new wide shuffle over the component queries.
+
+
+@register(
+    "q67_clean_corpus",
+    oracle=None,  # composed below at import time
+    doc="end-to-end clean corpus: quality gate ∘ dedup verdict ∘ token stats",
+    tags=("text", "dedup", "llm", "pipeline"),
+)
+def q67_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q61_dedup_verdict
+
+    d = _docs(spark, sf_dir)
+    quality = q29_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    verdict = q61_dedup_verdict(spark, sf_dir)
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(quality, "doc_id")
+        .join(verdict, "doc_id")
+        .filter(F.col("keep") & (F.col("verdict") == "keep"))
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
+def _q67_oracle() -> str:
+    from .dedup_queries import _duck_minhash_bands_cte
+
+    return f"""
+    WITH {_duck_minhash_bands_cte()},
+    near_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                 PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               ) AS keeper
+        FROM documents
+      ) WHERE doc_id <> keeper
+    ),
+    q AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.source, q.n_tokens
+    FROM q
+    LEFT JOIN exact_drop e ON e.doc_id = q.doc_id
+    LEFT JOIN near_drop n ON n.doc_id = q.doc_id
+    WHERE e.doc_id IS NULL AND n.doc_id IS NULL
+      AND q.n_tokens >= 10 AND q.n_tokens <= 200
+      AND CAST(q.n_stop AS DOUBLE) / q.n_tokens < 0.5
+    """
+
+
+# attach the composed oracle (needs the dedup module import at call time)
+from .registry import _REGISTRY as _R  # noqa: E402
+
+_R["q67_clean_corpus"].oracle = _q67_oracle()
