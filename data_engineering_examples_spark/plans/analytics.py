@@ -594,7 +594,7 @@ def q53_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_mktsegment,
            count(*) AS n_events,
            count(DISTINCT e.user_id) AS n_users,
-           sum(CAST(floor(e.value * 1000) AS BIGINT)) AS value_millis
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1

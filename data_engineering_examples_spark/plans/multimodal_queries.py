@@ -36,7 +36,7 @@ def _media(spark: SparkSession) -> DataFrame:
     oracle=f"""
     SELECT kind, format,
            count(*) AS n,
-           sum(octet_length(payload)) AS total_bytes,
+           CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
            min(octet_length(payload)) AS min_bytes,
            max(octet_length(payload)) AS max_bytes,
            max(width) AS max_width,

@@ -93,10 +93,10 @@ def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(n_chars) AS min_chars,
            max(n_chars) AS max_chars,
-           sum(len(string_split(text, ' '))) AS total_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
     FROM documents
     GROUP BY lang, source
     """,
@@ -402,7 +402,7 @@ def q51_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bc FROM bc GROUP BY doc_id
     )
     SELECT t.doc_id,
-           t.n_tokens,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
            CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS distinct_ratio,
            CAST(t.top_c AS DOUBLE) / t.n_tokens AS top_token_share,
            CAST(b.top_bc AS DOUBLE) / b.n_bigrams AS top_bigram_share
