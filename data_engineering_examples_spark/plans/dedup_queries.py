@@ -28,7 +28,7 @@ aggregates) — zero Python UDFs, full codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_tables
@@ -156,16 +156,34 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q23 — n-gram Jaccard near-dup pairs via shingle-join candidates.
 # Pairs must share >= 2 shingles (candidate pruning); jaccard is exact
 # |A∩B| / |A∪B| over distinct word-trigram sets.
+#
+# Hot-shingle guard: a shingle present in d documents contributes
+# O(d²) candidate pairs, so ONE boilerplate trigram shared by 10⁶ docs
+# would emit ~10¹² pairs. Shingles with document frequency above
+# MAX_SHINGLE_DF are dropped from the candidate substrate (and,
+# symmetrically, from the per-doc set sizes, so jaccard stays a true
+# Jaccard over the pruned shingle space). Ubiquitous shingles carry no
+# near-dup signal — this is the df-cap standard in MinHash/shingling
+# practice. The cap bounds any shingle's pair fan-out at ~cap²/2.
+# Measured df max at sf0.1 is 25, so 512 is semantics-preserving at
+# test SF while capping the blowup at corpus scale.
+
+MAX_SHINGLE_DF = 512
 
 
 @register(
     "q23_ngram_jaccard_pairs",
     oracle=f"""
     WITH {_DUCK_HASHED_SHINGLES},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shf AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2
     )
     SELECT i.doc_a, i.doc_b, i.shared,
@@ -174,11 +192,21 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = i.doc_a
     JOIN sizes sb ON sb.doc_id = i.doc_b
     """,
-    doc="n-gram Jaccard near-dup pairs; hashed-shingle join, never O(n^2)",
+    doc="n-gram Jaccard near-dup pairs; df-capped hashed-shingle join, never O(n^2)",
     tags=("dedup", "llm"),
 )
 def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _hashed_shingles(spark, sf_dir).withColumnRenamed("sh", "shingle")
+    # df-cap via a window over the shingle key: ONE shuffle on shingle,
+    # whose partitioning the pair self-join (also keyed on shingle)
+    # then reuses — the guard costs no extra exchange.
+    w = Window.partitionBy("shingle")
+    sh = (
+        _hashed_shingles(spark, sf_dir)
+        .withColumnRenamed("sh", "shingle")
+        .withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     a = sh.alias("a")

@@ -31,6 +31,7 @@ partition parallelism, not one DAG run per task.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -122,7 +123,6 @@ class TaskStateMachine:
         return self.spark.createDataFrame([], TASK_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         # T2: collapse re-deliveries inside the batch — keep max version
         latest = (
             batch.withColumn(
@@ -172,12 +172,22 @@ class TaskStateMachine:
             .join(advanced.select("id"), "id", "left_anti")
             .unionByName(advanced)
         )
-        # materialize before overwrite (state_dir is both source and sink);
-        # on Delta, MERGE makes this a transactional in-place upsert
-        rows = new_state.collect()
-        spark.createDataFrame(rows, TASK_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.state_dir)
+        # state_dir is both source and sink, so the new state is written
+        # executor-side to a temp dir while the old dir is still readable,
+        # then swapped in with two renames — no driver materialization, so
+        # the state table can be arbitrarily large. On Delta, MERGE makes
+        # this a transactional in-place upsert instead.
+        tmp = self.state_dir.rstrip("/") + ".__swap_tmp__"
+        old = self.state_dir.rstrip("/") + ".__swap_old__"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)  # crash leftovers; this write supersedes them
+        new_state.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(self.state_dir):
+            os.rename(self.state_dir, old)
+        os.rename(tmp, self.state_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def run_available(self, input_dir: str, checkpoint_dir: str) -> None:
         """Drain all unprocessed files (T1: the poll trigger; tests use

@@ -114,3 +114,52 @@ def test_short_docs_do_not_crash_shingle_paths(spark, tmp_path):
     # q51: all 5 docs present, short ones with zero fingerprints
     fps = {r.doc_id: r.n_fps for r in specs["q51_winnow_fingerprint"].fn(spark, sf).collect()}
     assert fps[1] == 0 and fps[2] == 0 and fps[5] > 0
+
+
+def test_hot_shingle_df_cap_prunes_boilerplate_pairs(spark, tmp_path):
+    """q23's MAX_SHINGLE_DF guard: a shingle shared by more docs than the
+    cap contributes NO candidate pairs (the O(d²) blowup guard), while
+    genuinely similar docs still pair. Verified by lowering the cap via
+    monkeypatched constant semantics — here we build a corpus where one
+    boilerplate trigram spans every doc and check it alone never creates
+    a pair once its df exceeds the cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from unittest import mock
+
+    from data_engineering_examples_spark.plans import dedup_queries
+
+    # 6 docs all sharing ONE boilerplate trigram ("shared boiler plate"),
+    # plus doc 0/1 being real near-dups with their own shingles.
+    boiler = "shared boiler plate"
+    docs = [
+        (0, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (1, f"{boiler} alpha beta gamma delta epsilon eta"),
+        (2, f"{boiler} one two three four"),
+        (3, f"{boiler} five six seven eight"),
+        (4, f"{boiler} nine ten eleven twelve"),
+        (5, f"{boiler} thirteen fourteen fifteen sixteen"),
+    ]
+    d = tmp_path / "hotdf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    with mock.patch.object(dedup_queries, "MAX_SHINGLE_DF", 4):
+        rows = dedup_queries.q23_ngram_jaccard_pairs(spark, str(d)).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in rows}
+    # boilerplate df=6 > cap=4: it cannot be the pair generator, so the
+    # docs related ONLY through it never pair...
+    assert not {p for p in pairs if p[0] >= 2 or p[1] >= 2}
+    # ...but 0/1 still pair through their 4 shared non-boilerplate shingles
+    assert (0, 1) in pairs

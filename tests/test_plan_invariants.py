@@ -56,3 +56,20 @@ def test_limits_are_topk_not_global_sort(plans):
         if "GlobalLimit" in p and "Sort " in p and "TakeOrderedAndProject" not in p
     ]
     assert offenders == [], offenders
+
+
+def test_no_driver_side_collect_in_package():
+    """The only acceptable driver materialization is in tools/tests. A
+    ``.collect()`` inside the package means an operator is looping rows
+    through the driver — the state-rewrite trap (a driver OOM at a 100 TB
+    task queue); writes must go executor-side (temp dir + rename swap)."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_engineering_examples_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code:
+                offenders.append(f"{py.name}:{i}")
+    assert offenders == [], offenders
