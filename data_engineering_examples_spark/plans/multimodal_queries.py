@@ -88,9 +88,31 @@ def q43_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The featurizer itself runs as a real mapInPandas stage (the model-encoder
+# plumbing); its stand-in byte-histogram IS SQL-expressible, so the oracle
+# recomputes it independently: hex() renders each payload byte as two hex
+# chars, the regexp keeps every odd-position char (= the high nibble, b>>4),
+# and per-digit character counts over that string are exactly the 16 buckets.
+_HEX_DIGITS = "0123456789ABCDEF"
+_FEATURE_EXPRS = ", ".join(
+    f"CAST(length(hi) - length(replace(hi, '{d}', '')) AS DOUBLE) / n_bytes"
+    for d in _HEX_DIGITS
+)
+
+
 @register(
     "q44_media_features",
-    oracle=None,  # mapInPandas featurizer: not SQL-expressible; pytest-gated
+    oracle=f"""
+    WITH m AS (
+      SELECT media_id, kind, CAST(octet_length(payload) AS INT) AS n_bytes,
+             regexp_replace(hex(payload), '(.).', '\\1', 'g') AS hi
+      FROM read_parquet('{FX}/media.parquet')
+    )
+    SELECT media_id, kind, n_bytes,
+           CASE WHEN n_bytes = 0 THEN [{", ".join(["0.0"] * 16)}]
+                ELSE [{_FEATURE_EXPRS}] END AS features
+    FROM m
+    """,
     doc="Arrow-batched byte-histogram featurizer (stand-in encoder stage)",
     tags=("multimodal", "llm", "mapInPandas"),
 )

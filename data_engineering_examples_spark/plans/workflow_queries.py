@@ -107,17 +107,54 @@ def q40_event_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q46/q47 — the two workflow document UDF stages as registry entries
-# (X2/X3; U5/U6). Recursive JSON restructuring is not SQL-expressible —
-# the driver records its weaker rows-only check here; exact-shape
-# verification lives in tests/test_streaming_workflow.py. The message
-# uuid is DERIVED (md5 of the encounter identifier), not random: replays
-# mint the same identity (T2 idempotence; F17 notes uuid() exists for
-# when global uniqueness is the requirement).
+# (X2/X3; U5/U6). The Spark side runs the fully general recursive JSON
+# restructuring as an Arrow-batched pandas UDF (functions/documents.py);
+# the oracle rebuilds the SAME output JSON byte-for-byte with DuckDB
+# json functions + string assembly over the fixture bundles' entry
+# layout (Patient, Encounter, Observation, QR — the position the Spark
+# query itself relies on). Compact JSON formatting and key order match
+# ``json.dumps(..., separators=(",", ":"))`` because DuckDB's json type
+# round-trips order-preserving and space-free. The general recursion
+# (problem-list subitems etc., never triggered by the fixtures) is
+# pinned by tests/test_streaming_workflow.py. The message uuid is
+# DERIVED (md5 of the encounter identifier), not random: replays mint
+# the same identity (T2 idempotence; F17 notes uuid() exists for when
+# global uniqueness is the requirement).
+
+_ODS_SYS = "https://fhir.nhs.uk/Id/ods-organization-code"
 
 
 @register(
     "q46_legacy_qr_batch",
-    oracle=None,  # recursive JSON restructure (U5): rows-only + pytest
+    oracle=f"""
+    WITH b AS (
+      SELECT encounter_identifier,
+             json_extract(bundle_json, '$.entry[3].resource') AS qr
+      FROM read_parquet('{FX}/encounter_bundles.parquet')
+    ),
+    items AS (
+      SELECT b.encounter_identifier, i AS idx,
+             json_extract(b.qr, '$.item[' || i || ']') AS it
+      FROM b, (SELECT unnest(range(0, 50)) AS i) r
+      WHERE i < json_array_length(b.qr, '$.item')
+    ),
+    qitems AS (
+      SELECT encounter_identifier,
+             string_agg(
+               '{{"linkId":"questions","item":[{{"linkId":"question","answer":[{{"valueString":"'
+               || coalesce(json_extract_string(it, '$.text'), json_extract_string(it, '$.linkId'))
+               || '"}}]}},{{"linkId":"answer","answer":' || CAST(json_extract(it, '$.answer') AS VARCHAR) || '}}]}}',
+               ',' ORDER BY idx) AS qs
+      FROM items
+      WHERE json_extract(it, '$.answer') IS NOT NULL
+      GROUP BY encounter_identifier
+    )
+    SELECT b.encounter_identifier,
+           '{{"resourceType":"QuestionnaireResponse","id":"' || json_extract_string(b.qr, '$.id')
+           || '","status":"completed","questionnaire":"https://fhir.virtually.healthcare/Questionnaire/ClinicalManagementPlan","item":[{{"linkId":"LOINC/61149-1","text":"Comments and advice","item":['
+           || coalesce(q.qs, '') || ']}}]}}' AS converted_qr
+    FROM b LEFT JOIN qitems q ON q.encounter_identifier = b.encounter_identifier
+    """,
     doc="legacy QuestionnaireResponse conversion over bundle QR entries (X2/U5)",
     tags=("workflow", "U5", "X2"),
 )
@@ -137,7 +174,34 @@ def q46_legacy_qr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q47_bundle_to_message",
-    oracle=None,  # whole-document assembly (U6): rows-only + pytest
+    oracle=f"""
+    WITH b AS (
+      SELECT encounter_identifier, bundle_json,
+             md5(encounter_identifier) AS msg_uuid
+      FROM read_parquet('{FX}/encounter_bundles.parquet')
+    ),
+    entries AS (
+      SELECT b.encounter_identifier, i AS idx,
+             json_extract(b.bundle_json, '$.entry[' || i || ']') AS e
+      FROM b, (SELECT unnest(range(0, 100)) AS i) r
+      WHERE i < json_array_length(b.bundle_json, '$.entry')
+    ),
+    agg AS (
+      SELECT encounter_identifier,
+             string_agg(CAST(e AS VARCHAR), ',' ORDER BY idx) AS entries_inner,
+             string_agg(
+               '{{"reference":"' || json_extract_string(e, '$.fullUrl') || '","type":"Encounter"}}',
+               ',' ORDER BY idx)
+               FILTER (json_extract_string(e, '$.resource.resourceType') = 'Encounter') AS focus
+      FROM entries GROUP BY encounter_identifier
+    )
+    SELECT b.encounter_identifier,
+      '{{"resourceType":"Bundle","type":"message","entry":[{{"fullUrl":"urn:uuid:' || b.msg_uuid
+      || '","resource":{{"resourceType":"MessageHeader","eventCoding":{{"system":"http://terminology.hl7.org/CodeSystem/v2-0003","code":"A04"}},"destination":[{{"endpoint":"https://example.invalid/emis","receiver":{{"identifier":{{"system":"{_ODS_SYS}","value":"F83004"}}}}}}],"sender":{{"identifier":{{"system":"{_ODS_SYS}","value":"F83004"}}}},"source":{{"endpoint":"https://example.invalid/emis"}},"focus":['
+      || coalesce(a.focus, '') || ']}}}},' || a.entries_inner
+      || '],"identifier":{{"system":"urn:ietf:rfc:3986","value":"urn:uuid:' || b.msg_uuid || '"}}}}' AS message_json
+    FROM b JOIN agg a ON a.encounter_identifier = b.encounter_identifier
+    """,
     doc="collection Bundle -> FHIR message with A04 MessageHeader (X3/U6)",
     tags=("workflow", "U6", "X3", "F17"),
 )
