@@ -44,6 +44,10 @@ def cyclic_shift_column(
         raise ValueError(
             f"order_col {order_col!r} must be unique: {n} rows, {n_keys} distinct"
         )
+    if n > 0 and k % n == 0:
+        # k ≡ 0 (mod n) is the identity mapping — every feature would
+        # silently score zero importance instead of being permuted
+        raise ValueError(f"shift k={k} is a no-op for n={n} rows (k % n == 0)")
     w = Window.orderBy(order_col)
     ranked = df.withColumn("__rn", F.row_number().over(w))
     donor = ranked.select(

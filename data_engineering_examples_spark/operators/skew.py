@@ -95,6 +95,13 @@ def two_stage_agg(
     n_rows = partial.groupBy(*keys).agg(F.sum("__n").alias("n_rows"))
     if count_distinct_col is None:
         return n_rows
-    pairs = df.select(*keys, count_distinct_col).distinct()
+    # COUNT(DISTINCT col) semantics: NULL is not a value, so drop it
+    # before the composite dedup (otherwise NULL would count as one
+    # extra distinct per key)
+    pairs = (
+        df.filter(F.col(count_distinct_col).isNotNull())
+        .select(*keys, count_distinct_col)
+        .distinct()
+    )
     n_distinct = pairs.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_distinct"))
     return n_rows.join(n_distinct, list(keys), "left").na.fill({"n_distinct": 0})

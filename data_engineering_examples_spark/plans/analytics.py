@@ -244,6 +244,14 @@ def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "agg", "cohort", "F15"),
 )
 def q04_customer_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bench-shape note (profiled r4): one shuffle (orders partial+final agg)
+    # then a customer⋈per_cust join with NO explicit broadcast hint — at
+    # test SF the aggregated side is a few thousand rows so AQE picks a
+    # broadcast join (~+0.3 s of fixed broadcast/stage overhead vs the
+    # r1 shape, the "regression" in BENCH history); at 100 TB that side is
+    # customer-cardinality, far beyond any broadcast threshold, and the
+    # same plan degrades gracefully to a shuffled join on c_custkey.
+    # Hard-coding either strategy would be wrong at one of the two scales.
     t = load_tables(spark, sf_dir, ["customer", "orders"])
     flag = lambda cond: F.max(F.when(cond, 1).otherwise(0))  # noqa: E731
     per_cust = (

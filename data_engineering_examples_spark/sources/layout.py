@@ -91,6 +91,19 @@ def compact_parquet(
     import os
     import shutil
 
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    # crash recovery, before anything else: a crash between the two
+    # renames leaves the ONLY copy at the old-side path — restore it.
+    # Any other leftover tmp/old dir is superseded/incomplete: remove it
+    # up front so the rename swap below cannot fail on EEXIST/ENOTEMPTY
+    # after the rewrite work is already done.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _dn, fs in os.walk(path)
@@ -99,8 +112,6 @@ def compact_parquet(
     )
     n_target = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
     writer = df.repartition(n_target).write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)

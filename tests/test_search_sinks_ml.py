@@ -141,3 +141,13 @@ def test_permutation_importance_identifies_signal_feature(spark):
     assert imp["signal"] > 0.2           # breaking the signal hurts a lot
     assert imp["signal"] > imp["noise"] + 0.1
     assert abs(imp["noise"]) < 0.1       # noise never mattered
+
+
+def test_cyclic_shift_rejects_identity_k(spark):
+    import pytest
+
+    from data_engineering_examples_spark.operators.ml import cyclic_shift_column
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(4)], "id long, x double")
+    with pytest.raises(ValueError, match="no-op"):
+        cyclic_shift_column(df, "x", "id", k=4)  # k % n == 0 -> identity

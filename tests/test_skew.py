@@ -60,3 +60,18 @@ def test_two_stage_agg_counts(skewed):
     assert _sorted_rows(salted.select("k", "n_rows", "n_distinct")) == _sorted_rows(
         plain.select("k", "n_rows", "n_distinct")
     )
+
+
+def test_two_stage_agg_distinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("c", 2)],
+        "k string, v int",
+    )
+    from data_engineering_examples_spark.operators.skew import two_stage_agg
+
+    got = {
+        r.k: (r.n_rows, r.n_distinct)
+        for r in two_stage_agg(df, ["k"], count_distinct_col="v").collect()
+    }
+    # COUNT(DISTINCT v) semantics: NULL is not a distinct value
+    assert got == {"a": (3, 1), "b": (1, 0), "c": (1, 1)}

@@ -166,3 +166,27 @@ def test_bucketed_fhir_cohort_join_skips_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_patients")
         spark.sql("DROP TABLE IF EXISTS b_conditions")
+
+
+def test_compact_parquet_recovers_from_stale_swap_dirs(spark, tmp_path):
+    """Crash leftovers must not abort a rerun: a stale tmp dir is removed,
+    and a crash between the two renames (data only at the old-side path)
+    is restored before compacting."""
+    import os
+    import shutil
+
+    from data_engineering_examples_spark.sources.layout import compact_parquet
+
+    out = str(tmp_path / "t")
+    spark.range(1000).write.parquet(out)
+
+    # stale tmp from a crashed write
+    os.makedirs(out + ".__compact_tmp__/junk")
+    assert compact_parquet(spark, out, target_mb=256) >= 1
+    assert not os.path.exists(out + ".__compact_tmp__")
+
+    # crash between renames: live path gone, old holds the only copy
+    shutil.rmtree(out + ".__compact_old__", ignore_errors=True)
+    os.rename(out, out + ".__compact_old__")
+    assert compact_parquet(spark, out, target_mb=256) >= 1
+    assert spark.read.parquet(out).count() == 1000
