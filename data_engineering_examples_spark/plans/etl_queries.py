@@ -255,3 +255,89 @@ def q55_role_composite_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_id",
         F.when(F.col("_id").isNull(), "create").otherwise("exists").alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q69/q70 — the egpcur row→FHIR builders (U2/U3) verified by scalar
+# extraction, same pattern as q34: build with to_json(struct(...)),
+# read fields back with get_json_object, and have the oracle compute
+# the expected values straight from the CSV columns. q69 exercises the
+# surname/initials split (F13: 'SURNAME A B' → family + given list,
+# single-token names → given omitted); q70 the YYYYMMDD period reslice
+# (F14) and the literal Practitioner/Organization references.
+# Reference: dags/ODSImport.py:388-431 (U2), :526-583 (U3).
+
+
+@register(
+    "q69_practitioner_fhir_build",
+    oracle=f"""
+    WITH eg AS (
+      SELECT column00 AS gmp, column01 AS practitioner_name, column12 AS status
+      FROM read_csv('{_EG_CSV}', header=false, all_varchar=true)
+    ),
+    toks AS (
+      SELECT gmp, status, string_split(trim(practitioner_name), ' ') AS t FROM eg
+    )
+    SELECT gmp,
+           t[1] AS family,
+           CASE WHEN len(t) >= 2
+                THEN '["' || array_to_string(t[2:], '","') || '"]'
+           END AS given_json,
+           CASE WHEN status = 'C' THEN 'true' ELSE 'false' END AS active
+    FROM toks
+    """,
+    doc="row->Practitioner JSON builder (U2/F13) verified by scalar extraction",
+    tags=("etl", "U2", "F13"),
+)
+def q69_practitioner_fhir_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ods import read_egpcur, with_practitioner_json
+
+    eg = with_practitioner_json(read_egpcur(spark, _EG_CSV))
+    g = lambda p: F.get_json_object("practitioner_json", p)  # noqa: E731
+    return eg.select(
+        "gmp",
+        g("$.name[0].family").alias("family"),
+        g("$.name[0].given").alias("given_json"),
+        g("$.active").alias("active"),
+    )
+
+
+@register(
+    "q70_practitioner_role_build",
+    oracle=f"""
+    WITH eg AS (
+      SELECT column00 AS gmp, column12 AS status, column14 AS ods,
+             column15 AS started, column16 AS ended
+      FROM read_csv('{_EG_CSV}', header=false, all_varchar=true)
+    )
+    SELECT gmp,
+           'Practitioner/' || gmp AS practitioner_ref,
+           'Organization/' || ods AS organization_ref,
+           CASE WHEN started IS NOT NULL THEN
+             substr(started, 1, 4) || '-' || substr(started, 5, 2) || '-' || substr(started, 7, 2)
+           END AS period_start,
+           CASE WHEN started IS NOT NULL AND ended IS NOT NULL AND ended <> '' THEN
+             substr(ended, 1, 4) || '-' || substr(ended, 5, 2) || '-' || substr(ended, 7, 2)
+           END AS period_end,
+           CASE WHEN status = 'C' THEN 'true' ELSE 'false' END AS active
+    FROM eg
+    """,
+    doc="row->PractitionerRole JSON builder (U3/F14) verified by scalar extraction",
+    tags=("etl", "U3", "F14"),
+)
+def q70_practitioner_role_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.ods import practitioner_role_struct, read_egpcur
+
+    eg = read_egpcur(spark, _EG_CSV)
+    role_json = F.to_json(
+        practitioner_role_struct(eg, eg.gmp, eg.ods), {"ignoreNullFields": "true"}
+    )
+    g = lambda p: F.get_json_object("role_json", p)  # noqa: E731
+    return eg.withColumn("role_json", role_json).select(
+        "gmp",
+        g("$.practitioner.reference").alias("practitioner_ref"),
+        g("$.organization.reference").alias("organization_ref"),
+        g("$.period.start").alias("period_start"),
+        g("$.period.end").alias("period_end"),
+        g("$.active").alias("active"),
+    )

@@ -216,3 +216,68 @@ def q47_bundle_to_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encounter_identifier",
         F.call_udf("bundle_to_message", F.col("bundle_json"), msg_uuid).alias("message_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — trigger-rule gates (T4): the multi-branch join pattern. Each task's
+# child flow settles three upstream branches (the runaway guard, the
+# freshness check, the writeback eligibility), and the downstream join
+# evaluates Airflow-style trigger rules over their terminal states —
+# ``operators/gates.py``; reference join at
+# ``dags/ConsultationNoteWritebackX.py:256-262`` (one_success after the
+# skip/write branches, all_success on linear edges).
+
+
+@register(
+    "q68_trigger_gates",
+    oracle=f"""
+    WITH o AS (
+      SELECT id,
+        CASE WHEN version_id <= 1000 THEN 1 ELSE 0 END AS guard_ok,
+        CASE WHEN version_id > 1000 THEN 1 ELSE 0 END AS guard_failed,
+        CASE WHEN authored_on > TIMESTAMP '2025-07-01 00:00:00' THEN 1 ELSE 0 END AS fresh_ok,
+        CASE WHEN authored_on > TIMESTAMP '2025-07-01 00:00:00' THEN 0 ELSE 1 END AS fresh_skipped,
+        CASE WHEN status IN ('accepted', 'in-progress') THEN 1 ELSE 0 END AS write_ok,
+        CASE WHEN status IN ('accepted', 'in-progress') THEN 0 ELSE 1 END AS write_skipped
+      FROM read_parquet('{FX}/tasks.parquet')
+    )
+    SELECT id,
+           CAST(3 AS BIGINT) AS n_upstream,
+           CAST(guard_ok + fresh_ok + write_ok AS BIGINT) AS n_success,
+           CAST(guard_failed AS BIGINT) AS n_failed,
+           CAST(fresh_skipped + write_skipped AS BIGINT) AS n_skipped,
+           (guard_ok + fresh_ok + write_ok) = 3 AS all_success,
+           (guard_ok + fresh_ok + write_ok) >= 1 AS one_success,
+           guard_failed = 0 AS none_failed
+    FROM o
+    """,
+    doc="Airflow trigger-rule gates over settled branch states (T4)",
+    tags=("workflow", "T4"),
+)
+def q68_trigger_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gates import gate_decisions
+
+    tasks = load_tables(spark, FX, ["tasks"])["tasks"]
+    ok = lambda c: F.when(c, "success")  # noqa: E731
+    branch_states = F.array(
+        F.struct(
+            F.lit("guard").alias("branch"),
+            ok(tasks.version_id <= 1000).otherwise("failed").alias("state"),
+        ),
+        F.struct(
+            F.lit("fresh").alias("branch"),
+            ok(
+                tasks.authored_on > F.lit("2025-07-01").cast("timestamp_ntz")
+            ).otherwise("skipped").alias("state"),
+        ),
+        F.struct(
+            F.lit("write").alias("branch"),
+            ok(tasks.status.isin("accepted", "in-progress"))
+            .otherwise("skipped")
+            .alias("state"),
+        ),
+    )
+    outcomes = tasks.select(
+        "id", F.explode(branch_states).alias("b")
+    ).select("id", F.col("b.state").alias("state"))
+    return gate_decisions(outcomes, ["id"], rules=("all_success", "one_success", "none_failed"))

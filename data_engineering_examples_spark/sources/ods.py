@@ -7,6 +7,15 @@ Re-expresses the reference's ODS import extract/transform surface
   (column lists per ``dags/ODSImport.py:84-97`` and ``:319-327``), read
   with an explicit schema: no inference pass over 100 TB of files, and
   Catalyst prunes unused positions at the scan.
+
+  S1 scope note: the reference's acquisition leg — HTTP GET of the TRUD
+  ZIP + unzip to CSV (``dags/ODSImport.py:77-100``) — is deliberately
+  SIMULATED here from pre-staged local CSVs (``fixtures/*.csv``),
+  because this sandbox has no network. In a deployment that leg is a
+  driver-side (or upstream-orchestrated) download-and-unpack into a
+  staging path; it is inherently a single small-file fetch, not a
+  distributed concern, and everything FROM the staged CSV onward is the
+  part that must scale and is what this module implements.
 * ``with_organisation_json`` — ``dags/ODSImport.py:160-230``
   (``convertOrganisationFHIR``): constant identifier/type blocks,
   conditional address/telecom/partOf, ``active=False`` when Closed.

@@ -286,3 +286,43 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path):
     q.awaitTermination()
     got = [(r.id, r.version_id) for r in spark.read.parquet(out).collect()]
     assert sorted(got) == [("t1", 1), ("t1", 2)]
+
+
+def test_trigger_rule_gate_semantics(spark):
+    """Airflow TriggerRule parity over settled upstream states: the
+    reference's one_success join (ConsultationNoteWritebackX.py:256-262)
+    must fire when ANY branch succeeded, all_success only when every
+    branch did, none_failed regardless of skips."""
+    from data_engineering_examples_spark.operators.gates import gate_decisions
+
+    rows = [
+        # key, state  — k1: all success; k2: one failed; k3: skip only;
+        # k4: mixed success+skip (one_success fires, all_success not)
+        ("k1", "success"), ("k1", "success"),
+        ("k2", "success"), ("k2", "failed"),
+        ("k3", "skipped"), ("k3", "skipped"),
+        ("k4", "success"), ("k4", "skipped"),
+    ]
+    df = spark.createDataFrame(rows, "id string, state string")
+    got = {
+        r.id: (r.all_success, r.one_success, r.none_failed, r.all_done)
+        for r in gate_decisions(
+            df, ["id"], rules=("all_success", "one_success", "none_failed", "all_done")
+        ).collect()
+    }
+    assert got == {
+        "k1": (True, True, True, True),
+        "k2": (False, True, False, True),
+        "k3": (False, False, True, True),
+        "k4": (False, True, True, True),
+    }
+
+
+def test_trigger_rule_gate_rejects_unknown_rule(spark):
+    import pytest
+
+    from data_engineering_examples_spark.operators.gates import gate_decisions
+
+    df = spark.createDataFrame([("k", "success")], "id string, state string")
+    with pytest.raises(ValueError, match="unknown trigger rules"):
+        gate_decisions(df, ["id"], rules=("sometimes_success",))
