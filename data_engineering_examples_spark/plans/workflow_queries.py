@@ -281,3 +281,56 @@ def q68_trigger_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", F.explode(branch_states).alias("b")
     ).select("id", F.col("b.state").alias("state"))
     return gate_decisions(outcomes, ["id"], rules=("all_success", "one_success", "none_failed"))
+
+
+# ---------------------------------------------------------------------------
+# q71 — OperationOutcome triage (U8): the validation-response gate
+# (``functions/documents.py:operation_outcome_failed``; reference logic
+# at ``dags/ConsultationNoteWritebackX.py:434-468``). A response fails
+# iff ANY issue has severity 'error' whose details.text does NOT carry
+# the allowlisted concept code; warnings and detail-less non-errors
+# never fail. Pure codegen (from_json + exists) — the oracle replays the
+# same rule with DuckDB json functions over the issue array.
+
+_ALLOW_CODE = "307321000000107"
+
+
+@register(
+    "q71_outcome_triage",
+    oracle=f"""
+    WITH o AS (
+      SELECT outcome_id, task_id, outcome_json,
+             json_array_length(outcome_json, '$.issue') AS n_issues
+      FROM read_parquet('{FX}/outcomes.parquet')
+    ),
+    iss AS (
+      SELECT o.outcome_id, json_extract(o.outcome_json, '$.issue[' || i || ']') AS it
+      FROM o, (SELECT unnest(range(0, 16)) AS i) r
+      WHERE i < o.n_issues
+    ),
+    verdict AS (
+      SELECT outcome_id,
+             bool_or(json_extract_string(it, '$.severity') = 'error'
+                     AND NOT contains(coalesce(json_extract_string(it, '$.details.text'), ''),
+                                      '{_ALLOW_CODE}')) AS failed
+      FROM iss GROUP BY outcome_id
+    )
+    SELECT o.outcome_id, o.task_id, CAST(o.n_issues AS INT) AS n_issues, v.failed
+    FROM o JOIN verdict v ON v.outcome_id = o.outcome_id
+    """,
+    doc="OperationOutcome validation triage (U8): allowlist-aware error gate",
+    tags=("workflow", "U8"),
+)
+def q71_outcome_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.documents import operation_outcome_failed
+
+    o = load_tables(spark, FX, ["outcomes"])["outcomes"]
+    n_issues = F.size(
+        F.from_json(F.get_json_object("outcome_json", "$.issue"), "array<string>")
+    )
+    return o.select(
+        "outcome_id",
+        "task_id",
+        n_issues.alias("n_issues"),
+        operation_outcome_failed(F.col("outcome_json")).alias("failed"),
+    )

@@ -422,6 +422,36 @@ def gen_ods_csvs(rng: random.Random, orgs, pracs):
     print(f"  egpcur.csv: {len(eg_rows)} rows")
 
 
+def gen_outcomes(rng: random.Random):
+    """OperationOutcome responses from validation POSTs (U8 triage,
+    dags/ConsultationNoteWritebackX.py:434-468): mixes of error/warning/
+    information issues, some errors carrying the allowlisted concept code
+    in details.text (those must NOT fail validation), some issues with
+    no details at all (the null-tolerance path)."""
+    allow = "307321000000107"
+    rows = []
+    for i in range(120):
+        n_issues = rng.randrange(1, 4)
+        issues = []
+        for _ in range(n_issues):
+            sev = rng.choice(["error", "warning", "information"])
+            issue = {"severity": sev, "code": rng.choice(["invalid", "processing", "informational"])}
+            r = rng.random()
+            if r < 0.3:
+                issue["details"] = {"text": f"Concept {allow} is allowlisted here"}
+            elif r < 0.8:
+                issue["details"] = {"text": f"Validation message {rng.randrange(100)}"}
+            # else: no details block at all
+            issues.append(issue)
+        doc = {"resourceType": "OperationOutcome", "issue": issues}
+        rows.append({
+            "outcome_id": i,
+            "task_id": f"T-{rng.randrange(40)}",
+            "outcome_json": json.dumps(doc, separators=(",", ":")),
+        })
+    return rows
+
+
 def gen_media(rng: random.Random):
     """Multimodal fixture: opaque binary payloads + typed metadata
     (builder brief "Multimodal columns"). Payload bytes are deterministic
@@ -512,6 +542,10 @@ def main() -> None:
         ("media_id", pa.int64()), ("doc_id", pa.int64()), ("kind", pa.string()),
         ("format", pa.string()), ("payload", pa.binary()),
         ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64())]))
+
+    outcomes = gen_outcomes(random.Random(SEED + 2))  # own stream, like media
+    write_parquet("outcomes", outcomes, pa.schema([
+        ("outcome_id", pa.int64()), ("task_id", pa.string()), ("outcome_json", pa.string())]))
     print("done")
 
 
