@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, scale_out
 from .registry import register
 
 # --- shared deterministic hashing ------------------------------------------
@@ -93,7 +93,9 @@ def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     The equivalent higher-order form (``transform`` building the shingle
     array, then explode) evaluates its lambdas in interpreted mode and was
     4-8× slower at sf0.1; HOFs stay out of this hot path deliberately."""
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # the per-position md5 below is compute-bound: spread a one-row-group
+    # scan across cores (no-op at real scale — see scale_out)
+    docs = scale_out(load_tables(spark, sf_dir, ["documents"])["documents"])
     tk = docs.select("doc_id", F.split(docs.text, " ").alias("t"))
     # <3-token docs MUST be filtered before sequence(): sequence(0, n-3)
     # with n<3 descends through negatives and element_at(t, 0) throws
@@ -342,7 +344,9 @@ def _duck_simhash_oracle() -> str:
     tags=("dedup", "llm"),
 )
 def q25_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    # explode + per-token md5 + 32 partial sums are the CPU hot path and
+    # run at SCAN parallelism — spread a small scan first (scale-safe no-op)
+    docs = scale_out(load_tables(spark, sf_dir, ["documents"])["documents"])
     tok = docs.select("doc_id", F.explode(F.split(docs.text, " ")).alias("w"))
     hs = tok.select("doc_id", _md5_int(F.col("w")).alias("h"))
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, scale_out
 from .registry import register
 
 STOPWORDS = ["the", "a", "of", "and", "in"]
@@ -342,7 +342,9 @@ def _md5_int_col(col):
     tags=("text", "dedup", "llm"),
 )
 def q51_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # the per-character-position hashing is by far the heaviest map work
+    # in the repo; never let it inherit a one-row-group scan's parallelism
+    docs = scale_out(_docs(spark, sf_dir))
     t = docs.text
     empty = F.array().cast("array<bigint>")
     hs = F.when(
@@ -412,7 +414,7 @@ def q51_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm", "quality"),
 )
 def q62_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = scale_out(_docs(spark, sf_dir))
     tok = d.select("doc_id", F.explode(F.split(d.text, " ")).alias("w"))
     tc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
     tstats = tc.groupBy("doc_id").agg(

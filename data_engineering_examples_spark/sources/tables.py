@@ -70,3 +70,23 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Unlock executor parallelism for CPU-heavy map stages over small
+    scans: repartition ONLY when the scan yields fewer partitions than
+    the cluster's default parallelism.
+
+    The trap this fixes: a compute-bound, shuffle-free pipeline (per-char
+    hashing, per-token fingerprints) inherits the SCAN's parallelism, and
+    a dataset that arrives as one small parquet file — one row group —
+    cannot be split, so all the CPU lands on a single core. At real scale
+    the input is many files/row-groups, the partition count exceeds the
+    core count, and this is a no-op; below that threshold the data is by
+    definition small, so the extra exchange is cheap relative to the map
+    work it parallelizes."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
