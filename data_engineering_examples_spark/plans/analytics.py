@@ -666,8 +666,14 @@ def q56_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(revenue).alias("total"))
     )
-    w = Window.orderBy(F.desc("total"))
-    top = rev.withColumn("_rk", F.rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    # top-1 with ties via max-agg + broadcast join-back (the oracle's
+    # correlated max, and TPC-H Q15's official shape). A rank() over a
+    # GLOBAL ordering would move the whole supplier-cardinality aggregate
+    # to one partition (WindowExec warns exactly this) — the max is a
+    # 1-row broadcast instead, and the rev subtree's shuffle is reused
+    # across both consumers.
+    mx = rev.agg(F.max("total").alias("total"))
+    top = rev.join(F.broadcast(mx), "total")
     return (
         top.join(F.broadcast(t["supplier"]), top.l_suppkey == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
