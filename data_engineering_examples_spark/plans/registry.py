@@ -61,20 +61,25 @@ _PRIORITY: tuple = (
     # FHIR tail (W3/F16, F19/F20, L3, S5/A5)
     "q37_vital_signs_series", "q38_cohort_onehot",
     "q41_patient_silver_from_bronze", "q45_extract_collection",
+    # egpcur builders + outcome triage (U2/F13, U3/F14, U8)
+    "q69_practitioner_fhir_build", "q70_practitioner_role_build",
+    "q71_outcome_triage",
     # sampling / sessions / skew (A6, T5, scale)
     "q52_stratified_sample", "q59_user_sessions", "q54_salted_join",
-    # LLM dedup components
+    # LLM dedup components (SimHash q25 sits just past the window: its
+    # component row keeps local verification, freeing a slot for a §2 ID)
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
-    "q25_simhash_fingerprint", "q61_dedup_verdict",
+    "q61_dedup_verdict",
     # LLM similarity / ANN components
     "q31_cosine_topk", "q32_ann_lsh_topk", "q49_embedding_neardup",
     "q50_ivf_topk",
-    # LLM text components
+    # LLM text components (lang-id q30 just past the window; the quality
+    # row keeps q29 in-window)
     "q26_token_stats", "q27_corpus_stats", "q29_quality_score",
-    "q30_lang_id", "q51_winnow_fingerprint", "q62_repetition_signals",
+    "q51_winnow_fingerprint", "q62_repetition_signals",
     "q67_clean_corpus",
-    # multimodal
-    "q42_media_stats", "q43_media_caption_pairs",
+    # multimodal (caption-pairs q43 just past the window; q42 carries it)
+    "q42_media_stats",
 )
 
 
