@@ -481,3 +481,107 @@ def q63_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_doc", "existing_doc")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — dedup CLUSTERS: connected components over the union of exact-dup
+# edges (sha-group stars) and MinHash-LSH candidate edges. Pairs (q23/
+# q24) tell you who collided; the pipeline decision — keep ONE document
+# per duplicate GROUP — needs the transitive closure (A~B, B~C ⇒ one
+# cluster even when A~C never collided). cluster_id = min doc_id in the
+# component, so `doc_id == cluster_id` is the keeper rule.
+#
+# Algorithm: min-label propagation WITH pointer jumping — each round
+# every node adopts min(own label, neighbours' labels, label-of-label),
+# so convergence is O(log diameter) rounds, not O(diameter);
+# CC_ROUNDS = 4 covers diameters into the tens of thousands. Each round
+# is two shuffles (neighbour min on u, label lookup on label); rounds
+# are localCheckpoint()ed so the plan stays flat instead of doubling
+# per iteration (on a cluster, use a reliable checkpoint dir — this is
+# the GraphFrames/GraphX CC pattern re-expressed on DataFrames).
+# Deterministic: min over a semilattice, order-independent. The oracle
+# is the full transitive closure via DuckDB's recursive CTE, so the
+# fixed round count is verified sufficient, not assumed.
+
+CC_ROUNDS = 4
+
+
+@register(
+    "q72_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {{bands_cte}},
+    exact_e AS (
+      SELECT keeper AS u, doc_id AS v FROM (
+        SELECT doc_id, min(doc_id) OVER (
+          PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
+        FROM documents)
+      WHERE doc_id <> keeper
+    ),
+    near_e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    e AS (SELECT u, v FROM exact_e UNION SELECT u, v FROM near_e),
+    bidir AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.u, r.label FROM bidir b JOIN reach r ON r.id = b.v
+    ),
+    cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           id = cluster_id AS is_keeper
+    FROM cc
+    """.format(bands_cte=_duck_minhash_bands_cte()),
+    doc="dedup clusters: connected components over exact+LSH edges (keeper=min)",
+    tags=("dedup", "llm", "graph"),
+)
+def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
+    keyed = docs.select("doc_id", F.sha2(norm, 256).alias("h"))
+    keeper = F.min("doc_id").over(Window.partitionBy("h"))
+    exact_e = (
+        keyed.withColumn("k", keeper)
+        .filter(F.col("doc_id") != F.col("k"))
+        .select(F.col("k").alias("u"), F.col("doc_id").alias("v"))
+    )
+    near_e = q24_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    edges = exact_e.union(near_e).distinct()
+    # materialize the edge set ONCE — it feeds every propagation round,
+    # and recomputing it would re-run the whole LSH pipeline per round
+    bidir = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+
+    labels = docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
+    for _ in range(CC_ROUNDS):
+        neighbour_min = (
+            bidir.join(labels, bidir.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # least() skips NULLs, so isolated nodes keep their own label
+        labels = labels.join(neighbour_min, labels.id == neighbour_min.u, "left").select(
+            "id", F.least("label", "nlabel").alias("label")
+        )
+        # pointer jump: adopt the label of the current label's node
+        parents = labels.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
+        labels = (
+            labels.join(parents, labels.label == parents.pid)
+            .select("id", F.col("plabel").alias("label"))
+            .localCheckpoint()
+        )
+
+    cc = labels.groupBy("id").agg(F.min("label").alias("cluster_id"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
+        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+    )

@@ -163,3 +163,18 @@ def test_hot_shingle_df_cap_prunes_boilerplate_pairs(spark, tmp_path):
     assert not {p for p in pairs if p[0] >= 2 or p[1] >= 2}
     # ...but 0/1 still pair through their 4 shared non-boilerplate shingles
     assert (0, 1) in pairs
+
+
+def test_dedup_clusters_are_transitive(spark, dup_corpus):
+    """q72: exact edges (0-1, 0-2) and the LSH edge (0-3) must merge into
+    ONE cluster keyed by the min doc_id, even though 1~3 / 2~3 never
+    collide directly; the unrelated doc stays a singleton keeper."""
+    rows = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in all_specs()["q72_dedup_clusters"].fn(spark, dup_corpus).collect()
+    }
+    assert rows[0] == (0, 4, True)
+    assert rows[1] == (0, 4, False)
+    assert rows[2] == (0, 4, False)
+    assert rows[3] == (0, 4, False)
+    assert rows[4] == (4, 1, True)
