@@ -10,8 +10,10 @@ brief "Multimodal columns"; operators in ``operators/media.py``).
   caption). Slim projections only; payloads never enter the join.
   Oracle-checked.
 * **q44** — the Arrow-batched featurizer stage (``mapInPandas``) with
-  the deterministic stand-in encoder. Not SQL-expressible (rows-only
-  driver check); determinism + shape are pytest-gated.
+  the deterministic stand-in encoder; oracle-checked (the byte-histogram
+  is recomputed in SQL via the hex high-nibble trick below).
+* **q74** — video frame sampling: the 1-row→k-rows ``mapInPandas``
+  fan-out, oracle-checked through hex-offset slicing.
 """
 
 from __future__ import annotations
@@ -118,3 +120,46 @@ _FEATURE_EXPRS = ", ".join(
 )
 def q44_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(_media(spark))
+
+
+# ---------------------------------------------------------------------------
+# q74 — video frame sampling (1 row → k rows, the fan-out shape of a real
+# frame extractor). The Spark side runs the REAL mapInPandas stage
+# (operators/media.py:sample_frames — byte-window slicing standing in for
+# frame decode) and hex-encodes the emitted frames for the compare;
+# the oracle recomputes every offset and slices the hex rendering of the
+# payload directly (DuckDB 1.0 has no BLOB substring, but hex doubles
+# offsets losslessly: byte [o, o+64) == hex chars [2o+1, 2o+128]).
+
+_FRAME_N, _FRAME_BYTES = 4, 64
+
+
+@register(
+    "q74_frame_samples",
+    oracle=f"""
+    WITH v AS (
+      SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+      FROM read_parquet('{FX}/media.parquet')
+      WHERE kind = 'video' AND octet_length(payload) > 0
+    ),
+    idx AS (SELECT unnest(range(0, {_FRAME_N})) AS i),
+    f AS (
+      SELECT v.media_id, CAST(idx.i AS INT) AS frame_idx,
+             least(idx.i * greatest(1, n // {_FRAME_N}), greatest(0, n - 1)) AS off,
+             v.hx
+      FROM v, idx
+    )
+    SELECT media_id, frame_idx,
+           substring(hx, CAST(off * 2 + 1 AS BIGINT), {_FRAME_BYTES * 2}) AS frame_hex
+    FROM f
+    """,
+    doc="video frame sampling fan-out (mapInPandas, 1 row -> k frames)",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q74_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import sample_frames
+
+    frames = sample_frames(_media(spark), n_frames=_FRAME_N, frame_bytes=_FRAME_BYTES)
+    return frames.select(
+        "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
+    )

