@@ -334,3 +334,75 @@ def q71_outcome_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_issues.alias("n_issues"),
         operation_outcome_failed(F.col("outcome_json")).alias("failed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — the task-queue micro-batch state machine END-TO-END under the
+# oracle: the query stages the tasks fixture as a stream input, drains it
+# with Trigger.AvailableNow through TaskStateMachine (T1 poll trigger,
+# T3 transitions + audit notes, S9 status writeback, T2 dedup/terminal
+# guards — streaming/tasks.py), then returns the resulting state table.
+# The oracle replays the same algebra in SQL: latest version per id,
+# runaway guard, non-terminal advance one step, version bump, and the
+# audit-note JSON append (rebuilt entry-by-entry compact, because Spark's
+# from_json→to_json normalizes the fixture's spaced JSON while DuckDB
+# stores raw text). The injected clock makes the appended note
+# deterministic. Stream state lands in a per-call temp dir (left for the
+# lazy result DataFrame to read; /tmp-lifetime).
+
+_Q75_NOW = "2025-09-01T00:00:00"
+
+
+@register(
+    "q75_task_stream_state",
+    oracle=f"""
+    WITH latest AS (
+      SELECT * FROM (
+        SELECT id, status, version_id, note,
+               row_number() OVER (PARTITION BY id ORDER BY version_id DESC) AS rn
+        FROM read_parquet('{FX}/tasks.parquet')
+      ) WHERE rn = 1 AND version_id <= 1000
+    ),
+    adv AS (
+      SELECT * FROM latest
+      WHERE status NOT IN ('completed', 'failed', 'cancelled', 'rejected')
+    ),
+    els AS (
+      SELECT a.id, i AS idx, json_extract(a.note, '$[' || i || ']') AS el
+      FROM adv a, (SELECT unnest(range(0, 8)) AS i) r
+      WHERE i < json_array_length(a.note)
+    ),
+    notes AS (
+      SELECT id,
+             string_agg('{{"time":"' || json_extract_string(el, '$.time')
+                        || '","text":"' || json_extract_string(el, '$.text') || '"}}',
+                        ',' ORDER BY idx) AS existing
+      FROM els GROUP BY id
+    )
+    SELECT a.id,
+           CASE a.status WHEN 'accepted' THEN 'in-progress'
+                         WHEN 'in-progress' THEN 'completed'
+                         ELSE a.status END AS status,
+           a.version_id + 1 AS version_id,
+           '[' || coalesce(n.existing || ',', '')
+               || '{{"time":"{_Q75_NOW}+00:00","text":"transition"}}]' AS note
+    FROM adv a LEFT JOIN notes n ON n.id = a.id
+    """,
+    doc="streaming task state machine drained availableNow (T1/T3/S9/T2)",
+    tags=("workflow", "T1", "T3", "S9", "T2"),
+)
+def q75_task_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.tasks import TaskStateMachine
+
+    base = tempfile.mkdtemp(prefix="q75_stream_")
+    inp = f"{base}/in"
+    import os as _os
+
+    _os.makedirs(inp)
+    shutil.copy(f"{FX}/tasks.parquet", f"{inp}/tasks.parquet")
+    sm = TaskStateMachine(spark, f"{base}/state", now_utc=_Q75_NOW)
+    sm.run_available(inp, f"{base}/ckpt")
+    return sm.state().select("id", "status", "version_id", "note")
