@@ -202,12 +202,19 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whose partitioning the pair self-join (also keyed on shingle)
     # then reuses — the guard costs no extra exchange.
     w = Window.partitionBy("shingle")
+    # materialize the capped substrate ONCE: it feeds both self-join
+    # sides AND the size lookup, and runtime exchange reuse only dedupes
+    # the scan — each branch would still pay its own explode+md5+window
+    # chain (measured: 4 copies of a 2-exchange pipeline). This is the
+    # "substrate materialized once, bucketed by shingle" pattern from the
+    # module docstring, expressed as a checkpoint at query scope.
     sh = (
         _hashed_shingles(spark, sf_dir)
         .withColumnRenamed("sh", "shingle")
         .withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
         .drop("df")
+        .localCheckpoint()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
