@@ -30,7 +30,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, scale_out
 from .registry import register
 
 N_PROBES = 10
@@ -110,7 +110,9 @@ def _duck_plane(p: list[float]) -> str:
     tags=("similarity", "llm"),
 )
 def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # the HOF dot products below are interpreted and compute-bound:
+    # never inherit a one-row-group scan's single-partition layout
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
     probes = F.broadcast(
         v.filter(F.col("vec_id") < N_PROBES)
@@ -211,7 +213,9 @@ def _signatures(v: DataFrame) -> DataFrame:
     tags=("similarity", "llm"),
 )
 def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # the HOF dot products below are interpreted and compute-bound:
+    # never inherit a one-row-group scan's single-partition layout
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
     bands = _signatures(v)
 
@@ -309,7 +313,9 @@ def _duck_neardup_oracle() -> str:
     tags=("dedup", "similarity", "llm"),
 )
 def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # the HOF dot products below are interpreted and compute-bound:
+    # never inherit a one-row-group scan's single-partition layout
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
     bands = _signatures(v)
 
@@ -409,7 +415,9 @@ def _duck_ivf_oracle() -> str:
     tags=("similarity", "llm"),
 )
 def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # the HOF dot products below are interpreted and compute-bound:
+    # never inherit a one-row-group scan's single-partition layout
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
     cents = F.broadcast(
         v.filter(F.col("vec_id").isin(CENT_IDS)).select(
