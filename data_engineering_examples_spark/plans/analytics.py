@@ -1079,3 +1079,40 @@ def q66_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "event_id", "left")
         .na.fill({"n_followups_6h": 0})
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — the spark.sql TEXT surface as a driver-gated query (SURVEY §3.1:
+# users submit SQL strings; Catalyst parses/analyzes against the views
+# registered by plans/sql_text.py). The statement is a TPC-H Q12-flavored
+# late-shipment count: same string shape a reference user would write,
+# no DataFrame API in the query body at all.
+
+_Q76_SQL = """
+SELECT year(o.o_orderdate) AS order_year,
+       o.o_orderpriority,
+       count(*) AS n_late_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+GROUP BY year(o.o_orderdate), o.o_orderpriority
+"""
+
+
+@register(
+    "q76_sql_text_late_lines",
+    oracle="""
+    SELECT year(o.o_orderdate) AS order_year,
+           o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_late_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY year(o.o_orderdate), o.o_orderpriority
+    """,
+    doc="SQL-text entry (spark.sql): late-shipment counts, Q12 flavor",
+    tags=("sql_text", "join", "agg"),
+)
+def q76_sql_text_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql_text import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q76_SQL)
