@@ -1,0 +1,297 @@
+"""L4 — corpus-preparation operators for LLM training pipelines (builder
+brief: dedup / text analysis beyond the reference's own surface).
+
+Four pipeline stages every large-scale pretraining corpus pass needs,
+each expressed as pure Column expressions (codegen, zero Python UDFs):
+
+* q77 — CCNet-style segment-level dedup: drop word segments that repeat
+  anywhere in the corpus, reassemble the surviving text per document.
+* q78 — PII scrubbing: redact emails / phone numbers / NHS numbers from
+  free-text clinical notes (fixture ``clinical_notes.parquet``) and count
+  redactions per category. The note text is the same shape as the
+  reference's consultation notes (dags/ConsultationNoteWritebackX.py:336-399).
+* q79 — benchmark decontamination: flag corpus documents sharing word
+  n-grams with a held-out eval set (the standard pretraining hygiene
+  pass; eval membership here is ``doc_id % 97 == 0``).
+* q80 — chunk packing: split documents into fixed-length overlapping
+  token windows (training-sequence preparation).
+
+Scale notes (100 TB):
+* q77 shuffles segments ONCE by their 60-bit hash for the corpus-wide
+  occurrence count (window over the hash key — group sizes are bounded
+  by the duplication factor, so no skew risk), then once by doc_id for
+  reassembly. The alternative count-table + join shape adds a third
+  exchange for no narrower shuffle; at extreme duplication (one segment
+  in 10^6 docs) the window partition is still just that segment's
+  occurrence list.
+* q78 and q80 are map-only — no shuffle at all; they scale with scan
+  bandwidth.
+* q79 broadcasts the eval-set shingle index: a benchmark suite is small
+  by construction (thousands of documents), so the corpus side never
+  shuffles — the contamination join is a scan-local hash probe, then one
+  partial-aggregated exchange on doc_id.
+* Segment/shingle/chunk construction everywhere follows the measured
+  dedup_queries.py pattern: explode positions first and build strings
+  row-wise inside whole-stage codegen (interpreted higher-order
+  ``transform`` lambdas were 4-8x slower at sf0.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.fhir import FIXTURES_DIR
+from ..sources.tables import load_tables, scale_out
+from .dedup_queries import _duck_md5_int, _hashed_shingles, _md5_int
+from .registry import register
+
+SEG_LEN = 4          # words per dedup segment (CCNet uses lines; the
+                     # synthetic corpus has no newlines, so fixed word
+                     # windows stand in — same machinery)
+DECON_MOD = 97       # doc_id % DECON_MOD == 0 => held-out eval member
+CHUNK_LEN = 32       # tokens per training chunk
+CHUNK_STRIDE = 24    # chunk start stride (=> CHUNK_LEN-CHUNK_STRIDE overlap)
+
+# PII patterns — identical RE2/Java-regex subset, applied in a fixed
+# order on both engines (NHS first: its two-space shape cannot overlap
+# the single-space mobile pattern, but a fixed order keeps the composed
+# rewrite bit-identical regardless).
+PII_PATTERNS = (
+    ("nhs", r"\b\d{3} \d{3} \d{4}\b", "[NHS]"),
+    ("phone", r"\b07\d{3} ?\d{6}\b", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+)
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = scale_out(load_tables(spark, sf_dir, ["documents"])["documents"])
+    return docs.select("doc_id", F.split(docs.text, " ").alias("t"))
+
+
+# ---------------------------------------------------------------------------
+# q77 — segment-level corpus dedup (CCNet-style).
+
+
+@register(
+    "q77_segment_dedup",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(ceil(len(t) / {SEG_LEN}.0) AS BIGINT) - 1)) AS s
+      FROM words
+    ),
+    seg AS (
+      SELECT doc_id, s,
+             array_to_string(t[(s * {SEG_LEN}) + 1 : (s + 1) * {SEG_LEN}], ' ') AS seg
+      FROM idx
+    ),
+    counted AS (
+      SELECT doc_id, s, seg,
+             count(*) OVER (PARTITION BY {_duck_md5_int('seg')}) AS n
+      FROM seg
+    )
+    SELECT doc_id,
+           count(*) AS n_segments,
+           count(*) FILTER (n = 1) AS n_kept,
+           string_agg(seg, ' ' ORDER BY s) FILTER (n = 1) AS clean_text
+    FROM counted
+    GROUP BY doc_id
+    """,
+    doc="CCNet-style segment dedup: drop corpus-repeated word segments, "
+        "reassemble per doc; 2 shuffles (segment-hash window + doc_id)",
+    tags=("text", "dedup", "llm"),
+)
+def q77_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = _doc_tokens(spark, sf_dir)
+    seg = tk.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.ceil(F.size("t") / F.lit(float(SEG_LEN))) - 1,
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "s",
+        F.concat_ws(
+            " ", F.slice("t", (F.col("s") * SEG_LEN + 1).cast("int"), SEG_LEN)
+        ).alias("seg"),
+    )
+    # corpus-wide occurrence count: one shuffle on the 60-bit segment hash
+    counted = seg.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(_md5_int(F.col("seg"))))
+    )
+    kept = F.col("n") == 1
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("s", "seg")))
+                    ),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("_ct"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            # DuckDB's filtered string_agg is NULL when nothing survives
+            F.when(F.col("n_kept") > 0, F.col("_ct")).alias("clean_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q78 — PII scrubbing over clinical notes (map-only).
+
+_FX_NOTES = os.path.join(FIXTURES_DIR, "clinical_notes.parquet")
+
+
+def _scrubbed_sql() -> str:
+    expr = "note_text"
+    for _, pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@register(
+    "q78_pii_scrub",
+    oracle=f"""
+    SELECT note_id,
+           {_scrubbed_sql()} AS clean_text,
+           len(regexp_extract_all(note_text, '{PII_PATTERNS[0][1]}')) AS n_nhs,
+           len(regexp_extract_all(note_text, '{PII_PATTERNS[1][1]}')) AS n_phones,
+           len(regexp_extract_all(note_text, '{PII_PATTERNS[2][1]}')) AS n_emails,
+           (len(regexp_extract_all(note_text, '{PII_PATTERNS[0][1]}'))
+            + len(regexp_extract_all(note_text, '{PII_PATTERNS[1][1]}'))
+            + len(regexp_extract_all(note_text, '{PII_PATTERNS[2][1]}'))) > 0 AS has_pii
+    FROM read_parquet('{_FX_NOTES}')
+    """,
+    doc="PII redaction (email/phone/NHS) + per-category counts over "
+        "clinical notes; map-only, scales with scan bandwidth",
+    tags=("text", "pii", "llm"),
+)
+def q78_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    notes = spark.read.parquet(_FX_NOTES)
+    clean = F.col("note_text")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    counts = {
+        name: F.regexp_count("note_text", F.lit(pat))
+        for name, pat, _ in PII_PATTERNS
+    }
+    return notes.select(
+        "note_id",
+        clean.alias("clean_text"),
+        counts["nhs"].alias("n_nhs"),
+        counts["phone"].alias("n_phones"),
+        counts["email"].alias("n_emails"),
+        ((counts["nhs"] + counts["phone"] + counts["email"]) > 0).alias("has_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — benchmark decontamination (n-gram overlap vs a held-out eval set).
+
+
+@register(
+    "q79_decontamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(
+                    list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                    s -> {_duck_md5_int('s')})) AS sh
+           FROM tok),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_MOD} = 0)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           count(e.sh) AS n_contaminated,
+           count(e.sh) > 0 AS contaminated
+    FROM sh s LEFT JOIN ev e ON s.sh = e.sh
+    WHERE s.doc_id % {DECON_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+    doc="eval-set n-gram decontamination: corpus docs sharing word "
+        "trigrams with the held-out set; eval index broadcast, corpus "
+        "side never shuffles before the doc_id rollup",
+    tags=("text", "dedup", "llm"),
+)
+def q79_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Production would use 8-13-gram shingles; the shared trigram
+    # substrate keeps the synthetic corpus's overlap rate testable and
+    # reuses dedup_queries' measured codegen shingle builder.
+    sh = _hashed_shingles(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECON_MOD == 0
+    eval_sh = sh.filter(is_eval).select("sh").distinct().withColumn("hit", F.lit(1))
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — training-chunk packing (fixed-length overlapping token windows).
+
+
+@register(
+    "q80_doc_chunks",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, (len(t) - 1) // {CHUNK_STRIDE})) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           s AS chunk_idx,
+           s * {CHUNK_STRIDE} + 1 AS first_token,
+           array_to_string(t[(s * {CHUNK_STRIDE}) + 1 : (s * {CHUNK_STRIDE}) + {CHUNK_LEN}], ' ')
+             AS chunk_text,
+           len(t[(s * {CHUNK_STRIDE}) + 1 : (s * {CHUNK_STRIDE}) + {CHUNK_LEN}])
+             AS n_chunk_tokens
+    FROM idx
+    """,
+    doc=f"split docs into {CHUNK_LEN}-token chunks at stride {CHUNK_STRIDE} "
+        "(training-sequence prep); map-only, no shuffle",
+    tags=("text", "llm"),
+)
+def q80_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tk = _doc_tokens(spark, sf_dir)
+    start = F.col("s") * CHUNK_STRIDE + 1
+    chunk = F.slice("t", start.cast("int"), CHUNK_LEN)
+    return tk.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size("t") - 1) / F.lit(CHUNK_STRIDE)),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s").alias("chunk_idx"),
+        start.alias("first_token"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

@@ -93,6 +93,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import etl_queries  # noqa: F401
     from . import workflow_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import corpus_queries  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:

@@ -1,0 +1,128 @@
+"""Behavioral tests for the corpus-preparation queries (q77-q80): does
+segment dedup actually drop repeated segments, does PII scrubbing redact,
+does decontamination flag eval overlap, do chunks tile correctly?
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_examples_spark.plans.corpus_queries import (
+    CHUNK_LEN,
+    CHUNK_STRIDE,
+    DECON_MOD,
+    PII_PATTERNS,
+)
+from data_engineering_examples_spark.plans.registry import all_specs
+
+
+def _write_documents(path, docs):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_segment_dedup_drops_repeated_segments(spark, tmp_path):
+    # SEG_LEN=4: docs 0 and 1 share their first 4-word segment verbatim;
+    # each doc's tail segment is unique. Doc 2 is entirely unique.
+    shared = "alpha beta gamma delta"
+    docs = [
+        (0, f"{shared} one two three four"),
+        (1, f"{shared} five six seven eight"),
+        (2, "nine ten eleven twelve"),
+    ]
+    sf = _write_documents(tmp_path, docs)
+    rows = {
+        r.doc_id: r for r in all_specs()["q77_segment_dedup"].fn(spark, sf).collect()
+    }
+    assert rows[0].n_segments == 2 and rows[0].n_kept == 1
+    assert rows[0].clean_text == "one two three four"
+    assert rows[1].clean_text == "five six seven eight"
+    # fully-unique doc survives intact
+    assert rows[2].n_kept == 1 and rows[2].clean_text == "nine ten eleven twelve"
+
+
+def test_segment_dedup_null_clean_text_when_all_dropped(spark, tmp_path):
+    docs = [(0, "same four word text"), (1, "same four word text")]
+    sf = _write_documents(tmp_path, docs)
+    rows = {
+        r.doc_id: r for r in all_specs()["q77_segment_dedup"].fn(spark, sf).collect()
+    }
+    assert rows[0].n_kept == 0 and rows[0].clean_text is None
+
+
+def test_pii_scrub_redacts_all_categories(spark):
+    rows = all_specs()["q78_pii_scrub"].fn(spark, "unused").collect()
+    assert len(rows) == 800
+    raw_pats = [re.compile(p) for _, p, _ in PII_PATTERNS]
+    n_redacted = 0
+    for r in rows:
+        # no raw PII survives in clean_text (email pattern would also
+        # match nothing post-replace since '[EMAIL]' has no '@')
+        for pat in raw_pats:
+            assert not pat.search(r.clean_text), (r.note_id, r.clean_text)
+        assert r.has_pii == (r.n_nhs + r.n_phones + r.n_emails > 0)
+        n_redacted += int(r.has_pii)
+    # fixture embeds PII in a majority-free mix; both classes must exist
+    assert 0 < n_redacted < 800
+
+
+def test_decontamination_flags_eval_overlap(spark, tmp_path):
+    # doc 0 is the eval member (0 % DECON_MOD == 0); doc 1 copies its text
+    # (full trigram overlap), doc 2 shares nothing.
+    eval_text = "the quick brown fox jumps over the lazy dog"
+    docs = [
+        (0, eval_text),
+        (1, eval_text),
+        (2 * DECON_MOD + 1, "completely unrelated words with zero shared trigrams here"),
+    ]
+    sf = _write_documents(tmp_path, docs)
+    rows = {
+        r.doc_id: r for r in all_specs()["q79_decontamination"].fn(spark, sf).collect()
+    }
+    assert 0 not in rows  # eval members are excluded from the output
+    assert rows[1].contaminated and rows[1].n_contaminated == rows[1].n_shingles
+    assert not rows[2 * DECON_MOD + 1].contaminated
+
+
+def test_chunks_tile_with_overlap(spark, tmp_path):
+    n_tokens = CHUNK_LEN + CHUNK_STRIDE + 5  # 61 => 3 chunks at stride 24
+    words = [f"w{i}" for i in range(n_tokens)]
+    sf = _write_documents(tmp_path, [(0, " ".join(words))])
+    rows = sorted(
+        all_specs()["q80_doc_chunks"].fn(spark, sf).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    assert len(rows) == (n_tokens - 1) // CHUNK_STRIDE + 1
+    # first chunk is the first CHUNK_LEN tokens
+    assert rows[0].chunk_text.split(" ") == words[:CHUNK_LEN]
+    # consecutive chunks overlap by CHUNK_LEN - CHUNK_STRIDE tokens
+    overlap = rows[0].chunk_text.split(" ")[CHUNK_STRIDE:]
+    assert rows[1].chunk_text.split(" ")[: CHUNK_LEN - CHUNK_STRIDE] == overlap
+    # final partial chunk carries the tail and its true length
+    assert rows[-1].n_chunk_tokens == n_tokens - 2 * CHUNK_STRIDE
+    assert rows[-1].chunk_text.split(" ")[-1] == words[-1]
+    # every chunk respects the window cap
+    assert all(r.n_chunk_tokens <= CHUNK_LEN for r in rows)
+
+
+@pytest.mark.parametrize("name", ["q77_segment_dedup", "q80_doc_chunks"])
+def test_empty_and_single_word_docs_survive(spark, tmp_path, name):
+    sf = _write_documents(tmp_path, [(0, "solo"), (1, "two words")])
+    rows = all_specs()[name].fn(spark, sf).collect()
+    assert {r.doc_id for r in rows} == {0, 1}

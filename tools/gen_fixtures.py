@@ -477,6 +477,44 @@ def gen_media(rng: random.Random):
     return rows
 
 
+def gen_clinical_notes(rng: random.Random):
+    """Free-text clinical notes with embedded synthetic PII (builder brief
+    "Text analysis" — PII scrubbing is a standard pre-training redaction
+    pass; the healthcare reference's consultation notes are exactly the
+    kind of text it applies to, dags/ConsultationNoteWritebackX.py:336-399).
+    Deterministic mix: emails, UK mobile numbers (Ofcom 07700 900xxx drama
+    range), NHS numbers (### ### ####), and PII-free notes."""
+    bodies = [
+        "patient reviewed in clinic today and reports feeling much better",
+        "bp stable medication dose unchanged review again in two weeks",
+        "discussed results with patient no further action required",
+        "referred to community physiotherapy for ongoing knee pain",
+        "telephone consultation completed safety netting advice given",
+    ]
+    rows = []
+    for i in range(800):
+        parts = [rng.choice(bodies)]
+        r = rng.random()
+        if r < 0.35:
+            parts.append(
+                f"contact at {rng.choice(['pt', 'carer', 'gp'])}{rng.randrange(1000)}"
+                f"@{rng.choice(['example.org', 'nhs.example.uk', 'mail.example.com'])}"
+            )
+        if 0.2 < r < 0.55:
+            parts.append(f"mobile 07700 900{rng.randrange(1000):03d}")
+        if 0.4 < r < 0.7:
+            parts.append(
+                f"nhs number {rng.randrange(400, 500)} {rng.randrange(100, 1000)} {rng.randrange(1000, 10000)}"
+            )
+        rng.shuffle(parts)
+        rows.append({
+            "note_id": i,
+            "patient_ref": f"Patient/{rng.randrange(N_PATIENTS)}",
+            "note_text": " ".join(parts),
+        })
+    return rows
+
+
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     rng = random.Random(SEED)
@@ -546,6 +584,10 @@ def main() -> None:
     outcomes = gen_outcomes(random.Random(SEED + 2))  # own stream, like media
     write_parquet("outcomes", outcomes, pa.schema([
         ("outcome_id", pa.int64()), ("task_id", pa.string()), ("outcome_json", pa.string())]))
+
+    notes = gen_clinical_notes(random.Random(SEED + 3))  # own stream, like media
+    write_parquet("clinical_notes", notes, pa.schema([
+        ("note_id", pa.int64()), ("patient_ref", pa.string()), ("note_text", pa.string())]))
     print("done")
 
 
