@@ -30,6 +30,15 @@ Scale notes (100 TB):
   by construction (thousands of documents), so the corpus side never
   shuffles — the contamination join is a scan-local hash probe, then one
   partial-aggregated exchange on doc_id.
+* q81 computes acceptance rates from a per-source count aggregate (one
+  tiny shuffle: the source dimension is low-cardinality by construction),
+  broadcasts the 1-row-per-source rate table back, and samples map-side
+  with a salted deterministic hash — the corpus never shuffles.
+* q82 shuffles ONCE into pack buckets; packing is sequential WITHIN a
+  bucket by nature (a running token offset), so the bucket count is the
+  parallelism knob — in production one bucket ≈ one output shard
+  (1-4 GB), i.e. tens of thousands of buckets at 100 TB, and the window
+  partition stays shard-sized.
 * Segment/shingle/chunk construction everywhere follows the measured
   dedup_queries.py pattern: explode positions first and build strings
   row-wise inside whole-stage codegen (interpreted higher-order
@@ -48,6 +57,9 @@ from ..sources.tables import load_tables, scale_out
 from .dedup_queries import _duck_md5_int, _hashed_shingles, _md5_int
 from .registry import register
 
+MIX_MOD = 1_000_000  # resolution of the deterministic sampling hash
+PACK_SEQ_LEN = 256   # tokens per packed training sequence
+PACK_BUCKETS = 16    # pack shards (≈ output files; thousands at 100 TB)
 SEG_LEN = 4          # words per dedup segment (CCNet uses lines; the
                      # synthetic corpus has no newlines, so fixed word
                      # windows stand in — same machinery)
@@ -294,4 +306,153 @@ def q80_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("first_token"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — source mixing / domain reweighting (deterministic hash sampling).
+#
+# Standard pretraining corpus op: given target mix weights per source,
+# find the largest total T the corpus can supply at that mix
+# (T = min over sources of n_s / w_s) and down-sample each source to
+# w_s * T documents. Sampling is a salted md5 threshold, so the result
+# is reproducible, engine-independent, and requires no global sort.
+# Target weights here derive from the source name ((numeric suffix % 4)
+# + 1, normalized) so both engines compute them from the data alone.
+#
+# Float determinism: both engines evaluate the identical IEEE-double
+# expression tree (cast → divide → multiply), so rates are bit-equal.
+
+
+@register(
+    "q81_source_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n,
+             (COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INT), 0)
+              % 4) + 1 AS w
+      FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source, n,
+             CAST(w AS DOUBLE) / CAST(sum(w) OVER () AS BIGINT) AS wn
+      FROM counts
+    ),
+    feasible AS (
+      SELECT source, n, wn,
+             floor(min(n / wn) OVER ()) AS t
+      FROM rates
+    ),
+    r AS (
+      SELECT source, LEAST(1.0, wn * t / n) AS rate FROM feasible
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST({_duck_md5_int("'mix:' || CAST(d.doc_id AS VARCHAR)")} % {MIX_MOD}
+               AS DOUBLE) / {MIX_MOD} < r.rate
+    """,
+    doc="domain reweighting: deterministic hash down-sample to a target "
+        "source mix; tiny count agg + broadcast rates, map-side filter",
+    tags=("text", "sampling", "llm"),
+)
+def q81_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = (
+        F.coalesce(
+            F.regexp_extract("source", r"([0-9]+)$", 1).cast("int"), F.lit(0)
+        )
+        % 4
+        + 1
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"), F.max(w).alias("w"))
+    # source is low-cardinality by construction => the unpartitioned
+    # window runs on a handful of rows, never the corpus
+    everything = Window.partitionBy()
+    wn = F.col("w").cast("double") / F.sum("w").over(everything).cast("bigint")
+    rates = (
+        counts.withColumn("wn", wn)
+        .withColumn("t", F.floor(F.min(F.col("n") / F.col("wn")).over(everything)))
+        .select(
+            "source",
+            F.least(F.lit(1.0), F.col("wn") * F.col("t") / F.col("n")).alias("rate"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("", F.lit("mix:"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % MIX_MOD
+    ).cast("double") / MIX_MOD
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(u < F.col("rate"))
+        .select("doc_id", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q82 — training-sequence packing (GPT-style concat-and-chop).
+#
+# Documents are shuffled deterministically (salted md5 order) into
+# PACK_BUCKETS shards; within a shard the token streams concatenate and
+# split at PACK_SEQ_LEN boundaries. Emits each document's span in the
+# packed stream: which sequences it lands in and at what offset.
+
+
+@register(
+    "q82_sequence_pack",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             {_duck_md5_int("'pack:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens, h % {PACK_BUCKETS} AS bucket,
+             CAST(sum(n_tokens) OVER (
+                PARTITION BY h % {PACK_BUCKETS} ORDER BY h, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM tok
+    )
+    SELECT doc_id, bucket, cum - n_tokens AS start_tok, n_tokens,
+           CAST(floor((cum - n_tokens) / {PACK_SEQ_LEN}.0) AS BIGINT) AS first_seq,
+           CAST(floor((cum - 1) / {PACK_SEQ_LEN}.0) AS BIGINT) AS last_seq,
+           CAST(floor((cum - 1) / {PACK_SEQ_LEN}.0)
+                - floor((cum - n_tokens) / {PACK_SEQ_LEN}.0) + 1 AS BIGINT) AS n_seqs
+    FROM pos
+    """,
+    doc=f"pack docs into {PACK_SEQ_LEN}-token training sequences within "
+        f"{PACK_BUCKETS} hash shards (concat-and-chop); one bucket shuffle",
+    tags=("text", "llm"),
+)
+def q82_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    h = _md5_int(F.concat_ws("", F.lit("pack:"), F.col("doc_id").cast("string")))
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    first_seq = F.floor((cum - F.col("n_tokens")) / F.lit(float(PACK_SEQ_LEN)))
+    last_seq = F.floor((cum - 1) / F.lit(float(PACK_SEQ_LEN)))
+    return tok.select(
+        "doc_id",
+        "bucket",
+        (cum - F.col("n_tokens")).alias("start_tok"),
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
     )

@@ -126,3 +126,68 @@ def test_empty_and_single_word_docs_survive(spark, tmp_path, name):
     sf = _write_documents(tmp_path, [(0, "solo"), (1, "two words")])
     rows = all_specs()[name].fn(spark, sf).collect()
     assert {r.doc_id for r in rows} == {0, 1}
+
+
+def test_source_mix_hits_target_proportions(spark, tmp_path):
+    # sources src0..src3 get raw weights 1,2,3,4 (suffix % 4 + 1).
+    # With 400 docs each: T = min(n / w_norm) = 1000, so expected kept
+    # counts are 100/200/300/400 and src3 is kept in full (rate == 1.0).
+    docs = []
+    for s in range(4):
+        for i in range(400):
+            docs.append((s * 1000 + i, f"doc text {s} {i}"))
+    sf = _write_documents_with_sources(
+        tmp_path, docs, [f"src{d[0] // 1000}" for d in docs]
+    )
+    rows = all_specs()["q81_source_mix"].fn(spark, sf).collect()
+    kept = {}
+    for r in rows:
+        kept[r.source] = kept.get(r.source, 0) + 1
+    assert kept["src3"] == 400  # rate exactly 1.0 keeps everything
+    # hash sampling is binomial: allow ~5 sigma around the expectation
+    assert abs(kept["src0"] - 100) < 45
+    assert abs(kept["src1"] - 200) < 55
+    assert abs(kept["src2"] - 300) < 60
+    # deterministic: the same call yields the identical sample
+    again = {r.doc_id for r in all_specs()["q81_source_mix"].fn(spark, sf).collect()}
+    assert again == {r.doc_id for r in rows}
+
+
+def _write_documents_with_sources(path, docs, sources):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+                "lang": ["en"] * len(docs),
+                "source": sources,
+                "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+            }
+        ),
+        os.path.join(path, "documents.parquet"),
+    )
+    return str(path)
+
+
+def test_sequence_pack_tiles_each_bucket(spark, tmp_path):
+    from data_engineering_examples_spark.plans.corpus_queries import PACK_SEQ_LEN
+
+    docs = [(i, " ".join(f"w{j}" for j in range(7 + (i * 13) % 400))) for i in range(60)]
+    sf = _write_documents(tmp_path, docs)
+    rows = all_specs()["q82_sequence_pack"].fn(spark, sf).collect()
+    assert {r.doc_id for r in rows} == {d[0] for d in docs}
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, rs in by_bucket.items():
+        rs.sort(key=lambda r: r.start_tok)
+        # the packed stream tiles: first doc at offset 0, no gaps/overlaps
+        assert rs[0].start_tok == 0
+        for a, b in zip(rs, rs[1:]):
+            assert a.start_tok + a.n_tokens == b.start_tok
+        for r in rs:
+            assert r.first_seq == r.start_tok // PACK_SEQ_LEN
+            assert r.last_seq == (r.start_tok + r.n_tokens - 1) // PACK_SEQ_LEN
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+    # long docs must span multiple sequences
+    assert any(r.n_seqs > 1 for r in rows)
