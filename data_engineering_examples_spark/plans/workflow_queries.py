@@ -406,3 +406,134 @@ def q75_task_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     sm = TaskStateMachine(spark, f"{base}/state", now_utc=_Q75_NOW)
     sm.run_available(inp, f"{base}/ckpt")
     return sm.state().select("id", "status", "version_id", "note")
+
+
+# ---------------------------------------------------------------------------
+# q83 — the applyInPandasWithState form of the task queue (SURVEY §1.1
+# task-queue row; streaming/tasks.py task_progress_stateful): per-key
+# operator state lives in the checkpointed state store instead of an
+# external table. The fixture is delivered TWICE (two files, one file per
+# micro-batch), so the oracle's n_updates = 2 proves state actually
+# persisted across batches — a stateless pipeline would report 1.
+#
+# Scale: state is hash-partitioned by task id across executors; each
+# micro-batch shuffles only its arrivals, state never rewrites in full.
+
+
+@register(
+    "q83_stateful_progress",
+    oracle=f"""
+    SELECT id, status, CAST(2 AS INT) AS n_updates, version_id AS max_version
+    FROM read_parquet('{FX}/tasks.parquet')
+    """,
+    doc="applyInPandasWithState per-task progress over a redelivered "
+        "stream drained availableNow (T1/T2/T3 operator-state form)",
+    tags=("workflow", "streaming", "T2", "T3"),
+)
+def q83_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from ..streaming.tasks import TASK_SCHEMA, task_progress_stateful
+
+    base = tempfile.mkdtemp(prefix="q83_stream_")
+    inp, out = f"{base}/in", f"{base}/out"
+    _os.makedirs(inp)
+    # two identical files = an at-least-once redelivery of every task
+    shutil.copy(f"{FX}/tasks.parquet", f"{inp}/delivery_a.parquet")
+    shutil.copy(f"{FX}/tasks.parquet", f"{inp}/delivery_b.parquet")
+
+    stream = (
+        spark.readStream.schema(TASK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one delivery per micro-batch
+        .parquet(inp)
+    )
+    # the task queue is small by nature (a poll page, not a corpus):
+    # fewer state-store partitions cut per-batch fixed overhead; the
+    # checkpoint pins the choice per query, and the session conf is
+    # restored for the analytic queries that share it
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            task_progress_stateful(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    emissions = spark.read.parquet(out)
+    last = Window.partitionBy("id").orderBy(F.desc("n_updates"))
+    return (
+        emissions.withColumn("_rn", F.row_number().over(last))
+        .filter(F.col("_rn") == 1)
+        .select("id", "status", "n_updates", "max_version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — watermark-bounded streaming dedup (streaming/tasks.py
+# dedup_stream): duplicate (id, version_id) deliveries are dropped IN the
+# stream by dropDuplicatesWithinWatermark, so downstream consumers see
+# each delivery once. Redelivered rows are removed either as in-horizon
+# duplicates (state hit) or as late data (watermark passed) — both paths
+# emit nothing, so the drained output equals the distinct delivery set.
+#
+# Scale: dedup state is bounded by arrival rate × ttl (watermark
+# reclaims it), never by stream history — the trap plain
+# dropDuplicates() on a stream walks into.
+
+
+@register(
+    "q84_stream_dedup",
+    oracle=f"""
+    SELECT id, status, version_id
+    FROM read_parquet('{FX}/tasks.parquet')
+    """,
+    doc="dropDuplicatesWithinWatermark over a redelivered task stream "
+        "drained availableNow (T2: at-least-once -> effectively-once)",
+    tags=("workflow", "streaming", "T2", "T5"),
+)
+def q84_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import shutil
+    import tempfile
+
+    from ..streaming.tasks import TASK_SCHEMA, dedup_stream
+
+    base = tempfile.mkdtemp(prefix="q84_stream_")
+    inp, out = f"{base}/in", f"{base}/out"
+    _os.makedirs(inp)
+    shutil.copy(f"{FX}/tasks.parquet", f"{inp}/delivery_a.parquet")
+    shutil.copy(f"{FX}/tasks.parquet", f"{inp}/delivery_b.parquet")
+
+    stream = (
+        spark.readStream.schema(TASK_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            dedup_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).select("id", "status", "version_id")
