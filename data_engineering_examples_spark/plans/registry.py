@@ -94,6 +94,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import workflow_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
+    from . import sketch_queries  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:

@@ -11,6 +11,7 @@ import re
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from data_engineering_examples_spark.plans.corpus_queries import (
     CHUNK_LEN,
@@ -191,3 +192,41 @@ def test_sequence_pack_tiles_each_bucket(spark, tmp_path):
             assert r.n_seqs == r.last_seq - r.first_seq + 1
     # long docs must span multiple sequences
     assert any(r.n_seqs > 1 for r in rows)
+
+
+def test_kmv_estimate_tracks_exact_distinct(spark):
+    """KMV with k=64 has ~12.7% standard error; every group estimate at
+    sf0.01 (150 true distinct users per type) must land well inside 3σ."""
+    sf = "/root/testdata/sf0.01"
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    events = load_tables(spark, sf, ["events"])["events"]
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = all_specs()["q85_kmv_distinct"].fn(spark, sf).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        rel_err = abs(r.est_distinct_users - exact[r.event_type]) / exact[r.event_type]
+        assert rel_err < 0.4, (r.event_type, r.est_distinct_users, exact[r.event_type])
+
+
+def test_kmv_is_exact_below_k(spark, tmp_path):
+    """Fewer distinct members than the sketch size => the estimate IS the
+    exact count (the KMV small-cardinality rule)."""
+    # ts is nanos-since-epoch long, matching the testdata events layout
+    # that load_tables() converts (sources/tables.py)
+    rows = [
+        (i, 1_700_000_000_000_000_000 + i, i % 10, "click", 1.0, "{}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = all_specs()["q85_kmv_distinct"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    assert out[0].n_kept == 10 and out[0].est_distinct_users == 10
