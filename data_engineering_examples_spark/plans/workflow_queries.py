@@ -537,3 +537,86 @@ def q84_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).select("id", "status", "version_id")
+
+
+# ---------------------------------------------------------------------------
+# q86 — the external-service sink (S10) under audit. The reference POSTs
+# each assembled message to a branch-chosen endpoint ($send-EMISOpen /
+# TPP / GPConnect, dags/ConsultationNoteWritebackX.py:486-519 + :293-295).
+# Here the data plane is fully deterministic — message assembly (U6),
+# endpoint routing (T4), and a transport whose accept/reject decision is
+# a pure function of the payload bytes — so the DuckDB oracle can
+# recompute the per-endpoint send/fail tallies that the sink's
+# accumulators report. The transport itself stays injected
+# (sinks/external.py): one connection per partition, rows never visit
+# the driver; only the counters do.
+
+
+@register(
+    "q86_external_send_audit",
+    oracle=None,  # replaced below: composes q47's oracle as a CTE
+    doc="per-endpoint send/fail audit of the foreachPartition external "
+        "sink over routed message payloads (S10/T4/U6)",
+    tags=("workflow", "S10", "T4"),
+)
+def q86_external_send_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sinks.external import post_partitionwise
+    from .dedup_queries import _md5_int
+
+    payloads = q47_bundle_to_message(spark, sf_dir)
+    h = _md5_int(F.concat_ws("", F.lit("route:"), F.col("encounter_identifier")))
+    # materialize once: three per-endpoint sink passes must not re-run
+    # the message-assembly UDF per pass
+    routed = payloads.withColumn(
+        "endpoint",
+        F.element_at(
+            F.array(F.lit("emis"), F.lit("gpconnect"), F.lit("tpp")),
+            (h % 3 + 1).cast("int"),
+        ),
+    ).localCheckpoint()
+
+    def transport_factory():
+        # deterministic stand-in for an HTTP session: rejects payloads
+        # whose byte length hits the modulus — a pure function of the
+        # data, so the oracle can predict every status code
+        return lambda payload: 500 if len(payload) % 97 == 0 else 201
+
+    rows = []
+    for ep in ("emis", "gpconnect", "tpp"):
+        part = routed.filter(F.col("endpoint") == ep)
+        sent, failed = post_partitionwise(part, "message_json", transport_factory)
+        if sent + failed:
+            rows.append((ep, sent + failed, sent, failed))
+    return spark.createDataFrame(
+        rows, "endpoint string, n_payloads long, n_sent long, n_failed long"
+    )
+
+
+def _q86_oracle() -> str:
+    from .dedup_queries import _duck_md5_int
+    from .registry import _REGISTRY
+
+    q47 = _REGISTRY["q47_bundle_to_message"].oracle
+    return f"""
+    WITH msg AS ({q47}),
+    routed AS (
+      SELECT message_json,
+        CASE {_duck_md5_int("'route:' || encounter_identifier")} % 3
+          WHEN 0 THEN 'emis' WHEN 1 THEN 'gpconnect' ELSE 'tpp' END AS endpoint
+      FROM msg
+    )
+    SELECT endpoint,
+           CAST(count(*) AS BIGINT) AS n_payloads,
+           CAST(count(*) FILTER (len(message_json) % 97 <> 0) AS BIGINT) AS n_sent,
+           CAST(count(*) FILTER (len(message_json) % 97 = 0) AS BIGINT) AS n_failed
+    FROM routed GROUP BY endpoint
+    """
+
+
+def _patch_q86_oracle() -> None:
+    from .registry import _REGISTRY
+
+    _REGISTRY["q86_external_send_audit"].oracle = _q86_oracle()
+
+
+_patch_q86_oracle()
