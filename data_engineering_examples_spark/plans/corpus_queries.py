@@ -1,8 +1,8 @@
 """L4 — corpus-preparation operators for LLM training pipelines (builder
 brief: dedup / text analysis beyond the reference's own surface).
 
-Four pipeline stages every large-scale pretraining corpus pass needs,
-each expressed as pure Column expressions (codegen, zero Python UDFs):
+Pipeline stages every large-scale pretraining corpus pass needs, each
+expressed as pure Column expressions (codegen, zero Python UDFs):
 
 * q77 — CCNet-style segment-level dedup: drop word segments that repeat
   anywhere in the corpus, reassemble the surviving text per document.
@@ -15,6 +15,10 @@ each expressed as pure Column expressions (codegen, zero Python UDFs):
   pass; eval membership here is ``doc_id % 97 == 0``).
 * q80 — chunk packing: split documents into fixed-length overlapping
   token windows (training-sequence preparation).
+* q81 — source mixing / domain reweighting: deterministic hash
+  down-sample to target per-source proportions.
+* q82 — sequence packing: GPT-style concat-and-chop of the shuffled
+  token stream into fixed-length training sequences.
 
 Scale notes (100 TB):
 * q77 shuffles segments ONCE by their 60-bit hash for the corpus-wide

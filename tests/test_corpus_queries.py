@@ -230,3 +230,23 @@ def test_kmv_is_exact_below_k(spark, tmp_path):
     out = all_specs()["q85_kmv_distinct"].fn(spark, str(tmp_path)).collect()
     assert len(out) == 1
     assert out[0].n_kept == 10 and out[0].est_distinct_users == 10
+
+
+def test_source_mix_feasibility_bound_by_scarce_source(spark, tmp_path):
+    """T = min(n_s / w_norm_s): a source that is scarce relative to its
+    weight caps the whole sample, and that scarce source is kept whole."""
+    # src3 wants 40% of the mix but has only 40 docs => T = 100:
+    # expected kept ≈ 10 / 20 / 30 / 40
+    docs, sources = [], []
+    for s, n in ((0, 400), (1, 400), (2, 400), (3, 40)):
+        for i in range(n):
+            docs.append((s * 1000 + i, f"text {s} {i}"))
+            sources.append(f"src{s}")
+    sf = _write_documents_with_sources(tmp_path, docs, sources)
+    kept = {}
+    for r in all_specs()["q81_source_mix"].fn(spark, sf).collect():
+        kept[r.source] = kept.get(r.source, 0) + 1
+    assert kept["src3"] == 40  # the binding source is never subsampled
+    assert abs(kept.get("src0", 0) - 10) <= 12
+    assert abs(kept.get("src1", 0) - 20) <= 18
+    assert abs(kept.get("src2", 0) - 30) <= 22
