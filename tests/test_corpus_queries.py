@@ -250,3 +250,54 @@ def test_source_mix_feasibility_bound_by_scarce_source(spark, tmp_path):
     assert abs(kept.get("src0", 0) - 10) <= 12
     assert abs(kept.get("src1", 0) - 20) <= 18
     assert abs(kept.get("src2", 0) - 30) <= 22
+
+
+def test_pii_patterns_edge_shapes():
+    """Pin the redaction regex semantics engine-independently (plain re):
+    what matches, what near-misses don't."""
+    pats = {name: re.compile(p) for name, p, _ in PII_PATTERNS}
+    # NHS: exactly 3-3-4 digit groups with single spaces
+    assert pats["nhs"].search("nhs number 485 777 3456")
+    assert not pats["nhs"].search("ref 4857 77 3456")
+    assert not pats["nhs"].search("485 777 34567")  # 5-digit tail: \b fails
+    # phone: UK mobile, optional space after the first five digits
+    assert pats["phone"].search("call 07700 900123 now")
+    assert pats["phone"].search("call 07700900123 now")
+    assert not pats["phone"].search("call 0870 0900123 now")  # not 07xxx
+    # email: plus-addressing and subdomains match; bare @ does not
+    assert pats["email"].search("x test+tag@sub.example.org y")
+    assert not pats["email"].search("meet @ 5pm")
+
+
+def test_pii_scrub_spark_matches_plain_re(spark, tmp_path):
+    """The Spark regexp_replace cascade must equal Python re.sub applied
+    in the same pattern order, including adjacent/overlapping hits."""
+    notes = [
+        (0, "a@b.co 07700 900123 485 777 3456"),
+        (1, "no pii here at all"),
+        (2, "double email one@example.org two@example.org"),
+        (3, "nhs 485 777 3456 nhs 490 123 9876"),
+        (4, "edge07700 900123 still redacts the number"),
+    ]
+    import data_engineering_examples_spark.plans.corpus_queries as cq
+
+    pq.write_table(
+        pa.table(
+            {
+                "note_id": pa.array([n[0] for n in notes], pa.int64()),
+                "patient_ref": ["Patient/1"] * len(notes),
+                "note_text": [n[1] for n in notes],
+            }
+        ),
+        str(tmp_path / "clinical_notes.parquet"),
+    )
+    from unittest import mock
+
+    with mock.patch.object(cq, "_FX_NOTES", str(tmp_path / "clinical_notes.parquet")):
+        rows = {r.note_id: r.clean_text for r in cq.q78_pii_scrub(spark, "unused").collect()}
+
+    for nid, text in notes:
+        expected = text
+        for _, pat, repl in PII_PATTERNS:
+            expected = re.sub(pat, repl, expected)
+        assert rows[nid] == expected, (nid, rows[nid], expected)
