@@ -19,6 +19,9 @@ expressed as pure Column expressions (codegen, zero Python UDFs):
   down-sample to target per-source proportions.
 * q82 — sequence packing: GPT-style concat-and-chop of the shuffled
   token stream into fixed-length training sequences.
+* q88 — tokenizer vocabulary build: frequency-ranked contiguous term
+  ids with special tokens and a min-count cutoff, assigned via a
+  distributed rank decomposition (no global single-partition window).
 
 Scale notes (100 TB):
 * q77 shuffles segments ONCE by their 60-bit hash for the corpus-wide
@@ -460,3 +463,109 @@ def q82_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_seq.alias("last_seq"),
         (last_seq - first_seq + 1).alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q88 — tokenizer vocabulary build: frequency-ranked contiguous term ids
+# (the vocab-init step of any tokenizer training run; special tokens take
+# the first ids, then corpus terms by (count DESC, term ASC) with a
+# min-count OOV cutoff).
+#
+# Scale design:
+# * Two-level word count (per-doc tf, then per-term sum + doc_freq) —
+#   the second shuffle moves pre-aggregated (doc, term) rows, never raw
+#   occurrences, and yields both n_occurrences and doc_freq without a
+#   distinct-aggregate expansion.
+# * Contiguous id assignment does NOT use a global single-partition
+#   window over the vocab. Ranks decompose as
+#   id = |terms with higher count| + rank-within-own-count(term ASC):
+#   the within-count window partitions by n_occurrences (parallel, and
+#   count groups are Zipf-bounded), and the cross-count offsets come
+#   from a running sum over the DISTINCT count values — a table that is
+#   orders of magnitude smaller than the vocab (counts collapse onto few
+#   distinct values by Zipf's law), so its one-partition window is a
+#   driver-sized footnote, and it broadcasts back.
+# * DuckDB expresses the same ids as one flat
+#   row_number() OVER (ORDER BY count DESC, term ASC) — the decomposition
+#   is exactly that rank, so the hash gate proves the distributed
+#   assignment equals the naive global sort.
+
+VOCAB_MIN_COUNT = 2
+VOCAB_SPECIALS = ("<pad>", "<unk>", "<bos>", "<eos>")
+
+
+def _vocab_oracle() -> str:
+    specials = ", ".join(
+        f"('{t}', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST({i} AS BIGINT))"
+        for i, t in enumerate(VOCAB_SPECIALS)
+    )
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    counts AS (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS n_occurrences,
+             count(*) AS doc_freq
+      FROM tf GROUP BY term
+      HAVING CAST(sum(tf) AS BIGINT) >= {VOCAB_MIN_COUNT}
+    )
+    SELECT term, n_occurrences, doc_freq,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, term ASC)
+                + {len(VOCAB_SPECIALS) - 1} AS BIGINT) AS vocab_id
+    FROM counts
+    UNION ALL
+    SELECT * FROM (VALUES {specials}) AS v(term, n_occurrences, doc_freq, vocab_id)
+    """
+
+
+@register(
+    "q88_vocab_build",
+    oracle=_vocab_oracle(),
+    doc="frequency-ranked contiguous vocab ids via distributed rank decomposition",
+    tags=("text", "llm", "vocab"),
+)
+def q88_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.explode("t").alias("term")
+    )
+    per_doc = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the vocab-sized counts table ONCE: it feeds both the
+    # within-count ranking and the offsets branch, and without this each
+    # branch re-runs the whole corpus word-count pipeline (runtime
+    # exchange reuse only dedupes identical exchanges, and the offset
+    # branch re-aggregates before its first one). Same query-scoped
+    # checkpoint pattern as q23's shingle substrate.
+    counts = (
+        per_doc.groupBy("term")
+        .agg(
+            F.sum("tf").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+        .filter(F.col("n_occurrences") >= VOCAB_MIN_COUNT)
+        .localCheckpoint()
+    )
+    w_in = Window.partitionBy("n_occurrences").orderBy(F.asc("term"))
+    within = counts.withColumn("r_in", F.row_number().over(w_in))
+    per_n = counts.groupBy("n_occurrences").agg(F.count(F.lit(1)).alias("n_terms"))
+    w_off = Window.orderBy(F.desc("n_occurrences")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = per_n.select(
+        "n_occurrences",
+        F.coalesce(F.sum("n_terms").over(w_off), F.lit(0)).alias("id_offset"),
+    )
+    vocab = within.join(F.broadcast(offsets), "n_occurrences").select(
+        "term",
+        "n_occurrences",
+        "doc_freq",
+        (F.col("id_offset") + F.col("r_in") + len(VOCAB_SPECIALS) - 1)
+        .cast("bigint")
+        .alias("vocab_id"),
+    )
+    specials = spark.createDataFrame(
+        [(t, 0, 0, i) for i, t in enumerate(VOCAB_SPECIALS)],
+        "term string, n_occurrences bigint, doc_freq bigint, vocab_id bigint",
+    )
+    return specials.unionByName(vocab)

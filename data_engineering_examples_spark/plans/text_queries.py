@@ -580,3 +580,124 @@ def q73_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOPK_TERMS)
         .select("doc_id", "term", "tf", "df", "n_docs", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q87 — ranked retrieval: top-k documents per query over an inverted-index
+# probe (the BM25-shaped retrieval step used for corpus curation:
+# decontamination lookups, quality-by-retrieval, eval-set mining).
+#
+# Scale design:
+# * The term filter (`isin` over the union of query terms) runs BEFORE any
+#   shuffle — the scan only surfaces postings for query terms, so the
+#   groupBy moves |matching tokens| rows, not the corpus.
+# * Document length (dl) rides along the exploded tokens and collapses in
+#   the same partial aggregate — no second join against the corpus.
+# * Top-k per query is TWO-STAGE: a salted local window (query_id,
+#   doc_id % NSALT) keeps k survivors per salt bucket, then the global
+#   window ranks <= k*NSALT rows per query. A single window partitioned
+#   only by query_id would funnel every candidate for a query through one
+#   task — the classic top-k skew at 100 TB. The order key
+#   (n_match DESC, sum_tf DESC, dl ASC, doc_id ASC) is total (doc_id is
+#   unique), so the two-stage reduction is EXACT, not approximate.
+# * The hashed surface emits the integer BM25 components (n_match,
+#   sum_tf, dl; per-term df is q73's surface) rather than a float score:
+#   transcendental idf terms are not bit-identical across engines (see
+#   q73's ulp note), and any BM25/TF-IDF weighting is a deterministic
+#   function of the emitted integers.
+
+RETRIEVAL_QUERIES: dict[int, tuple[str, ...]] = {
+    1: ("hash", "join"),
+    2: ("spark", "stream", "window"),
+    3: ("dup", "merge"),
+}
+RETRIEVAL_TOPK = 10
+_RETRIEVAL_NSALT = 8
+
+_RETRIEVAL_TERMS = sorted({t for ts in RETRIEVAL_QUERIES.values() for t in ts})
+
+
+def _retrieval_oracle() -> str:
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, ts in sorted(RETRIEVAL_QUERIES.items())
+        for t in ts
+    )
+    in_list = ", ".join(f"'{t}'" for t in _RETRIEVAL_TERMS)
+    return f"""
+    WITH q AS (SELECT * FROM (VALUES {values}) AS v(query_id, term)),
+    tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, max(dl) AS dl, count(*) AS tf
+      FROM tok WHERE term IN ({in_list})
+      GROUP BY doc_id, term
+    ),
+    cand AS (
+      SELECT q.query_id, t.doc_id, count(*) AS n_match,
+             CAST(sum(t.tf) AS BIGINT) AS sum_tf,
+             CAST(max(t.dl) AS INT) AS dl
+      FROM tf t JOIN q USING (term)
+      GROUP BY q.query_id, t.doc_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY n_match DESC, sum_tf DESC, dl ASC, doc_id ASC) AS rnk
+      FROM cand
+    )
+    SELECT query_id, doc_id, n_match, sum_tf, dl, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {RETRIEVAL_TOPK}
+    """
+
+
+@register(
+    "q87_ranked_retrieval",
+    oracle=_retrieval_oracle(),
+    doc="top-k docs per query via inverted-index probe + exact two-stage top-k",
+    tags=("text", "llm", "retrieval"),
+)
+def q87_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(_docs(spark, sf_dir))
+    qdf = spark.createDataFrame(
+        [
+            (qid, t)
+            for qid, ts in sorted(RETRIEVAL_QUERIES.items())
+            for t in ts
+        ],
+        "query_id int, term string",
+    )
+    toks = F.split(d.text, " ")
+    tok = d.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+    tf = (
+        tok.filter(F.col("term").isin(_RETRIEVAL_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.max("dl").alias("dl"), F.count(F.lit(1)).alias("tf"))
+    )
+    cand = (
+        tf.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.sum("tf").alias("sum_tf"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    order = [F.desc("n_match"), F.desc("sum_tf"), F.asc("dl"), F.asc("doc_id")]
+    w_local = Window.partitionBy(
+        "query_id", F.pmod(F.col("doc_id"), F.lit(_RETRIEVAL_NSALT))
+    ).orderBy(*order)
+    pruned = (
+        cand.withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= RETRIEVAL_TOPK)
+        .drop("lrnk")
+    )
+    w_glob = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w_glob))
+        .filter(F.col("rnk") <= RETRIEVAL_TOPK)
+        .select("query_id", "doc_id", "n_match", "sum_tf", "dl", "rnk")
+    )
