@@ -1116,3 +1116,57 @@ def q76_sql_text_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q76_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q90 — incremental aggregate maintenance: merge a pre-aggregated state
+# (events before the cutoff) with a fresh delta partition (events after),
+# and let the oracle recompute the rollup from ALL events in one pass —
+# the hash gate therefore PROVES the incremental merge is exact, not an
+# approximation. This is the materialized-rollup maintenance pattern: at
+# 100 TB the state side is a stored agg table (|event_type × day| rows,
+# not raw events), the delta is one new partition, and the merge shuffles
+# only aggregated keys. count/sum are commutative monoids, so
+# agg(state) ⊎ agg(delta) == agg(full); the cutoff falls mid-day so the
+# boundary day exists on BOTH sides and the additive path is exercised,
+# not just the disjoint union.
+
+_INC_CUTOFF = "2024-01-21 12:00:00"
+
+
+@register(
+    "q90_incremental_rollup",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type, day
+    """,
+    doc="incremental rollup maintenance: agg(state) merged with agg(delta) == agg(full)",
+    tags=("agg", "incremental", "T2"),
+)
+def q90_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    cutoff = F.lit(_INC_CUTOFF).cast("timestamp_ntz")
+    base = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        dec("value").alias("v"),
+        (F.col("ts") < cutoff).alias("is_state"),
+    )
+
+    def rollup(side: DataFrame, n: str, s: str) -> DataFrame:
+        return side.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias(n), F.sum("v").alias(s)
+        )
+
+    state = rollup(base.filter(F.col("is_state")), "n1", "s1")
+    delta = rollup(base.filter(~F.col("is_state")), "n2", "s2")
+    zero = F.lit(0).cast("decimal(22,2)")
+    return state.join(delta, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias("n_events"),
+        d(F.coalesce("s1", zero) + F.coalesce("s2", zero)).alias("sum_value"),
+    )

@@ -341,3 +341,86 @@ def q70_practitioner_role_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         g("$.period.end").alias("period_end"),
         g("$.active").alias("active"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — SCD Type-2 dimension merge: the versioned-history grade of the
+# reference's field-diff conditional update (U4/S7, dags/ODSImport.py:258-305
+# — which overwrites in place; warehouse dimension maintenance keeps the
+# closed-out version instead).
+#
+# Update batch: every c_custkey % 10 == 3 changes segment (gets '-R'),
+# every % 10 == 7 arrives UNCHANGED — the no-op branch must not open a
+# new version (the same null-safe diff discipline as q33's changeset).
+#
+# Scale design: one broadcast left join (an update batch is small against
+# the dimension by construction; were it not, the same plan degrades to a
+# single hash-shuffle join on the key). Each input row then emits its 1-2
+# version rows via inline(array(struct..)) — MAP-side row multiplication,
+# no union-driven second scan of the dimension.
+
+_SCD2_FROM = "2024-01-01"
+_SCD2_AT = "2024-06-01"
+
+
+@register(
+    "q89_scd2_dimension",
+    oracle=f"""
+    WITH dim AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+    upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 3 THEN segment || '-R' ELSE segment END
+               AS new_segment
+      FROM dim WHERE c_custkey % 10 IN (3, 7)
+    ),
+    j AS (
+      SELECT d.c_custkey, d.segment, u.new_segment,
+             u.new_segment IS NOT NULL AND u.new_segment <> d.segment AS ch
+      FROM dim d LEFT JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, segment, CAST(1 AS INT) AS version,
+           DATE '{_SCD2_FROM}' AS eff_from,
+           CASE WHEN ch THEN DATE '{_SCD2_AT}' END AS eff_to,
+           NOT ch AS is_current
+    FROM j
+    UNION ALL
+    SELECT c_custkey, new_segment, CAST(2 AS INT), DATE '{_SCD2_AT}', NULL, true
+    FROM j WHERE ch
+    """,
+    doc="SCD2 versioned dimension merge: close changed rows, open new versions",
+    tags=("etl", "U4", "S7", "scd2"),
+)
+def q89_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = load_tables(spark, sf_dir, ["customer"])["customer"].select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    upd = dim.filter((F.col("c_custkey") % 10).isin(3, 7)).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 10 == 3, F.concat(F.col("segment"), F.lit("-R"))
+        )
+        .otherwise(F.col("segment"))
+        .alias("new_segment"),
+    )
+    joined = dim.join(F.broadcast(upd), "c_custkey", "left")
+    changed = F.col("new_segment").isNotNull() & (
+        F.col("new_segment") != F.col("segment")
+    )
+
+    def _version(seg, ver: int, frm: str, to, cur: bool):
+        return F.struct(
+            seg.alias("segment"),
+            F.lit(ver).alias("version"),
+            F.lit(frm).cast("date").alias("eff_from"),
+            (F.lit(to).cast("date")).alias("eff_to"),
+            F.lit(cur).alias("is_current"),
+        )
+
+    rows = F.when(
+        changed,
+        F.array(
+            _version(F.col("segment"), 1, _SCD2_FROM, _SCD2_AT, False),
+            _version(F.col("new_segment"), 2, _SCD2_AT, None, True),
+        ),
+    ).otherwise(F.array(_version(F.col("segment"), 1, _SCD2_FROM, None, True)))
+    return joined.select("c_custkey", F.inline(rows))
