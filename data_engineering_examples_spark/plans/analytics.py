@@ -1170,3 +1170,136 @@ def q90_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce("n1", F.lit(0)) + F.coalesce("n2", F.lit(0))).alias("n_events"),
         d(F.coalesce("s1", zero) + F.coalesce("s2", zero)).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — ordered funnel analysis (view → click → purchase, each step within
+# one hour of the previous): the sequential-pattern operator event
+# platforms run at petabyte scale. Expressed as a min-chain of
+# stage aggregates — each stage is a groupBy(user_id) min over the
+# previous stage's anchor — rather than per-user collect_list folding:
+# the join chain keeps per-task state bounded (a power user with 10^7
+# events would OOM a collected-array approach), every join keys on
+# user_id so AQE/exchange reuse co-partitions the whole chain, and the
+# stage filters prune event types at the scan.
+
+_FUNNEL_WINDOW = "INTERVAL 1 HOUR"
+
+
+@register(
+    "q91_funnel_stages",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(t) AS t2
+           FROM e JOIN s1 USING (user_id)
+           WHERE event_type = 'click' AND t > t1 AND t <= t1 + {_FUNNEL_WINDOW}
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(t) AS t3
+           FROM e JOIN s2 USING (user_id)
+           WHERE event_type = 'purchase' AND t > t2 AND t <= t2 + {_FUNNEL_WINDOW}
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS stage_reached,
+           strftime(t1, '{TS_FMT_DUCK}') AS view_ts,
+           strftime(t2, '{TS_FMT_DUCK}') AS click_ts,
+           strftime(t3, '{TS_FMT_DUCK}') AS purchase_ts
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    doc="ordered 3-stage funnel via min-chain joins; per-task state bounded",
+    tags=("events", "funnel", "W3"),
+)
+def q91_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select("user_id", "event_type", "ts")
+    win = F.expr(_FUNNEL_WINDOW)
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.alias("stage_reached"),
+            F.date_format("t1", TS_FMT_SPARK).alias("view_ts"),
+            F.date_format("t2", TS_FMT_SPARK).alias("click_ts"),
+            F.date_format("t3", TS_FMT_SPARK).alias("purchase_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q92 — weekly retention cohorts: users grouped by the week of their
+# first event, activity bucketed by whole weeks since that first event —
+# the (cohort × offset) engagement matrix. Two-level distinct (distinct
+# (cohort, offset, user) rows first, then a plain count) instead of
+# COUNT(DISTINCT user): the dedup collapses map-side and the final
+# exchange moves one row per (cohort, offset, user-partition), never a
+# distinct-aggregate expansion. The first-event table joins back on
+# user_id — the same key as its own groupBy, so the exchange is reused.
+
+
+@register(
+    "q92_retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    firsts AS (SELECT user_id, min(t) AS f FROM e GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('week', f) AS DATE) AS cohort_week,
+             CAST(datediff('day', CAST(f AS DATE), CAST(t AS DATE)) // 7 AS INT)
+               AS week_offset
+      FROM e JOIN firsts USING (user_id)
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+    doc="weekly retention cohort matrix via two-level distinct",
+    tags=("events", "retention", "A4"),
+)
+def q92_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    e = ev.select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("f"))
+    act = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "f").cast("date").alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("f").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

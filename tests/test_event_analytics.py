@@ -1,0 +1,72 @@
+"""Behavioral tests for the funnel (q91) and retention-cohort (q92)
+operators: strict stage ordering, window cutoffs, and week-offset
+bucketing, on a hand-built events fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+
+_BASE_NS = 1_700_000_000_000_000_000  # 2023-11-14 22:13:20 UTC
+_MIN_NS = 60_000_000_000
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (user_id, event_type, minutes_after_base)."""
+    data = [
+        (i, _BASE_NS + int(m * _MIN_NS), u, t, 1.0, "{}")
+        for i, (u, t, m) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_strict_ordering_and_windows(spark, tmp_path):
+    rows = [
+        # user 1: full conversion inside both windows -> stage 3
+        (1, "view", 0), (1, "click", 10), (1, "purchase", 40),
+        # user 2: click only BEFORE its first view -> stage 1
+        (2, "click", 0), (2, "view", 10),
+        # user 3: click 2h after view (outside 1h window) -> stage 1
+        (3, "view", 0), (3, "click", 120),
+        # user 4: purchase but never views -> stage 0
+        (4, "purchase", 0),
+        # user 5: view->click ok, purchase 61min after click -> stage 2
+        (5, "view", 0), (5, "click", 30), (5, "purchase", 30 + 61),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r["user_id"]: r["stage_reached"]
+        for r in all_specs()["q91_funnel_stages"].fn(spark, sf).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 0, 5: 2}
+
+
+def test_funnel_uses_first_qualifying_event_per_stage(spark, tmp_path):
+    # two views: the funnel anchors on the FIRST view, so the click 45min
+    # after the SECOND view (95min after the first) is out of window
+    rows = [(1, "view", 0), (1, "view", 50), (1, "click", 95)]
+    sf = _write_events(spark, tmp_path, rows)
+    row = all_specs()["q91_funnel_stages"].fn(spark, sf).collect()[0]
+    assert row["stage_reached"] == 1 and row["click_ts"] is None
+
+
+def test_retention_week_offsets(spark, tmp_path):
+    day = 24 * 60
+    rows = [
+        (1, "view", 0),            # first event -> offset 0
+        (1, "click", 3 * day),     # same week (days 0-6) -> offset 0
+        (1, "view", 8 * day),      # days 7-13 -> offset 1
+        (2, "view", 1 * day),      # separate user, single event
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    out = all_specs()["q92_retention_cohorts"].fn(spark, sf).collect()
+    m = {(r["cohort_week"], r["week_offset"]): r["n_users"] for r in out}
+    # user 1 appears at offsets 0 and 1; user 2 only at its own offset 0
+    assert sum(m.values()) == 3
+    assert {wo for (_, wo) in m} == {0, 1}
