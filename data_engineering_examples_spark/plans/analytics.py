@@ -1303,3 +1303,105 @@ def q92_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return act.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — data-quality / integrity audit (Deequ-/dbt-test-style constraint
+# report; the scale-grade form of the reference's row-model validation,
+# sources/ods.py validate_epraccur / U9): referential integrity via
+# left-join null probes, cross-table ordering sanity, range and null
+# checks, and PK uniqueness — one report row per rule.
+#
+# Scale design: rules sharing a join pass are computed in that ONE pass
+# (the lineitem⟕orders probe answers orphans, ship-before-order AND the
+# map-side range check together, then inline() stacks the report rows),
+# so the audit costs two shuffle joins and three scans regardless of rule
+# count. Each agg is a full partial-aggregated reduction to one row — no
+# distinct-expansion, no window. The lineitem-side rules read the orders
+# side as a PK table; the PK-uniqueness rule audits exactly that
+# assumption rather than silently relying on it.
+
+
+@register(
+    "q93_integrity_audit",
+    oracle="""
+    SELECT 'lineitem_orphaned_order' AS rule,
+           count(*) FILTER (o.o_orderkey IS NULL) AS n_violations,
+           count(*) AS n_checked
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_ship_before_order',
+           count(*) FILTER (l.l_shipdate < o.o_orderdate), count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem_nonpositive_amounts',
+           count(*) FILTER (l.l_quantity <= 0 OR l.l_extendedprice <= 0), count(*)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'order_orphaned_customer',
+           count(*) FILTER (c.c_custkey IS NULL), count(*)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer_null_name', count(*) FILTER (c_name IS NULL), count(*)
+    FROM customer
+    UNION ALL
+    SELECT 'orders_duplicate_pk',
+           count(*) FILTER (cnt > 1), count(*)
+    FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
+    """,
+    doc="constraint-audit report: FK orphans, date sanity, ranges, nulls, PK dups",
+    tags=("quality", "U9", "A4"),
+)
+def q93_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer"])
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+
+    def report(name: str, viol, checked):
+        return F.struct(
+            F.lit(name).alias("rule"),
+            viol.alias("n_violations"),
+            checked.alias("n_checked"),
+        )
+
+    lo = li.select("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate").join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    li_rules = lo.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orphan"),
+        F.count(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1)).alias("shipbad"),
+        F.count(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_extendedprice") <= 0), 1)
+        ).alias("rangebad"),
+    ).select(
+        F.inline(
+            F.array(
+                report("lineitem_orphaned_order", F.col("orphan"), F.col("n")),
+                report("lineitem_ship_before_order", F.col("shipbad"), F.col("n")),
+                report("lineitem_nonpositive_amounts", F.col("rangebad"), F.col("n")),
+            )
+        )
+    )
+    oc = o.select("o_custkey").join(
+        c.select("c_custkey"), F.col("o_custkey") == F.col("c_custkey"), "left"
+    )
+    o_rule = oc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphan"),
+    ).select(F.inline(F.array(report("order_orphaned_customer", F.col("orphan"), F.col("n")))))
+    c_rule = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("c_name").isNull(), 1)).alias("nullname"),
+    ).select(F.inline(F.array(report("customer_null_name", F.col("nullname"), F.col("n")))))
+    pk_rule = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("dups"),
+        )
+        .select(F.inline(F.array(report("orders_duplicate_pk", F.col("dups"), F.col("n")))))
+    )
+    return li_rules.unionByName(o_rule).unionByName(c_rule).unionByName(pk_rule)
