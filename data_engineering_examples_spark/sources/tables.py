@@ -26,26 +26,30 @@ TABLES = [
 ]
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw
-    int64 and truncate to a microsecond timestamp, matching DuckDB's
-    TIMESTAMP_NS → TIMESTAMP cast.
+    """events.parquet has shipped with two physical types for ``ts``:
+    TIMESTAMP(NANOS) — which Spark's vectorized parquet reader rejects
+    ([PARQUET_TYPE_ILLEGAL]) — and plain TIMESTAMP(MICROS), which reads
+    directly as TIMESTAMP_NTZ. Handle both: when the column arrives as
+    raw int64 nanos (via ``nanosAsLong``), truncate to a microsecond
+    timestamp, matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast; when it
+    is already a timestamp, pass it through untouched.
 
     NOTE: this sets ``spark.sql.legacy.parquet.nanosAsLong=true`` on the
     caller's session and deliberately does NOT restore it — the conf is
     consulted again at physical-scan time (the plan is lazy), so restoring
-    it here would break execution. Other nanos-timestamp parquet read on
-    the same session will also see raw int64; no driver table besides
-    ``events`` carries nanos.
+    it here would break execution. With micros data the conf is inert.
 
     The rebuilt ts is TIMESTAMP_NTZ (wall-clock, no zone) so downstream
     formatting is independent of the session timezone — ``timestampadd``
     over an NTZ literal yields NTZ without consulting the session zone,
     where ``timestamp_micros`` would give LTZ → tz-dependent text."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if not isinstance(df.schema["ts"].dataType, LongType):
+        return df  # already TIMESTAMP(NTZ) — nothing to rebuild
     # integer div — ns values exceed 2^53, double division would round
     return df.withColumn(
         "ts",
