@@ -592,3 +592,94 @@ def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
         (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — PageRank over the near-dup graph: which documents sit at the
+# center of large duplication families (canonical-selection / crawl-
+# authority signal for corpus curation). Three Lloyd-style fixed
+# iterations of r'(v) = 0.15 + 0.85·Σ_{u→v} r(u)/deg(u) over the
+# bidirected LSH-pair edge set.
+#
+# Determinism design: ranks live in integer pico-units (1.0 = 10¹²) and
+# every step is integer arithmetic — r div deg, sum of BIGINT, (85·s)
+# div 100 — so per-node sums are order-independent and both engines
+# produce bit-identical ranks; the oracle unrolls the three iterations
+# as CTEs. (Float PageRank sums would be partition-order-dependent and
+# force this into the rows-only gate — the same trick as q94.)
+#
+# Scale shape: the adjacency (edge, deg) substrate is checkpointed once
+# and reused per iteration; each iteration is one shuffle-join of edges
+# against the current rank vector plus one keyed sum — the classic
+# distributed PR step. At 1000 executors both sides hash-partition on
+# the join key; nothing is ever collected to the driver.
+
+PR_ITERS = 3
+PR_UNIT = 1_000_000_000_000  # 1.0 in pico-units
+
+
+def _duck_pagerank_oracle() -> str:
+    prev = "r0"
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    s{i} AS (SELECT a.v AS id, CAST(sum(r.r // a.deg) AS BIGINT) AS s
+             FROM adj a JOIN {prev} r ON r.id = a.u GROUP BY a.v),
+    r{i} AS (SELECT id, CAST({PR_UNIT * 15 // 100} + (85 * s) // 100 AS BIGINT) AS r
+             FROM s{i})""")
+        prev = f"r{i}"
+    return f"""
+    WITH {_duck_minhash_bands_cte()},
+    e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    bidir AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM bidir GROUP BY u),
+    adj AS (SELECT b.u, b.v, d.deg FROM bidir b JOIN deg d USING (u)),
+    r0 AS (SELECT u AS id, CAST({PR_UNIT} AS BIGINT) AS r FROM deg),
+    {",".join(iters)}
+    SELECT d.u AS doc_id, d.deg AS degree,
+           CAST({prev}.r AS DOUBLE) / {PR_UNIT}.0 AS pagerank
+    FROM {prev} JOIN deg d ON d.u = {prev}.id
+    """
+
+
+@register(
+    "q95_neardup_pagerank",
+    oracle=_duck_pagerank_oracle(),
+    doc="PageRank (3 fixed iterations, integer pico-unit arithmetic) over "
+    "the bidirected LSH near-dup graph; per-iteration edge-join + keyed sum",
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def q95_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = q24_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    # pairs are distinct with u < v, so the reversed union is dup-free
+    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # adjacency-with-degree substrate: feeds every iteration — recomputing
+    # it would re-run the whole MinHash pipeline per iteration
+    adj = bidir.join(deg, "u").localCheckpoint()
+
+    ranks = deg.select(
+        F.col("u").alias("id"), F.lit(PR_UNIT).cast("bigint").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = adj.join(ranks, adj.u == ranks.id).select(
+            F.col("v"), F.expr("r div deg").alias("c")
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+        ranks = sums.select(
+            F.col("v").alias("id"),
+            F.expr(
+                f"CAST({PR_UNIT * 15 // 100} + (85 * s) div 100 AS BIGINT)"
+            ).alias("r"),
+        )
+    return ranks.join(deg, ranks.id == deg.u).select(
+        F.col("u").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        (F.col("r").cast("double") / F.lit(float(PR_UNIT))).alias("pagerank"),
+    )

@@ -460,3 +460,149 @@ def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q94 — k-means refinement: two Lloyd iterations over the q50 seed
+# centroids, computed in EXACT integer arithmetic so the iterative
+# algorithm itself is oracle-checkable (iterative ops are usually exempted
+# from the SQL gate; quantization removes the float-summation-order
+# nondeterminism that forces that exemption).
+#
+# Determinism design: embeddings are quantized once to integer
+# micro-units (floor(x * 1e6)); a squared distance to a mean-centroid
+# (cs/n) is compared as the n²-scaled integer  Σ_d (n·xq − cs_d)² — a
+# DECIMAL(19,0)² sum both engines evaluate exactly, so the argmin (and
+# therefore every assignment, and therefore the next centroid) is
+# bit-identical in Spark and DuckDB. Ties break toward the lower
+# cluster id in both.
+#
+# Scale shape: centroid tables are K·DIM rows (512 here) — broadcast,
+# never shuffled; each iteration is one broadcast join over the
+# quantized per-dim fact (rows = N·DIM, partition-parallel) plus two
+# keyed aggregations. The quantized substrate is checkpointed once and
+# reused by all five passes (assign×2, update×2, final) instead of
+# re-exploding the scan per pass. Reference parallel: the reference has
+# no iterative ML surface; this extends the engine for LLM-pipeline
+# clustering (IVF list training for q50's index).
+
+KMEANS_SCALE = 1_000_000.0
+KMEANS_ITERS = 2  # fixed, unrolled in the oracle
+
+
+def _duck_kmeans_oracle() -> str:
+    cent_list = ", ".join(str(c) for c in CENT_IDS)
+    return f"""
+    WITH xq AS (
+      -- two equal-length unnests in one SELECT zip positionally
+      -- (this DuckDB has no WITH ORDINALITY)
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    c1 AS (SELECT vec_id AS cluster, dim, xq AS cs, CAST(1 AS BIGINT) AS n
+           FROM xq WHERE vec_id IN ({cent_list})),
+    d1 AS (
+      SELECT x.vec_id, c.cluster,
+             sum(CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))
+                 * CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))) AS dist
+      FROM xq x JOIN c1 c USING (dim) GROUP BY 1, 2
+    ),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT a.cluster, x.dim, CAST(sum(x.xq) AS BIGINT) AS cs,
+                  count(*) AS n
+           FROM xq x JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+    d2 AS (
+      SELECT x.vec_id, c.cluster,
+             sum(CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))
+                 * CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))) AS dist
+      FROM xq x JOIN c2 c USING (dim) GROUP BY 1, 2
+    ),
+    a2 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) AS rn
+             FROM d2) WHERE rn = 1)
+    SELECT a.cluster AS cluster_id, x.dim,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(x.xq) AS DOUBLE) / count(*) AS centroid
+    FROM xq x JOIN a2 a USING (vec_id)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "q94_kmeans_refine",
+    oracle=_duck_kmeans_oracle(),
+    doc="k-means Lloyd refinement (2 iterations), exact-integer argmin; "
+    "broadcast centroids, per-dim fact stays partition-local",
+    tags=("similarity", "llm", "iterative"),
+)
+def q94_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    # quantized per-dim substrate, materialized ONCE for all five passes
+    # (re-deriving it per pass re-pays explode+floor ×5 — same pattern
+    # as q23's shingle substrate)
+    xq = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .localCheckpoint()
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        """argmin_c Σ_d (n·xq − cs_d)² — exact DECIMAL(19,0) arithmetic;
+        min(struct(dist, cluster)) gives the dist-then-cluster tie-break
+        without a second shuffle (no window needed)."""
+        diff = (F.col("n") * F.col("xq") - F.col("cs")).cast("decimal(19,0)")
+        dists = (
+            xq.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        return (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
+        )
+
+    def update(assign_df: DataFrame) -> DataFrame:
+        return (
+            xq.join(assign_df, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("xq").alias("cs"), F.count(F.lit(1)).alias("n"))
+        )
+
+    cent = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
+        F.col("vec_id").alias("cluster"),
+        "dim",
+        F.col("xq").alias("cs"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    for _ in range(KMEANS_ITERS - 1):
+        cent = update(assign(cent))
+    final_assign = assign(cent)
+    return (
+        xq.join(final_assign, "vec_id")
+        .groupBy(
+            F.col("cluster").alias("cluster_id"),
+            "dim",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("xq").cast("double") / F.count(F.lit(1))).alias("centroid"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Semantic invariants for the oracle-checked iterative algorithms
+(q94 k-means refinement, q95 PageRank). Bit-parity with DuckDB is the
+oracle gate's job; these tests pin the ALGORITHMIC properties that a
+parity bug on both sides at once would not catch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+from data_engineering_examples_spark.plans.similarity_queries import (
+    CENT_IDS,
+    DIM,
+    KMEANS_SCALE,
+)
+from data_engineering_examples_spark.plans.dedup_queries import (
+    PR_ITERS,
+    PR_UNIT,
+    q24_minhash_lsh_pairs,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_kmeans_centroids_shape_and_membership(spark):
+    rows = all_specs()["q94_kmeans_refine"].fn(spark, SF_SMOKE).collect()
+    clusters = {r.cluster_id for r in rows}
+    # every surviving cluster id is one of the seeds
+    assert clusters <= set(CENT_IDS) and clusters
+    # every cluster emits exactly DIM dims, each with a consistent size
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.cluster_id, []).append(r)
+    n_vecs = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    )
+    total = 0
+    for c, rs in by_c.items():
+        assert len(rs) == DIM
+        sizes = {r.n_members for r in rs}
+        assert len(sizes) == 1  # same membership count on every dim
+        total += sizes.pop()
+    # assignments partition the vector set
+    assert total == n_vecs
+    # centroid values stay inside the quantized data range
+    assert all(abs(r.centroid) <= KMEANS_SCALE for r in rows)
+
+
+def test_kmeans_matches_independent_python_reimplementation(spark):
+    """Recompute the full quantized 2-iteration Lloyd refinement in plain
+    Python (integer arithmetic, identical tie-break) and demand the Spark
+    output match EXACTLY — an engine-independent second implementation,
+    not a shared-oracle tautology."""
+    import math
+
+    vecs = {
+        r.vec_id: [
+            int(math.floor(float(x) * KMEANS_SCALE)) for x in r.embedding
+        ]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    # iteration state: cluster -> (per-dim integer sums, member count)
+    cents = {c: (list(vecs[c]), 1) for c in CENT_IDS}
+
+    def assign_all():
+        out = {}
+        for vid, v in vecs.items():
+            best = None
+            for c in sorted(cents):
+                cs, n = cents[c]
+                d = sum((n * x - s) ** 2 for x, s in zip(v, cs))
+                if best is None or (d, c) < best[:2]:
+                    best = (d, c)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(2):  # KMEANS_ITERS iterations: assign is run twice,
+        a = assign_all()  # update after the first only
+        new = {}
+        for vid, c in a.items():
+            cs, n = new.get(c, ([0] * DIM, 0))
+            new[c] = ([s + x for s, x in zip(cs, vecs[vid])], n + 1)
+        cents = new
+    expected = {
+        (c, d): (cs[d] / n, n) for c, (cs, n) in cents.items() for d in range(DIM)
+    }
+
+    rows = all_specs()["q94_kmeans_refine"].fn(spark, SF_SMOKE).collect()
+    got = {(r.cluster_id, r.dim): (r.centroid, r.n_members) for r in rows}
+    assert got == expected
+
+
+def test_pagerank_ranks_bounded_and_degree_consistent(spark):
+    out = all_specs()["q95_neardup_pagerank"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    pairs = q24_minhash_lsh_pairs(spark, SF_SMOKE)
+    n_nodes = (
+        pairs.select(F.col("doc_a").alias("d"))
+        .union(pairs.select(F.col("doc_b").alias("d")))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_nodes
+    for r in rows:
+        # damping floor and integer-unit ceiling
+        assert r.pagerank >= 0.15
+        assert r.degree >= 1
+    # total rank mass stays near n (PR conserves mass up to the damping
+    # leak on the integer floor; wide bound, catches runaway arithmetic)
+    mass = sum(r.pagerank for r in rows)
+    assert 0.15 * n_nodes <= mass <= 2.0 * n_nodes
+
+
+def test_pagerank_isolated_pair_symmetric_rank(spark, tmp_path):
+    """Two documents forming an isolated mutual edge must end with equal
+    ranks equal to the 1-node fixed point (r = 0.15 + 0.85·r ⇒ r → 1.0
+    from r0 = 1.0 exactly at every iteration)."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["alpha beta gamma delta epsilon"] * 2,  # identical => LSH pair
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+        }
+    )
+    spark.createDataFrame(docs).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = all_specs()["q95_neardup_pagerank"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.degree == 1
+        assert abs(r.pagerank - 1.0) < 1e-9
