@@ -1405,3 +1405,81 @@ def q93_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.inline(F.array(report("orders_duplicate_pk", F.col("dups"), F.col("n")))))
     )
     return li_rules.unionByName(o_rule).unionByName(c_rule).unionByName(pk_rule)
+
+
+# ---------------------------------------------------------------------------
+# q96 — exact per-group discrete quantiles, the distributed-selection way.
+#
+# The naive plan (row_number over every row per group) full-sorts each
+# group on 5 reducers — a serialization point at 100 TB. This is the
+# scale-correct two-stage shape instead: (1) count per (group, value) —
+# a partial-aggregating shuffle where map-side combine collapses the
+# fact table to |distinct values| rows; (2) a cumulative window over the
+# DISTINCT values only, selecting the first value whose running count
+# reaches ceil(q·n). Everything is counting + selection — no float
+# arithmetic on the data — so Spark and DuckDB agree bit-exactly on
+# doubles. (percentile_disc semantics; the interpolating percentile_cont
+# would average two doubles and still match, but selection needs no
+# cross-engine float argument at all.)
+
+QUANTILES = (0.25, 0.50, 0.75, 0.95)
+
+
+def _duck_quantile_oracle() -> str:
+    sel = ",\n           ".join(
+        f"min(CASE WHEN cum >= CAST(ceil({q} * n) AS BIGINT) THEN o_totalprice END)"
+        f" AS p{int(q * 100)}"
+        for q in QUANTILES
+    )
+    return f"""
+    WITH cnt AS (
+      SELECT o_orderpriority, o_totalprice, count(*) AS c
+      FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, o_totalprice,
+             sum(c) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY o_orderpriority) AS n
+      FROM cnt
+    )
+    SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n_orders,
+           {sel}
+    FROM cum GROUP BY 1
+    """
+
+
+@register(
+    "q96_price_quantiles",
+    oracle=_duck_quantile_oracle(),
+    doc="exact discrete quantiles per priority via count-per-value + "
+    "cumulative selection (map-side combine; window over distinct values only)",
+    tags=("analytics", "A5", "W3"),
+)
+def q96_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    cnt = orders.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("o_orderpriority")
+    cum = cnt.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_n).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_orders")]
+    for q in QUANTILES:
+        target = F.ceil(F.lit(q) * F.col("n"))
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= target, F.col("o_totalprice"))
+            ).alias(f"p{int(q * 100)}")
+        )
+    return cum.groupBy("o_orderpriority").agg(*aggs)

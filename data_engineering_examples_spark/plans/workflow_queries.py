@@ -620,3 +620,111 @@ def _patch_q86_oracle() -> None:
 
 
 _patch_q86_oracle()
+
+
+# ---------------------------------------------------------------------------
+# q97 — stream-stream interval join under watermarks: click→purchase
+# attribution within a 30-minute window, as a Structured Streaming join
+# (the batch interval join is q65/q66's territory; THIS is the streaming
+# operator — two unbounded sources, per-side watermarks, and a join
+# whose buffered state the time-range condition lets Spark evict).
+#
+# Both sides are drained availableNow in a single micro-batch, so the
+# watermark never drops a row and the drained output equals the batch
+# join bit-for-bit — that equivalence IS the oracle. The watermarks are
+# still load-bearing for the operator: without both, Spark rejects the
+# append-mode stream-stream join outright at analysis time (state would
+# be unbounded); with them, click state older than watermark + 30 min
+# is reclaimed every trigger at scale.
+#
+# Scale shape: both streams hash-partition on user_id; the join state
+# per key is bounded by the interval width × arrival rate. No driver
+# collection anywhere — foreachBatch appends partition-wise to parquet.
+
+ATTRIB_WINDOW_MIN = 30
+
+
+@register(
+    "q97_stream_attribution",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts - c.ts) AS BIGINT) AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    """,
+    doc="watermarked stream-stream interval join (click->purchase "
+    "attribution), drained availableNow; state bounded by the interval",
+    tags=("workflow", "streaming", "T5", "J1"),
+)
+def q97_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = tempfile.mkdtemp(prefix="q97_stream_")
+    clicks_in, purch_in, out = f"{base}/clicks", f"{base}/purchases", f"{base}/out"
+    # one file per side => one micro-batch per source under availableNow:
+    # every row is processed before any watermark advances, so nothing is
+    # late and streaming output == batch join (see module comment)
+    ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        # watermarks require TIMESTAMP (LTZ); only DIFFERENCES reach the
+        # output, so the wall-clock->instant reinterpretation is inert
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    ).coalesce(1).write.parquet(clicks_in)
+    ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    ).coalesce(1).write.parquet(purch_in)
+
+    clicks = (
+        spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
+        .parquet(clicks_in)
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(
+            "p_user_id long, purchase_id long, purchase_ts timestamp"
+        )
+        .parquet(purch_in)
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        # microseconds: exact integers in both engines (DuckDB's
+        # date_diff('second') counts BOUNDARY CROSSINGS, Spark's
+        # timestampdiff counts elapsed units — they disagree inside a
+        # second; epoch_us vs MICROSECOND diff are both exact)
+        F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias("lag_us"),
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)
