@@ -569,3 +569,159 @@ def q88_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term string, n_occurrences bigint, doc_freq bigint, vocab_id bigint",
     )
     return specials.unionByName(vocab)
+
+
+# ---------------------------------------------------------------------------
+# q98 — leakage-safe train/val/test split. The naive split (hash the
+# doc_id) leaks: exact duplicates of a training document land in the
+# eval split and inflate benchmark scores. Hashing the NORMALIZED TEXT
+# instead pins every member of an exact-dup family to the same split by
+# construction — no group-by, no join, the guarantee falls out of the
+# key choice. Map-only + one tiny aggregation; scales with scan
+# bandwidth like q81.
+
+SPLIT_MOD = 100
+SPLIT_TRAIN_LT = 80   # [0,80) train
+SPLIT_VAL_LT = 90     # [80,90) val; [90,100) test
+
+
+@register(
+    "q98_train_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang,
+             CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15))::UBIGINT
+                  AS BIGINT) % {SPLIT_MOD} AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM d GROUP BY 1, 2
+    """,
+    doc="leakage-safe train/val/test split: bucket by normalized-text hash "
+    "so exact-dup families cannot straddle splits; map-only + one agg",
+    tags=("corpus", "llm", "A6"),
+)
+def q98_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    bucket = (
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint")
+        % SPLIT_MOD
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — token-budget curriculum selection: spend a fixed token budget on
+# the highest-quality documents first (the data-mixing step after
+# quality scoring, before packing). Quality here is the q29 signal
+# family reduced to an integer milli-score so the ordering — and
+# therefore the greedy cutoff — is exact in both engines.
+#
+# Shape: a naive global window (ORDER BY score DESC with no partition)
+# drags the whole corpus into ONE partition — the classic serial trap.
+# The milli-score domain is BOUNDED (integer, ~0..1100), so the global
+# running sum decomposes exactly (q88's rank-decomposition trick):
+# (1) per-score token totals — a bounded-cardinality aggregate whose
+#     running sum is a window over ~1000 rows, trivially safe;
+# (2) a within-score prefix sum — partitioned BY score, parallel;
+# (3) keep iff tokens-of-strictly-better-scores + within-score prefix
+#     fits the budget. Identical result to the global ordering
+#     (score desc, doc_id), no single-partition stage anywhere.
+
+CURRICULUM_BUDGET = 100_000  # tokens
+
+
+@register(
+    "q99_token_curriculum",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             (1000 * len(string_split(text, ' '))) // (10 + length(text))
+             + CASE WHEN lang = 'en' THEN 100 ELSE 0 END AS mscore
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens, mscore,
+             sum(n_tokens) OVER (ORDER BY mscore DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM scored
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+           CAST(min(mscore) AS BIGINT) AS min_score
+    FROM cum WHERE cum_tokens <= {CURRICULUM_BUDGET}
+    GROUP BY lang
+    """,
+    doc="token-budget curriculum: greedy quality-ordered selection to a "
+    "fixed token budget (integer milli-scores; cumulative-window cutoff)",
+    tags=("corpus", "llm", "A5"),
+)
+def q99_token_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    n_tokens = F.size(F.split("text", " "))
+    # integer milli-score: tokens-per-char density plus an en bonus —
+    # deterministic integer arithmetic (floats would make the DESC
+    # ordering engine-dependent at ties)
+    # integer div on BOTH sides: Spark's cast(double) truncates where
+    # DuckDB's rounds, so float division + cast would disagree at .5
+    mscore = F.expr(
+        "(1000 * CAST(size(split(text, ' ')) AS BIGINT)) div (10 + length(text))"
+    ) + F.when(F.col("lang") == "en", 100).otherwise(0)
+    scored = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"), mscore.alias("mscore")
+    )
+    # (1) bounded-domain per-score totals; the only unpartitioned window
+    # runs over ≤ score-domain rows, never over documents
+    per_score = scored.groupBy("mscore").agg(F.sum("n_tokens").alias("st"))
+    w_sc = Window.orderBy(F.desc("mscore")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.broadcast(
+        per_score.withColumn("prev_tokens", F.sum("st").over(w_sc) - F.col("st"))
+        .select("mscore", "prev_tokens")
+    )
+    # (2) within-score prefix sums, partition-parallel across scores
+    w_in = (
+        Window.partitionBy("mscore")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        scored.withColumn("wcum", F.sum("n_tokens").over(w_in))
+        .join(prev, "mscore")
+        .withColumn("cum_tokens", F.col("prev_tokens") + F.col("wcum"))
+    )
+    return (
+        cum.filter(F.col("cum_tokens") <= CURRICULUM_BUDGET)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.min("mscore").cast("bigint").alias("min_score"),
+        )
+    )

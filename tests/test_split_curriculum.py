@@ -1,0 +1,77 @@
+"""q98 leakage-safe split and q99 token-budget curriculum: the semantic
+guarantees (dup-family cohesion; greedy-budget equivalence)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.corpus_queries import (
+    CURRICULUM_BUDGET,
+    SPLIT_MOD,
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+)
+from data_engineering_examples_spark.plans.registry import all_specs
+
+from .conftest import SF_SMOKE
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    spark.createDataFrame(df).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_split_keeps_exact_dup_families_together(spark, tmp_path):
+    """Exact duplicates (same normalized text) must land in ONE split —
+    whitespace/case variants included."""
+    rows = [
+        (1, "The  Quick   Brown Fox", "en", "a"),
+        (2, "the quick brown fox", "en", "b"),          # same normalized
+        (3, "  THE QUICK BROWN FOX  ", "en", "c"),      # same normalized
+        (4, "a completely different document", "en", "a"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = all_specs()["q98_train_split"].fn(spark, sf).collect()
+    # the three dup-family members all share one split => no split can
+    # contain a partial family: family rows = 3 in exactly one split
+    fam_splits = [r.split for r in out if r.n_docs >= 3]
+    assert len(fam_splits) == 1
+
+
+def test_split_is_exhaustive_and_disjoint(spark):
+    out = all_specs()["q98_train_split"].fn(spark, SF_SMOKE)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert total == n_docs
+    assert {r.split for r in out.collect()} <= {"train", "val", "test"}
+    assert 0 < SPLIT_TRAIN_LT < SPLIT_VAL_LT < SPLIT_MOD
+
+
+def test_curriculum_never_exceeds_budget_and_is_greedy(spark):
+    """Kept token mass fits the budget AND adding the best rejected
+    document would overflow it (greedy optimality at the boundary)."""
+    out = all_specs()["q99_token_curriculum"].fn(spark, SF_SMOKE).collect()
+    kept = sum(r.kept_tokens for r in out)
+    assert 0 < kept <= CURRICULUM_BUDGET
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    scored = []
+    for r in docs:
+        toks = len(r.text.split(" "))
+        ms = (1000 * toks) // (10 + len(r.text)) + (100 if r.lang == "en" else 0)
+        scored.append((-ms, r.doc_id, toks))
+    scored.sort()
+    cum, kept_ids = 0, set()
+    for _ms, did, toks in scored:
+        if cum + toks <= CURRICULUM_BUDGET:
+            cum += toks
+            kept_ids.add(did)
+        else:
+            break  # greedy prefix stops at the first overflow
+    assert kept == cum  # Spark kept exactly the greedy prefix token mass
+    n_kept = sum(r.n_docs for r in out)
+    assert n_kept == len(kept_ids)
