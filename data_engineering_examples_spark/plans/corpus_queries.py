@@ -725,3 +725,53 @@ def q99_token_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("mscore").cast("bigint").alias("min_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — JSONL corpus ingestion round-trip. Web-scale text corpora
+# arrive as JSON-lines (Common-Crawl WET/WARC derivatives, HF datasets
+# exports), not parquet; this is the ingest leg: render → newline-JSON →
+# schema-directed ``spark.read.json`` (explicit schema: at 100 TB,
+# schema inference is a full extra pass over the data) → per-source
+# accounting. The per-group text CHECKSUM (sum of 60-bit text hashes)
+# rides through the round-trip, and the oracle computes the same
+# accounting directly on the parquet table — parity therefore proves the
+# JSON encode/decode is byte-lossless on content, not merely row-count
+# preserving. Scale: both legs are map-only over splittable line files.
+
+
+@register(
+    "q100_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           bit_xor(CAST(('0x' || substr(md5(text), 1, 15))::UBIGINT AS BIGINT))
+             AS text_checksum
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="JSONL ingest round-trip: to_json -> line files -> schema-directed "
+    "read.json -> per-source accounting with a content checksum",
+    tags=("corpus", "llm", "S1"),
+)
+def q100_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = tempfile.mkdtemp(prefix="q100_jsonl_")
+    # render: one JSON object per line, partition-parallel text files
+    docs.select(
+        F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")
+    ).write.text(f"{base}/docs.jsonl")
+
+    parsed = spark.read.schema(
+        "doc_id long, text string, lang string, source string"
+    ).json(f"{base}/docs.jsonl")
+    checksum = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    return parsed.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+        # XOR fold: order-independent like sum but cannot overflow
+        F.bit_xor(checksum).alias("text_checksum"),
+    )

@@ -75,3 +75,37 @@ def test_curriculum_never_exceeds_budget_and_is_greedy(spark):
     assert kept == cum  # Spark kept exactly the greedy prefix token mass
     n_kept = sum(r.n_docs for r in out)
     assert n_kept == len(kept_ids)
+
+
+def test_jsonl_roundtrip_survives_hostile_text(spark, tmp_path):
+    """Quotes, backslashes, newlines, unicode — to_json must escape them
+    so the line-oriented format stays parseable and content-lossless."""
+    rows = [
+        (1, 'he said "hi"\nthen left\t\\end', "en", "a"),
+        (2, "naïve — emoji \U0001f600 and control \x01 char", "fr", "b"),
+        (3, "", "en", "a"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {
+        (r.lang, r.source): r
+        for r in all_specs()["q100_jsonl_roundtrip"].fn(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as FF
+
+    direct = {
+        (r.lang, r.source): r
+        for r in docs.groupBy("lang", "source")
+        .agg(
+            FF.count(FF.lit(1)).alias("n_docs"),
+            FF.sum(FF.size(FF.split("text", " "))).cast("bigint").alias("total_tokens"),
+            FF.bit_xor(
+                FF.conv(FF.substring(FF.md5("text"), 1, 15), 16, 10).cast("bigint")
+            ).alias("text_checksum"),
+        )
+        .collect()
+    }
+    assert set(out) == set(direct)
+    for k in out:
+        assert out[k].n_docs == direct[k].n_docs
+        assert out[k].text_checksum == direct[k].text_checksum
