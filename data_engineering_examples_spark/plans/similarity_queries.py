@@ -606,3 +606,109 @@ def q94_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("xq").cast("double") / F.count(F.lit(1))).alias("centroid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — product quantization (PQ) codebook assignment, the compression
+# half of an IVF-PQ index: each 64-dim vector splits into N_SUBSPACES
+# contiguous subvectors, and each subvector is coded as the id of its
+# nearest codeword (here the CENT_IDS vectors' subvectors — the same
+# fixed "training sample" q50 uses as coarse centroids). Output is the
+# codebook-usage histogram plus the exact total quantization error per
+# (subspace, code) — the tableau a PQ trainer inspects for balance.
+#
+# Same determinism scheme as q94: quantize to integer micro-units once,
+# compare squared distances in exact DECIMAL arithmetic, tie-break
+# toward the lower code id — bit-identical argmin in both engines.
+#
+# Scale shape: the codebook is N_SUBSPACES × K × SUB_DIM rows (512 here)
+# — broadcast; the per-dim fact joins it once, and the two aggregations
+# are partial-combined shuffles on (vec, subspace) then (subspace,
+# code). Vectors never pairwise-join anything.
+
+N_SUBSPACES = 8
+SUB_DIM = DIM // N_SUBSPACES  # 8
+
+
+def _duck_pq_oracle() -> str:
+    cent_list = ", ".join(str(c) for c in CENT_IDS)
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    sub AS (SELECT vec_id, dim // {SUB_DIM} AS subspace, dim, xq FROM xq),
+    cb AS (SELECT subspace, vec_id AS code, dim, xq AS cq
+           FROM sub WHERE vec_id IN ({cent_list})),
+    d AS (
+      SELECT s.vec_id, s.subspace, c.code,
+             sum(CAST(s.xq - c.cq AS DECIMAL(19,0))
+                 * CAST(s.xq - c.cq AS DECIMAL(19,0))) AS dist
+      FROM sub s JOIN cb c ON c.subspace = s.subspace AND c.dim = s.dim
+      GROUP BY 1, 2, 3
+    ),
+    a AS (SELECT vec_id, subspace, code, dist FROM (
+            SELECT vec_id, subspace, code, dist,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM d) WHERE rn = 1)
+    SELECT subspace, code,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(dist) AS DOUBLE) / {KMEANS_SCALE} / {KMEANS_SCALE}
+             AS total_sq_error
+    FROM a GROUP BY 1, 2
+    """
+
+
+@register(
+    "q101_pq_codes",
+    oracle=_duck_pq_oracle(),
+    doc="product-quantization code assignment (8 subspaces x 8 codewords), "
+    "exact-integer argmin; broadcast codebook, no pairwise vector join",
+    tags=("similarity", "llm"),
+)
+def q101_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    sub = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            (F.col("dim").cast("int") / SUB_DIM).cast("int").alias("subspace"),
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .localCheckpoint()  # feeds both the codebook and the fact side
+    )
+    cb = sub.filter(F.col("vec_id").isin(CENT_IDS)).select(
+        F.col("subspace").alias("c_subspace"),
+        F.col("vec_id").alias("code"),
+        F.col("dim").alias("c_dim"),
+        F.col("xq").alias("cq"),
+    )
+    diff = (F.col("xq") - F.col("cq")).cast("decimal(19,0)")
+    dists = (
+        sub.join(
+            F.broadcast(cb),
+            (F.col("subspace") == F.col("c_subspace")) & (F.col("dim") == F.col("c_dim")),
+        )
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    best = (
+        dists.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "subspace", F.col("m.code").alias("code"), F.col("m.dist").alias("dist"))
+    )
+    return best.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.sum("dist").cast("double") / F.lit(KMEANS_SCALE) / F.lit(KMEANS_SCALE)).alias(
+            "total_sq_error"
+        ),
+    )

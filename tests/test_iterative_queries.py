@@ -134,3 +134,20 @@ def test_pagerank_isolated_pair_symmetric_rank(spark, tmp_path):
     for r in rows:
         assert r.degree == 1
         assert abs(r.pagerank - 1.0) < 1e-9
+
+
+def test_pq_codes_partition_vectors_and_seed_error_zero(spark):
+    """Every vector contributes one code per subspace, and every seed's
+    own subvector is perfectly reconstructed (its code is itself, error
+    0), so per-(subspace, code) totals account for all vectors."""
+    from data_engineering_examples_spark.plans.similarity_queries import N_SUBSPACES
+
+    rows = all_specs()["q101_pq_codes"].fn(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    per_sub = {}
+    for r in rows:
+        per_sub[r.subspace] = per_sub.get(r.subspace, 0) + r.n_vectors
+        assert r.code in set(CENT_IDS)
+        assert r.total_sq_error >= 0.0
+    assert set(per_sub) == set(range(N_SUBSPACES))
+    assert all(v == n_vecs for v in per_sub.values())
