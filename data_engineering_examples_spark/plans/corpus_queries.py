@@ -775,3 +775,216 @@ def q100_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # XOR fold: order-independent like sum but cannot overflow
         F.bit_xor(checksum).alias("text_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — the composed pretraining-corpus pipeline, end to end: exact
+# dedup (keep-first) → quality gate → eval-set decontamination → the
+# leakage-safe train split → chunk accounting. Each stage is an operator
+# that already has its own oracle-checked query (q22/q29-family/q79/q98/
+# q80); THIS query pins the composition — the order of gates and the
+# row-set handed from stage to stage — which is where real pipelines
+# break (e.g. decontaminating before dedup wastes a shingle join on rows
+# dedup would drop anyway).
+#
+# Scale shape: one shuffle on the text hash (dedup window), one
+# broadcast probe against the eval shingle index (small by
+# construction), one anti-join on doc_id for the contaminated set, one
+# final partial-combined aggregation. The quality and split gates are
+# free map-side predicates on already-computed columns.
+
+PIPE_MIN_TOKENS = 10
+PIPE_MIN_DENSITY = 100  # (1000·tokens) div (10+chars) floor
+
+
+@register(
+    "q102_pretrain_pipeline",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm,
+             len(string_split(text, ' ')) AS n_tokens,
+             (1000 * len(string_split(text, ' '))) // (10 + length(text)) AS density,
+             text
+      FROM documents
+    ),
+    keep AS (
+      SELECT * FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY md5(norm)) AS keeper
+        FROM base)
+      WHERE doc_id = keeper
+    ),
+    qual AS (
+      SELECT * FROM keep
+      WHERE n_tokens >= {PIPE_MIN_TOKENS} AND density >= {PIPE_MIN_DENSITY}
+        AND doc_id % {DECON_MOD} <> 0
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(
+                    list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                    s -> {_duck_md5_int('s')})) AS sh
+           FROM tok),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_MOD} = 0),
+    contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN ev e ON s.sh = e.sh),
+    clean AS (
+      SELECT q.* FROM qual q LEFT JOIN contam c ON c.doc_id = q.doc_id
+      WHERE c.doc_id IS NULL
+    ),
+    train AS (
+      SELECT * FROM clean
+      WHERE CAST(('0x' || substr(md5(norm), 1, 15))::UBIGINT AS BIGINT)
+            % {SPLIT_MOD} < {SPLIT_TRAIN_LT}
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum((n_tokens - 1) // {CHUNK_STRIDE} + 1) AS BIGINT) AS total_chunks
+    FROM train GROUP BY 1, 2
+    """,
+    doc="composed pretraining pipeline: exact-dedup -> quality gate -> "
+    "decontamination -> train split -> chunk accounting (stage order pinned)",
+    tags=("corpus", "llm", "pipeline"),
+)
+def q102_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    density = F.expr(
+        "(1000 * CAST(size(split(text, ' ')) AS BIGINT)) div (10 + length(text))"
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        norm.alias("norm"),
+        n_tokens.alias("n_tokens"),
+        density.alias("density"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("norm")))
+    keep = base.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    qual = keep.filter(
+        (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+        & (F.col("density") >= PIPE_MIN_DENSITY)
+        & (F.col("doc_id") % DECON_MOD != 0)
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % DECON_MOD == 0).select("sh").distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % DECON_MOD != 0)
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = qual.join(contam, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5("norm"), 1, 15), 16, 10).cast("bigint") % SPLIT_MOD
+    )
+    train = clean.filter(bucket < SPLIT_TRAIN_LT)
+    return train.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.expr(f"(n_tokens - 1) div {CHUNK_STRIDE} + 1"))
+        .cast("bigint")
+        .alias("total_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — count-min sketch term frequencies: the bounded-memory sibling
+# of q85's KMV distinct sketch. The sketch is CMS_DEPTH hash rows ×
+# CMS_WIDTH buckets (256 cells total — broadcastable at any corpus
+# size); a term's estimate is the MIN over its CMS_DEPTH cells, an upper
+# bound on the true count that tightens as width grows. The query
+# reports estimate vs truth for the top-CMS_REPORT terms so the
+# overestimation bias is visible — exactly what an engineer sizing a
+# sketch wants to see.
+#
+# Determinism: bucket indices derive from the same md5→60-bit-int the
+# dedup family uses, seeded per depth row; counts are integers. The
+# oracle rebuilds every cell. Scale: building the sketch is ONE
+# partial-combined aggregation to 256 cells (the map-side combine does
+# nearly all the work); the truth side is the standard word-count
+# shuffle, present here only to report the bias.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_REPORT = 20
+
+
+@register(
+    "q103_countmin_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    terms AS (SELECT term FROM words WHERE term <> ''),
+    cells AS (
+      SELECT d.d AS d,
+             CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || term), 1, 15))::UBIGINT
+                  AS BIGINT) % {CMS_WIDTH} AS bucket,
+             count(*) AS c
+      FROM terms, (SELECT unnest(range(0, {CMS_DEPTH})) AS d) d
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT term, count(*) AS true_count FROM terms GROUP BY term
+    ),
+    top AS (
+      SELECT term, true_count FROM (
+        SELECT term, true_count,
+               row_number() OVER (ORDER BY true_count DESC, term) AS rn
+        FROM truth) WHERE rn <= {CMS_REPORT}
+    )
+    SELECT t.term, CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    JOIN cells c
+      ON c.bucket = CAST(('0x' || substr(md5(CAST(c.d AS VARCHAR) || ':' || t.term), 1, 15))::UBIGINT
+                         AS BIGINT) % {CMS_WIDTH}
+    GROUP BY 1, 2
+    """,
+    doc="count-min sketch (4x64 cells) term-frequency estimates vs truth "
+    "for the top terms; sketch build is one partial-combined agg",
+    tags=("corpus", "llm", "sketch"),
+)
+def q103_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    depths = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("d"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("term"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+    cells = (
+        terms.crossJoin(F.broadcast(depths))  # DEPTH-way fanout, map-side
+        .select("d", bucket.alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    truth = terms.groupBy("term").agg(F.count(F.lit(1)).alias("true_count"))
+    # sort+limit compiles to TakeOrderedAndProject — distributed partial
+    # top-k per partition, no single-partition global window
+    top = truth.orderBy(F.desc("true_count"), F.asc("term")).limit(CMS_REPORT)
+    probe = top.crossJoin(F.broadcast(depths)).select(
+        "term", "true_count", "d", bucket.alias("bucket")
+    )
+    return (
+        probe.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("term", "true_count")
+        .agg(F.min("c").alias("cms_estimate"))
+    )

