@@ -988,3 +988,72 @@ def q103_countmin_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "true_count")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — tokenizer coverage / OOV-rate report: apply the q88 vocabulary
+# back to the corpus and measure, per (lang, source), how much of the
+# token stream falls out of vocabulary (would map to <unk>). This is the
+# acceptance test a tokenizer build ships with — a vocab whose OOV rate
+# spikes on one source is mis-trained for it.
+#
+# Scale shape: the vocab TERM SET (not the id table) broadcasts — it is
+# min-count-pruned and orders of magnitude smaller than the token
+# stream; the corpus side is one map-side probe (left join against the
+# broadcast) followed by one partial-combined aggregation. The token
+# stream itself never shuffles.
+
+
+@register(
+    "q104_oov_rate",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT term FROM (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS n
+        FROM (SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              GROUP BY doc_id, term)
+        GROUP BY term)
+      WHERE n >= {VOCAB_MIN_COUNT}
+    ),
+    stream AS (
+      SELECT lang, source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    )
+    SELECT s.lang, s.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.term IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (v.term IS NULL) AS DOUBLE) / count(*)
+             AS oov_rate
+    FROM stream s LEFT JOIN vocab v ON v.term = s.term
+    GROUP BY 1, 2
+    """,
+    doc="tokenizer OOV-rate report per (lang, source): broadcast vocab "
+    "probe over the token stream, one partial-combined agg",
+    tags=("corpus", "llm", "vocab"),
+)
+def q104_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    stream = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    vocab = (
+        stream.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+        .select("term")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    return (
+        stream.join(F.broadcast(vocab), "term", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+            (
+                F.count(F.when(F.col("in_vocab").isNull(), 1)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )

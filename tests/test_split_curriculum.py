@@ -150,3 +150,29 @@ def test_countmin_estimate_is_upper_bound_of_truth(spark):
     for r in rows:
         assert r.cms_estimate >= r.true_count
     assert CMS_DEPTH * CMS_WIDTH == 256
+
+
+def test_oov_rate_zero_when_vocab_covers_everything(spark, tmp_path):
+    """Every term repeated >= min-count => vocabulary covers the full
+    stream => OOV rate is exactly 0 everywhere."""
+    rows = [
+        (1, "alpha beta alpha beta", "en", "a"),
+        (2, "beta alpha beta alpha", "en", "b"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = all_specs()["q104_oov_rate"].fn(spark, sf).collect()
+    assert out and all(r.n_oov == 0 and r.oov_rate == 0.0 for r in out)
+
+
+def test_oov_rate_counts_singletons_as_oov(spark, tmp_path):
+    """min-count=2 => a term that appears once anywhere is OOV."""
+    rows = [
+        (1, "common common rare1", "en", "a"),
+        (2, "common common rare2", "en", "a"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = all_specs()["q104_oov_rate"].fn(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_tokens == 6 and r.n_oov == 2
+    assert abs(r.oov_rate - 2 / 6) < 1e-12
