@@ -657,12 +657,16 @@ def q95_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = q24_minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    # pairs are distinct with u < v, so the reversed union is dup-free
-    bidir = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # pairs are distinct with u < v, so the reversed union is dup-free.
+    # Checkpoint the EDGE SET itself — deg, adj, the rank init, AND the
+    # final degree join all derive from it, and each un-checkpointed
+    # consumer would re-run the whole MinHash pipeline (measured: 3
+    # upstream replays, ~2s of the query's 4s at sf0.1)
+    bidir = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    # adjacency-with-degree substrate: feeds every iteration — recomputing
-    # it would re-run the whole MinHash pipeline per iteration
-    adj = bidir.join(deg, "u").localCheckpoint()
+    adj = bidir.join(deg, "u")
 
     ranks = deg.select(
         F.col("u").alias("id"), F.lit(PR_UNIT).cast("bigint").alias("r")
