@@ -1057,3 +1057,92 @@ def q104_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — split leakage audit: q98's hash-of-normalized-text split keeps
+# EXACT duplicates together, but near-duplicates (shared shingles, not
+# identical text) can still straddle the boundary and inflate eval
+# scores. This query measures that residual: for every val/test
+# document, does it share any word trigram with ANY train document?
+# The honest answer to "how clean is our eval set really".
+#
+# Scale shape: the probe is a LEFT SEMI join on the 60-bit shingle key —
+# val/test shingles against train shingles, both hash-partitioned on
+# the shingle; no pair explosion (semi-join short-circuits per key), and
+# the df-cap question doesn't arise because nothing is enumerated per
+# pair. One extra shuffle rolls leaky doc_ids up to per-split rates.
+
+
+@register(
+    "q105_split_leakage_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN b < {SPLIT_TRAIN_LT} THEN 'train'
+                  WHEN b < {SPLIT_VAL_LT} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 15))::UBIGINT
+                    AS BIGINT) % {SPLIT_MOD} AS b
+        FROM documents)
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(
+                    list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                    s -> {_duck_md5_int('s')})) AS sh
+           FROM tok),
+    train_sh AS (
+      SELECT DISTINCT s.sh FROM sh s JOIN base b USING (doc_id)
+      WHERE b.split = 'train'
+    ),
+    leaky AS (
+      SELECT DISTINCT s.doc_id FROM sh s
+      JOIN base b USING (doc_id)
+      WHERE b.split <> 'train'
+        AND EXISTS (SELECT 1 FROM train_sh t WHERE t.sh = s.sh)
+    )
+    SELECT b.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(l.doc_id) AS BIGINT) AS n_leaky,
+           CAST(count(l.doc_id) AS DOUBLE) / count(*) AS leak_rate
+    FROM base b LEFT JOIN leaky l ON l.doc_id = b.doc_id
+    WHERE b.split <> 'train'
+    GROUP BY b.split
+    """,
+    doc="near-dup leakage across the train/val/test boundary: semi-join "
+    "of held-out shingles against the train shingle set, per-split rates",
+    tags=("corpus", "llm", "dedup"),
+)
+def q105_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    bucket = (
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("bigint") % SPLIT_MOD
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, "train")
+        .when(bucket < SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    base = docs.select("doc_id", split.alias("split"))
+    sh = _hashed_shingles(spark, sf_dir).join(base, "doc_id")
+    train_sh = sh.filter(F.col("split") == "train").select("sh").distinct()
+    held = sh.filter(F.col("split") != "train")
+    leaky = (
+        held.join(train_sh, "sh", "left_semi").select("doc_id").distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    return (
+        base.filter(F.col("split") != "train")
+        .join(leaky, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("leak").alias("n_leaky"),
+            (F.count("leak").cast("double") / F.count(F.lit(1))).alias("leak_rate"),
+        )
+    )

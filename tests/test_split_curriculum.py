@@ -176,3 +176,57 @@ def test_oov_rate_counts_singletons_as_oov(spark, tmp_path):
     r = out[0]
     assert r.n_tokens == 6 and r.n_oov == 2
     assert abs(r.oov_rate - 2 / 6) < 1e-12
+
+
+def test_leakage_audit_flags_planted_near_dup(spark, tmp_path):
+    """A val-side document sharing a trigram with a train document must
+    be counted leaky; an unrelated one must not."""
+    from data_engineering_examples_spark.plans.corpus_queries import (
+        SPLIT_MOD,
+        SPLIT_TRAIN_LT,
+    )
+    from pyspark.sql import functions as FF
+
+    # find texts whose normalized-hash bucket lands train vs held-out
+    def bucket_of(text):
+        r = (
+            spark.range(1)
+            .select(
+                (
+                    FF.conv(FF.substring(FF.md5(FF.lit(text)), 1, 15), 16, 10).cast(
+                        "bigint"
+                    )
+                    % SPLIT_MOD
+                ).alias("b")
+            )
+            .collect()[0]
+        )
+        return r.b
+
+    train_text, held_text, clean_text = None, None, None
+    shared = "zebra quokka wombat"
+    for i in range(500):
+        cand = f"{shared} filler{i} extra{i}"
+        b = bucket_of(cand)
+        if b < SPLIT_TRAIN_LT and train_text is None:
+            train_text = cand
+        elif b >= SPLIT_TRAIN_LT and held_text is None:
+            held_text = cand
+        cand2 = f"totally different words{i} nothing shared{i} here{i} ok{i}"
+        if bucket_of(cand2) >= SPLIT_TRAIN_LT and clean_text is None:
+            clean_text = cand2
+        if train_text and held_text and clean_text:
+            break
+    assert train_text and held_text and clean_text
+
+    rows = [
+        (1, train_text, "en", "a"),
+        (2, held_text, "en", "a"),   # shares the zebra-quokka-wombat trigram
+        (3, clean_text, "en", "a"),  # no shingle overlap with train
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = {r.split: r for r in all_specs()["q105_split_leakage_audit"].fn(spark, sf).collect()}
+    n_leaky = sum(r.n_leaky for r in out.values())
+    n_docs = sum(r.n_docs for r in out.values())
+    assert n_docs == 2  # the two held-out docs
+    assert n_leaky == 1  # exactly the planted near-dup
