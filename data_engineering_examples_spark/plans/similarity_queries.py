@@ -712,3 +712,103 @@ def q101_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_sq_error"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — hard-negative mining for contrastive training: for each probe,
+# the most-similar candidates that are NOT near-duplicates — lexically
+# close enough to share an LSH bucket, cosine inside [LO, HI) below the
+# q49 near-dup threshold. These are the negatives that actually teach an
+# embedding model (random negatives are trivially separable; near-dups
+# would be false negatives).
+#
+# Scale shape: identical to q32's — candidates come only from shared
+# band buckets (never all-pairs), the probe set broadcasts, and the
+# final per-probe top-k is a bounded window over the candidate set.
+
+HARD_NEG_LO = 0.05
+HARD_NEG_K = 3
+
+
+def _duck_hardneg_oracle() -> str:
+    bits = ", ".join(
+        f"(CASE WHEN {_duck_dot('e', _duck_plane(PLANES[h]))} > 0 THEN 1 ELSE 0 END) AS bit{h}"
+        for h in range(N_PLANES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, e, {j} AS band, concat_ws('', {bits}) AS bkey FROM sig".format(
+            j=j,
+            bits=", ".join(f"bit{j * BITS_PER_BAND + k}" for k in range(BITS_PER_BAND)),
+        )
+        for j in range(N_BANDS)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    sig AS (SELECT vec_id, e, {bits} FROM v),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+      FROM bands p JOIN bands c
+        ON p.band = c.band AND p.bkey = c.bkey
+       AND p.vec_id < {N_PROBES} AND c.vec_id <> p.vec_id
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             {_duck_dot('p.e', 'c.e')} /
+               (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('c.e', 'c.e')})) AS cosine
+      FROM cand
+      JOIN v p ON p.vec_id = cand.probe_id
+      JOIN v c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    WHERE cosine >= {HARD_NEG_LO} AND cosine < {NEARDUP_COS}
+    QUALIFY rank <= {HARD_NEG_K}
+    """
+
+
+@register(
+    "q106_hard_negatives",
+    oracle=_duck_hardneg_oracle(),
+    doc="contrastive hard-negative mining: same-LSH-bucket candidates in "
+    f"the [{HARD_NEG_LO}, {NEARDUP_COS}) cosine band, top-{HARD_NEG_K} per probe",
+    tags=("similarity", "llm"),
+)
+def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    bands = _signatures(v)
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.lit(N_PROBES))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("probe_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    pv = F.broadcast(v.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")))
+    cv = F.broadcast(v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ce")))
+    cosine = _dot(F.col("pe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    scored = (
+        cand.join(pv, "probe_id")
+        .join(cv, "neighbor_id")
+        .select("probe_id", "neighbor_id", cosine.alias("cosine"))
+        .filter((F.col("cosine") >= HARD_NEG_LO) & (F.col("cosine") < NEARDUP_COS))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+    )

@@ -151,3 +151,31 @@ def test_pq_codes_partition_vectors_and_seed_error_zero(spark):
         assert r.total_sq_error >= 0.0
     assert set(per_sub) == set(range(N_SUBSPACES))
     assert all(v == n_vecs for v in per_sub.values())
+
+
+def test_hard_negatives_disjoint_from_neardups_and_banded(spark):
+    """Mined negatives must sit strictly below the near-dup threshold —
+    disjoint from q49's near-dup pairs — and respect per-probe top-k."""
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        HARD_NEG_K,
+        HARD_NEG_LO,
+        NEARDUP_COS,
+        N_PROBES,
+    )
+
+    negs = all_specs()["q106_hard_negatives"].fn(spark, SF_SMOKE).collect()
+    assert negs  # mining found something at the smoke SF
+    dups = {
+        (r.vec_a, r.vec_b)
+        for r in all_specs()["q49_embedding_neardup"].fn(spark, SF_SMOKE).collect()
+    }
+    per_probe = {}
+    for r in negs:
+        assert HARD_NEG_LO <= r.cosine < NEARDUP_COS
+        assert r.probe_id < N_PROBES
+        key = (min(r.probe_id, r.neighbor_id), max(r.probe_id, r.neighbor_id))
+        assert key not in dups
+        per_probe.setdefault(r.probe_id, []).append(r.rank)
+    for ranks in per_probe.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= HARD_NEG_K
