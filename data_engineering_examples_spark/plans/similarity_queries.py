@@ -812,3 +812,126 @@ def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= HARD_NEG_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — embedding drift monitor: did a new ingest batch shift the
+# embedding distribution? Vectors are split into two batches (vec_id
+# parity stands in for yesterday/today), each batch is assigned to the
+# fixed seed centroids, and the per-cluster report gives both population
+# counts and the squared displacement between the two batch centroids.
+# A cluster whose centroid moves (or empties) after a model/encoder
+# change is the canonical embedding-pipeline regression signal.
+#
+# Exactness: batch centroids are rationals cs/n in integer micro-units;
+# the displacement compares them WITHOUT dividing —
+# Σ_d (n_b·cs_a − n_a·cs_b)² in DECIMAL(19,0)² — then normalizes by
+# (n_a·n_b·SCALE)² once, in double, at the very end. Same argmin
+# machinery as q94, so both engines agree bit-for-bit.
+#
+# Scale shape: one broadcast join against the seed table for
+# assignment, two partial-combined aggregations; nothing pairwise.
+
+
+@register(
+    "q107_embedding_drift",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cluster, dim, xq AS cs
+              FROM xq WHERE vec_id IN ({", ".join(str(c) for c in CENT_IDS)})),
+    d AS (
+      SELECT x.vec_id, s.cluster,
+             sum(CAST(x.xq - s.cs AS DECIMAL(19,0))
+                 * CAST(x.xq - s.cs AS DECIMAL(19,0))) AS dist
+      FROM xq x JOIN seeds s USING (dim) GROUP BY 1, 2
+    ),
+    a AS (SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d) WHERE rn = 1),
+    cent AS (
+      SELECT a.cluster, x.vec_id % 2 AS batch, x.dim,
+             CAST(sum(x.xq) AS BIGINT) AS cs, count(*) AS n
+      FROM xq x JOIN a USING (vec_id) GROUP BY 1, 2, 3
+    ),
+    paired AS (
+      SELECT p.cluster, p.dim, p.cs AS cs_a, p.n AS n_a, q.cs AS cs_b, q.n AS n_b
+      FROM cent p JOIN cent q
+        ON p.cluster = q.cluster AND p.dim = q.dim
+       AND p.batch = 0 AND q.batch = 1
+    )
+    SELECT cluster AS cluster_id,
+           CAST(max(n_a) AS BIGINT) AS n_a,
+           CAST(max(n_b) AS BIGINT) AS n_b,
+           CAST(sum(CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))
+                    * CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))) AS DOUBLE)
+             / (max(n_a) * max(n_b) * {KMEANS_SCALE})
+             / (max(n_a) * max(n_b) * {KMEANS_SCALE}) AS drift_sq
+    FROM paired GROUP BY cluster
+    """,
+    doc="embedding drift monitor: per-cluster batch populations and exact "
+    "squared centroid displacement between two ingest batches",
+    tags=("similarity", "llm", "quality"),
+)
+def q107_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    xq = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .localCheckpoint()  # feeds seeds, assignment, and both batch aggs
+    )
+    seeds = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
+        F.col("vec_id").alias("cluster"), "dim", F.col("xq").alias("cs")
+    )
+    diff = (F.col("xq") - F.col("cs")).cast("decimal(19,0)")
+    assign = (
+        xq.join(F.broadcast(seeds), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(F.sum(diff * diff).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select("vec_id", F.col("m.cluster").alias("cluster"))
+    )
+    cent = (
+        xq.join(assign, "vec_id")
+        .groupBy("cluster", (F.col("vec_id") % 2).alias("batch"), "dim")
+        .agg(F.sum("xq").alias("cs"), F.count(F.lit(1)).alias("n"))
+    )
+    p = cent.filter(F.col("batch") == 0).select(
+        "cluster", "dim", F.col("cs").alias("cs_a"), F.col("n").alias("n_a")
+    )
+    q = cent.filter(F.col("batch") == 1).select(
+        "cluster", "dim", F.col("cs").alias("cs_b"), F.col("n").alias("n_b")
+    )
+    num = (F.col("n_b") * F.col("cs_a") - F.col("n_a") * F.col("cs_b")).cast(
+        "decimal(19,0)"
+    )
+    scale = F.col("n_a") * F.col("n_b") * F.lit(KMEANS_SCALE)
+    return (
+        p.join(q, ["cluster", "dim"])
+        .groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            (
+                F.sum(num * num).cast("double")
+                / (F.max("n_a") * F.max("n_b") * F.lit(KMEANS_SCALE))
+                / (F.max("n_a") * F.max("n_b") * F.lit(KMEANS_SCALE))
+            ).alias("drift_sq"),
+        )
+    )

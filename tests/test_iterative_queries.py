@@ -179,3 +179,25 @@ def test_hard_negatives_disjoint_from_neardups_and_banded(spark):
     for ranks in per_probe.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= HARD_NEG_K
+
+
+def test_embedding_drift_zero_for_mirrored_batches(spark, tmp_path):
+    """If every even-id vector has an identical odd-id twin, the two
+    batches are the same distribution and drift must be exactly 0."""
+    import pandas as pd
+
+    base = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    twins = []
+    for r in base:
+        twins.append((2 * r.vec_id, list(r.embedding)))
+        twins.append((2 * r.vec_id + 1, list(r.embedding)))
+    # keep seed ids present: CENT_IDS max 433 <= 2*499+1 ✓ (ids are dense)
+    pdf = pd.DataFrame(twins, columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    rows = all_specs()["q107_embedding_drift"].fn(spark, str(tmp_path)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_a == r.n_b
+        assert r.drift_sq == 0.0
