@@ -701,3 +701,99 @@ def q87_ranked_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RETRIEVAL_TOPK)
         .select("query_id", "doc_id", "n_match", "sum_tf", "dl", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — PMI collocation mining: rank bigrams by how much more often the
+# pair occurs than independence predicts — the phrase-extraction signal
+# feeding tokenizer merge rules and multi-word-expression lists. Raw
+# top-count bigrams (q28) surface "of the"; PMI surfaces "new york".
+#
+# Determinism: instead of log-PMI (whose transcendental evaluation may
+# differ across engines in the last ulp), the score is the exact lift
+# ratio n_ab·N / (n_a·n_b) — both products fit double's exact-integer
+# range (< 2^53), so one double division gives bit-identical scores.
+# Monotone in PMI, so the ranking is the PMI ranking.
+#
+# Scale shape: three partial-combined counts (bigrams, left unigrams,
+# right unigrams — unigram table computed once and joined twice), two
+# broadcast joins of the (small, min-count-pruned) unigram side, then
+# sort+limit = TakeOrderedAndProject. No global window anywhere.
+
+PMI_MIN_PAIR = 5   # n_ab floor: kills noise pairs before scoring
+PMI_TOP = 20
+
+
+@register(
+    "q108_pmi_bigrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (
+      SELECT term, count(*) AS n FROM (
+        SELECT unnest(t) AS term FROM tok)
+      WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM uni),
+    bg AS (
+      SELECT w1, w2, count(*) AS n_ab FROM (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        FROM tok)
+      WHERE w1 <> '' AND w2 <> ''
+      GROUP BY w1, w2 HAVING count(*) >= {PMI_MIN_PAIR}
+    )
+    SELECT b.w1 || ' ' || b.w2 AS bigram,
+           CAST(b.n_ab AS BIGINT) AS n_ab,
+           CAST(a.n AS BIGINT) AS n_left,
+           CAST(c.n AS BIGINT) AS n_right,
+           CAST(b.n_ab * t.big_n AS DOUBLE) / CAST(a.n * c.n AS DOUBLE) AS lift
+    FROM bg b
+    JOIN uni a ON a.term = b.w1
+    JOIN uni c ON c.term = b.w2
+    CROSS JOIN tot t
+    ORDER BY lift DESC, bigram LIMIT {PMI_TOP}
+    """,
+    doc=f"PMI collocation mining: top-{PMI_TOP} bigrams by exact lift "
+    "ratio (integer-exact score, monotone in PMI)",
+    tags=("text", "llm", "vocab"),
+)
+def q108_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tk = d.select(F.split(d.text, " ").alias("t"))
+    uni = (
+        tk.select(F.explode("t").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big_n = uni.agg(F.sum("n").cast("bigint").alias("big_n"))
+    pos = tk.filter(F.size("t") >= 2).select(
+        "t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i")
+    )
+    pairs = pos.select(
+        F.element_at("t", F.col("i") + 1).alias("w1"),
+        F.element_at("t", F.col("i") + 2).alias("w2"),
+    ).filter((F.col("w1") != "") & (F.col("w2") != ""))
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIR)
+    )
+    left = F.broadcast(uni.select(F.col("term").alias("w1"), F.col("n").alias("n_left")))
+    right = F.broadcast(uni.select(F.col("term").alias("w2"), F.col("n").alias("n_right")))
+    scored = (
+        bg.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_left").cast("bigint").alias("n_left"),
+            F.col("n_right").cast("bigint").alias("n_right"),
+            (
+                (F.col("n_ab") * F.col("big_n")).cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(PMI_TOP)

@@ -230,3 +230,24 @@ def test_leakage_audit_flags_planted_near_dup(spark, tmp_path):
     n_docs = sum(r.n_docs for r in out.values())
     assert n_docs == 2  # the two held-out docs
     assert n_leaky == 1  # exactly the planted near-dup
+
+
+def test_pmi_ranks_exclusive_pair_above_common_words(spark, tmp_path):
+    """A bigram whose words appear ONLY together must out-lift a bigram
+    of promiscuous words, even when the latter is more frequent."""
+    from data_engineering_examples_spark.plans.corpus_queries import (  # noqa: F401
+        SPLIT_MOD,
+    )
+
+    exclusive = "san marino"          # words never appear apart
+    promiscuous = "the cat"           # 'the' pairs with everything
+    filler = " ".join(f"the w{i}" for i in range(20))
+    rows = [
+        (1, " ".join([exclusive] * 5) + " " + filler, "en", "a"),
+        (2, " ".join([promiscuous] * 8) + " " + filler, "en", "a"),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    out = all_specs()["q108_pmi_bigrams"].fn(spark, sf).collect()
+    lifts = {r.bigram: r.lift for r in out}
+    assert exclusive in lifts and promiscuous in lifts
+    assert lifts[exclusive] > lifts[promiscuous]
