@@ -1483,3 +1483,72 @@ def q96_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"p{int(q * 100)}")
         )
     return cum.groupBy("o_orderpriority").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# q109 — sliding event-time windows: per event_type hourly rates at
+# 30-minute slide — the canonical streaming-dashboard aggregation,
+# expressed with Spark's native ``F.window`` (each event lands in
+# duration/slide = 2 overlapping windows via an internal generator —
+# no self-join, no explode in user code). The DuckDB oracle rebuilds
+# the window assignment with exact integer epoch-microsecond
+# arithmetic: start_k = t - ((t - k·slide) mod duration-aligned slide)
+# — concretely the two aligned 30-minute boundaries covering t.
+# Value mass uses the q54 exact-millis trick so the per-window sums are
+# order-independent integers, not float accumulation.
+#
+# Scale shape: ONE partial-combined shuffle on (event_type, window) —
+# the 2× window fan-out happens map-side before the combine. In
+# Structured Streaming the identical expression runs incrementally with
+# a watermark; q97/q83 cover that leg.
+
+SLIDE_MIN = 30
+WIN_MIN = 60
+
+
+@register(
+    "q109_sliding_window_rates",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS v_mil
+      FROM events
+    ),
+    slide AS (SELECT CAST({SLIDE_MIN} * 60 * 1000000 AS BIGINT) AS us),
+    fan AS (
+      SELECT e.event_type, e.v_mil,
+             epoch_us(e.t) - ((epoch_us(e.t) % s.us + s.us) % s.us)
+               - k.k * s.us AS start_us
+      FROM e, slide s, (SELECT unnest(range(0, {WIN_MIN // SLIDE_MIN})) AS k) k
+    )
+    -- every generated window contains t by construction: duration is
+    -- exactly 2 slides and k enumerates both aligned offsets
+    SELECT event_type,
+           strftime(make_timestamp(start_us), '{TS_FMT_DUCK}') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_mil) AS BIGINT) AS value_millis
+    FROM fan
+    GROUP BY event_type, start_us
+    """,
+    doc="sliding event-time windows (1h window, 30min slide) per event "
+    "type via native F.window; one partial-combined shuffle",
+    tags=("window", "agg", "T5", "streaming"),
+)
+def q109_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", f"{WIN_MIN} minutes", f"{SLIDE_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "value_millis",
+        )
+    )

@@ -70,3 +70,30 @@ def test_retention_week_offsets(spark, tmp_path):
     # user 1 appears at offsets 0 and 1; user 2 only at its own offset 0
     assert sum(m.values()) == 3
     assert {wo for (_, wo) in m} == {0, 1}
+
+
+def test_sliding_windows_double_count_each_event(spark, tmp_path):
+    """1h window at 30min slide => every event lands in exactly 2
+    windows: total n_events across windows is 2x the event count, and
+    consecutive window starts differ by the slide."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    base = dt.datetime(2024, 1, 1, 0, 5, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), 1, "click", 1.0, "{}")
+        for i in range(20)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = all_specs()["q109_sliding_window_rates"].fn(spark, str(tmp_path)).collect()
+    assert sum(r.n_events for r in out) == 2 * len(rows)
+    starts = sorted(r.window_start for r in out)
+    assert len(starts) == len(set(starts))  # (type, window) rows unique
