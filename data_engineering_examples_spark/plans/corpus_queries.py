@@ -1146,3 +1146,73 @@ def q105_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("leak").cast("double") / F.count(F.lit(1))).alias("leak_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q110 — schema-drift-tolerant ingestion: a corpus landed in batches
+# whose schema EVOLVED (an early batch without the ``source`` column, a
+# later batch with it). ``spark.read.option("mergeSchema", true)``
+# unifies the footers at plan time; rows from the pre-evolution batch
+# surface the new column as NULL, and accounting buckets them under a
+# sentinel. The oracle reproduces the same union semantics directly
+# from the documents table, so parity proves no rows were lost or
+# mis-bucketed across the schema boundary.
+#
+# Scale note: mergeSchema unions FOOTER metadata (one small task per
+# file), not data; the scan itself stays columnar and pruned. The
+# batch split here is doc_id parity — deterministic and
+# oracle-reproducible.
+
+
+@register(
+    "q110_schema_evolution",
+    oracle="""
+    WITH unified AS (
+      -- batch 0 (doc_id even): landed BEFORE the source column existed
+      SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           coalesce(source, '<pre-evolution>') AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM unified GROUP BY 1, 2
+    """,
+    doc="schema-evolution ingestion: mergeSchema over batches with and "
+    "without the source column; pre-evolution rows bucket to a sentinel",
+    tags=("corpus", "S1", "llm"),
+)
+def q110_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = tempfile.mkdtemp(prefix="q110_evolve_")
+    # batch 0: the old layout — no source column yet
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.parquet(
+        f"{base}/batch=0"
+    )
+    # batch 1: the evolved layout
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "lang", "source"
+    ).write.parquet(f"{base}/batch=1")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=0", f"{base}/batch=1"
+    )
+    return (
+        merged.select(
+            "lang",
+            F.coalesce("source", F.lit("<pre-evolution>")).alias("source"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -251,3 +251,18 @@ def test_pmi_ranks_exclusive_pair_above_common_words(spark, tmp_path):
     lifts = {r.bigram: r.lift for r in out}
     assert exclusive in lifts and promiscuous in lifts
     assert lifts[exclusive] > lifts[promiscuous]
+
+
+def test_schema_evolution_preserves_all_rows(spark):
+    """No document may be lost or duplicated across the schema boundary,
+    and pre-evolution rows must carry the sentinel source."""
+    from pyspark.sql import functions as FF
+
+    out = all_specs()["q110_schema_evolution"].fn(spark, SF_SMOKE)
+    rows = out.collect()
+    total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    assert total == docs.count()
+    n_pre = sum(r.n_docs for r in rows if r.source == "<pre-evolution>")
+    assert n_pre == docs.filter(FF.col("doc_id") % 2 == 0).count()
+    assert all(r.source for r in rows)  # no NULL leaks past the sentinel
