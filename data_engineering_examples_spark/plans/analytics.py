@@ -1552,3 +1552,50 @@ def q109_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_millis",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q111 — partition-pruned scan over a hive-layout table: events written
+# once partitioned by event_type, then a two-type analysis that reads
+# ONLY those directories — partition pruning happens at PLAN time (the
+# file index never lists the other types' files), which at 100 TB is
+# the difference between scanning 2/5 of the table and all of it.
+# ``sources/layout.py`` owns the write pattern; this query makes the
+# read-side pruning a registry-visible operator with an oracle. The
+# pruned column comes back as a partition value (not file data), so
+# parity also proves the hive round-trip preserved the grouping.
+
+PRUNE_TYPES = ("click", "purchase")
+
+
+@register(
+    "q111_partition_pruning",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    WHERE event_type IN {PRUNE_TYPES}
+    GROUP BY event_type
+    """,
+    doc="partition-pruned hive-layout scan: filter on the partition "
+    "column prunes directories at plan time; only 2/5 of the data is read",
+    tags=("layout", "S1", "A4"),
+)
+def q111_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = tempfile.mkdtemp(prefix="q111_hive_")
+    ev.write.partitionBy("event_type").parquet(f"{base}/events")
+    part = spark.read.parquet(f"{base}/events")
+    return (
+        part.filter(F.col("event_type").isin(*PRUNE_TYPES))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+    )

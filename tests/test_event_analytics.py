@@ -97,3 +97,18 @@ def test_sliding_windows_double_count_each_event(spark, tmp_path):
     assert sum(r.n_events for r in out) == 2 * len(rows)
     starts = sorted(r.window_start for r in out)
     assert len(starts) == len(set(starts))  # (type, window) rows unique
+
+
+def test_partition_pruning_reaches_the_file_index(spark):
+    """The event_type filter must appear as a PartitionFilter (plan-time
+    directory pruning), not a post-scan data filter."""
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    df = all_specs()["q111_partition_pruning"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the IN filter sits in the partition filters, naming both types
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert m and "click" in m.group(0) and "purchase" in m.group(0)
