@@ -1599,3 +1599,62 @@ def q111_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — bucketed co-located fact-fact join: orders and lineitem written
+# ONCE bucketed by order key (sources/layout.py:write_bucketed), then
+# joined WITHOUT any shuffle — neither side has an Exchange in the plan,
+# because matching bucket layouts make the join purely file-local. At
+# 1000 executors this removes the widest network stage a fact-fact join
+# has; the write-time bucketing cost amortizes over every subsequent
+# keyed join/agg. The per-bucket sort also drops the join's Sort nodes.
+# A plan test asserts the zero-exchange property; the oracle pins the
+# results.
+
+BUCKET_N = 8
+
+
+@register(
+    "q112_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="bucketed co-located orders⋈lineitem: both sides pre-bucketed on "
+    "the order key, the join runs with zero Exchange (plan-asserted)",
+    tags=("layout", "J1", "A1"),
+)
+def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.layout import write_bucketed
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    base = tempfile.mkdtemp(prefix="q112_bucketed_")
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "q112_orders_b", "o_orderkey", BUCKET_N, path=f"{base}/orders",
+    )
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", "l_extendedprice"),
+        "q112_lineitem_b", "l_orderkey", BUCKET_N, path=f"{base}/lineitem",
+    )
+    o = spark.table("q112_orders_b")
+    li = spark.table("q112_lineitem_b")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )

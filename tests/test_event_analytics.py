@@ -112,3 +112,21 @@ def test_partition_pruning_reaches_the_file_index(spark):
 
     m = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
     assert m and "click" in m.group(0) and "purchase" in m.group(0)
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """With broadcast disabled, q112's orders⋈lineitem must join on the
+    bucket layout alone: the join subtree contains ZERO Exchange and both
+    scans report selected buckets."""
+    from data_engineering_examples_spark.plans.registry import all_specs
+    from .test_storage_layout import no_broadcast
+
+    with no_broadcast(spark):
+        df = all_specs()["q112_bucketed_join"].fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("SelectedBucketsCount") == 2
+    # the ONLY exchange allowed is the aggregation's, strictly above the
+    # join: no Exchange may appear below the SortMergeJoin node
+    join_pos = plan.index("SortMergeJoin")
+    assert "Exchange" not in plan[join_pos:], plan[join_pos:][:500]
