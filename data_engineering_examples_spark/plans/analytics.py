@@ -1658,3 +1658,84 @@ def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — salted two-stage aggregation (operators/skew.py:two_stage_agg)
+# under the oracle gate: exact per-key count + count-distinct where a
+# hot grouping key (event_type: 5 values over the whole table — EVERY
+# key is hot) would otherwise concentrate on 5 reducers. Stage 1 groups
+# on (key, salt) so each hot key spreads across 16 reducers; stage 2
+# merges partials on the key alone. The distinct count dedups on the
+# (key, value) composite — the value IS the salt — never gathering a
+# key's values into one buffer. Result-identical to the plain
+# GROUP BY + COUNT(DISTINCT), which is exactly what the oracle runs.
+
+
+@register(
+    "q113_skew_two_stage_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="salted two-stage count + count-distinct over a hot grouping key "
+    "(5 values -> 16-way salt spread); result-identical to plain GROUP BY",
+    tags=("skew", "agg", "A4"),
+)
+def q113_skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import two_stage_agg
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return two_stage_agg(
+        ev.select("event_type", "user_id"),
+        ["event_type"],
+        n_salts=16,
+        count_distinct_col="user_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — small-files compaction (sources/layout.py:compact_parquet)
+# under the oracle gate: a fragmented ingest landing zone (64 shard
+# files from micro-batched writes) is compacted to ~target-size files
+# with the crash-recoverable rename-swap, then read back for per-type
+# accounting. The oracle computes the same accounting from the
+# original events table, so parity proves the maintenance rewrite is
+# exactly lossless — the property a compaction job must guarantee
+# before it is allowed near 100 TB of landed data.
+
+
+@register(
+    "q114_compaction_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    doc="small-files compaction round-trip: 64 ingest shards rewritten "
+    "to target-size files (rename-swap), accounting proves losslessness",
+    tags=("layout", "S1", "A4"),
+)
+def q114_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.layout import compact_parquet
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = tempfile.mkdtemp(prefix="q114_compact_")
+    landing = f"{base}/events_landing"
+    # simulate a fragmented micro-batched landing zone
+    ev.repartition(64).write.parquet(landing)
+    compact_parquet(spark, landing, target_mb=64)
+    compacted = spark.read.parquet(landing)
+    return compacted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
