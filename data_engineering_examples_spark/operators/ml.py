@@ -25,6 +25,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_rank(df: DataFrame, order_col: str, out_col: str = "__rn") -> DataFrame:
+    """1-based global rank over a UNIQUE ``order_col`` WITHOUT moving the
+    dataset to one partition: distributed range sort + per-partition
+    offsets (the zipWithIndex decomposition). The only unpartitioned
+    window runs over the per-partition COUNTS — one row per partition,
+    bounded by the partition count, never by the data. Ranks are
+    plan-deterministic even though range boundaries are sampled: with a
+    unique key, offset + within-partition row_number is the key's global
+    position regardless of where the boundaries fell."""
+    part = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    pid = part.withColumn("__pid", F.spark_partition_id())
+    offsets = (
+        pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn(
+            "__offset",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__offset")
+    )
+    w_in = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, (F.col("__offset") + F.row_number().over(w_in)).cast("long"))
+        .drop("__pid", "__offset")
+    )
+
+
 def cyclic_shift_column(
     df: DataFrame, col: str, order_col: str, k: int = 1
 ) -> DataFrame:
@@ -32,11 +67,14 @@ def cyclic_shift_column(
     the deterministic ordering of ``order_col`` — a reproducible
     derangement (for 0 < k < n) that breaks the feature↔label pairing.
     Implemented as rank → modular-target self-join on the single shifted
-    column; every other column rides along unchanged.
+    column; every other column rides along unchanged. Ranks come from
+    ``_global_rank`` (range sort + partition offsets), so no stage ever
+    gathers the eval set onto a single partition — the pass scales with
+    the eval set like any other shuffle.
 
-    ``order_col`` MUST be unique: with ties, row_number's tie order is
-    not stable across the two computations feeding the self-join, so a
-    row could silently receive its own value back (no permutation).
+    ``order_col`` MUST be unique: with ties, rank tie order is not
+    stable across the two computations feeding the self-join, so a row
+    could silently receive its own value back (no permutation).
     Enforced with an explicit check rather than corrupted importances."""
     n = df.count()
     n_keys = df.select(order_col).distinct().count()
@@ -48,8 +86,7 @@ def cyclic_shift_column(
         # k ≡ 0 (mod n) is the identity mapping — every feature would
         # silently score zero importance instead of being permuted
         raise ValueError(f"shift k={k} is a no-op for n={n} rows (k % n == 0)")
-    w = Window.orderBy(order_col)
-    ranked = df.withColumn("__rn", F.row_number().over(w))
+    ranked = _global_rank(df, order_col)
     donor = ranked.select(
         ((F.col("__rn") - 1 - k) % n + n) % n + 1,  # receiver rank
         F.col(col),

@@ -1455,7 +1455,7 @@ def _duck_quantile_oracle() -> str:
     oracle=_duck_quantile_oracle(),
     doc="exact discrete quantiles per priority via count-per-value + "
     "cumulative selection (map-side combine; window over distinct values only)",
-    tags=("analytics", "A5", "W3"),
+    tags=("analytics", "A4", "W3"),
 )
 def q96_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir, ["orders"])["orders"]
@@ -1584,10 +1584,10 @@ PRUNE_TYPES = ("click", "purchase")
     tags=("layout", "S1", "A4"),
 )
 def q111_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..scratch import scratch_dir
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    base = tempfile.mkdtemp(prefix="q111_hive_")
+    base = scratch_dir("q111_hive")
     ev.write.partitionBy("event_type").parquet(f"{base}/events")
     part = spark.read.parquet(f"{base}/events")
     return (
@@ -1628,25 +1628,43 @@ BUCKET_N = 8
     """,
     doc="bucketed co-located orders⋈lineitem: both sides pre-bucketed on "
     "the order key, the join runs with zero Exchange (plan-asserted)",
-    tags=("layout", "J1", "A1"),
+    tags=("layout", "J1", "A4"),
 )
 def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    import atexit
+    import os
 
+    from ..scratch import scratch_dir
     from ..sources.layout import write_bucketed
 
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    base = tempfile.mkdtemp(prefix="q112_bucketed_")
+    base = scratch_dir("q112_bucketed")
+    # pid-unique catalog names: concurrent sessions sharing a metastore
+    # must not race on one table name, and the entries are dropped atexit
+    # so nothing persists pointing at reaped scratch data.
+    orders_tbl = f"q112_orders_b_{os.getpid()}"
+    lineitem_tbl = f"q112_lineitem_b_{os.getpid()}"
+    if not getattr(q112_bucketed_join, "_drop_registered", False):
+        q112_bucketed_join._drop_registered = True
+
+        def _drop_tables():
+            for tbl in (orders_tbl, lineitem_tbl):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                except Exception:
+                    pass  # session already stopped — scratch reaper gets the files
+
+        atexit.register(_drop_tables)
     write_bucketed(
         t["orders"].select("o_orderkey", "o_orderpriority"),
-        "q112_orders_b", "o_orderkey", BUCKET_N, path=f"{base}/orders",
+        orders_tbl, "o_orderkey", BUCKET_N, path=f"{base}/orders",
     )
     write_bucketed(
         t["lineitem"].select("l_orderkey", "l_extendedprice"),
-        "q112_lineitem_b", "l_orderkey", BUCKET_N, path=f"{base}/lineitem",
+        lineitem_tbl, "l_orderkey", BUCKET_N, path=f"{base}/lineitem",
     )
-    o = spark.table("q112_orders_b")
-    li = spark.table("q112_lineitem_b")
+    o = spark.table(orders_tbl)
+    li = spark.table(lineitem_tbl)
     return (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("o_orderpriority")
@@ -1722,12 +1740,11 @@ def q113_skew_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("layout", "S1", "A4"),
 )
 def q114_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
+    from ..scratch import scratch_dir
     from ..sources.layout import compact_parquet
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    base = tempfile.mkdtemp(prefix="q114_compact_")
+    base = scratch_dir("q114_compact")
     landing = f"{base}/events_landing"
     # simulate a fragmented micro-batched landing zone
     ev.repartition(64).write.parquet(landing)

@@ -756,10 +756,10 @@ def q99_token_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("corpus", "llm", "S1"),
 )
 def q100_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..scratch import scratch_dir
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    base = tempfile.mkdtemp(prefix="q100_jsonl_")
+    base = scratch_dir("q100_jsonl")
     # render: one JSON object per line, partition-parallel text files
     docs.select(
         F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")
@@ -1188,10 +1188,10 @@ def q105_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("corpus", "S1", "llm"),
 )
 def q110_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..scratch import scratch_dir
 
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    base = tempfile.mkdtemp(prefix="q110_evolve_")
+    base = scratch_dir("q110_evolve")
     # batch 0: the old layout — no source column yet
     docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang").write.parquet(
         f"{base}/batch=0"

@@ -776,7 +776,7 @@ def q41_patient_silver_from_bronze(spark: SparkSession, sf_dir: str) -> DataFram
     "q45_extract_collection",
     oracle=f"""
     WITH c AS (
-      SELECT patient, list_sort(list('Condition/' || _id)) AS cond_entries
+      SELECT patient, list_sort(list('Condition/' || _id)) AS cond_list
       FROM read_parquet('{FX}/conditions.parquet') GROUP BY patient
     ),
     o AS (
@@ -784,9 +784,9 @@ def q41_patient_silver_from_bronze(spark: SparkSession, sf_dir: str) -> DataFram
       FROM read_parquet('{FX}/observations.parquet') GROUP BY patient
     )
     SELECT p.key AS patient_key,
-           coalesce(c.cond_entries, []) AS cond_entries,
+           coalesce(array_to_string(c.cond_list, ','), '') AS cond_entries,
            coalesce(o.n_obs, 0) AS n_obs,
-           1 + len(coalesce(c.cond_entries, [])) + coalesce(o.n_obs, 0) AS n_entries
+           1 + len(coalesce(c.cond_list, [])) + coalesce(o.n_obs, 0) AS n_entries
     FROM read_parquet('{FX}/patients.parquet') p
     LEFT JOIN c ON c.patient = p.key
     LEFT JOIN o ON o.patient = p.key
@@ -806,11 +806,14 @@ def q45_extract_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = p.join(conds, p.key == conds.patient, "left").join(
         obs, p.key == obs.patient, "left"
     )
-    cond_entries = F.coalesce(F.col("cond_entries"), F.array().cast("array<string>"))
+    # Driver's order-insensitive hasher can't hash list cells, so the entry
+    # array is serialized to a ','-joined string AFTER n_entries is computed
+    # from the (already sorted) array — both engines serialize identically.
+    cond_list = F.coalesce(F.col("cond_entries"), F.array().cast("array<string>"))
     n_obs = F.coalesce(F.col("n_obs"), F.lit(0))
     return joined.select(
         p.key.alias("patient_key"),
-        cond_entries.alias("cond_entries"),
+        F.array_join(cond_list, ",").alias("cond_entries"),
         n_obs.alias("n_obs"),
-        (F.lit(1) + F.size(cond_entries) + n_obs).alias("n_entries"),
+        (F.lit(1) + F.size(cond_list) + n_obs).alias("n_entries"),
     )

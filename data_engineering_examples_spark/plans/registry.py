@@ -66,13 +66,17 @@ _PRIORITY: tuple = (
     "q71_outcome_triage",
     # sampling / sessions / skew (A6, T5, scale)
     "q52_stratified_sample", "q59_user_sessions", "q54_salted_join",
-    # LLM dedup components (SimHash q25 sits just past the window: its
-    # component row keeps local verification, freeing a slot for a §2 ID)
+    # document transforms + streaming state machine (U5, U6/F17, S9/T1/T3) —
+    # swapped into the window in r5 so every §2 operator has driver-green
+    # evidence; the slots came from q61/q49/q50, whose §2/LLM component rows
+    # duplicate in-window evidence (q22-q24 dedup, q31/q32 similarity) and
+    # which keep local tools/check_oracle.py verification in the tail.
+    "q46_legacy_qr_batch", "q47_bundle_to_message", "q75_task_stream_state",
+    # LLM dedup components (SimHash q25 and verdict q61 sit just past the
+    # window: their component rows keep local verification)
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
-    "q61_dedup_verdict",
-    # LLM similarity / ANN components
-    "q31_cosine_topk", "q32_ann_lsh_topk", "q49_embedding_neardup",
-    "q50_ivf_topk",
+    # LLM similarity / ANN components (q49 near-dup / q50 IVF in the tail)
+    "q31_cosine_topk", "q32_ann_lsh_topk",
     # LLM text components (lang-id q30 just past the window; the quality
     # row keeps q29 in-window)
     "q26_token_stats", "q27_corpus_stats", "q29_quality_score",

@@ -393,11 +393,11 @@ _Q75_NOW = "2025-09-01T00:00:00"
 )
 def q75_task_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..streaming.tasks import TaskStateMachine
 
-    base = tempfile.mkdtemp(prefix="q75_stream_")
+    base = scratch_dir("q75_stream")
     inp = f"{base}/in"
     import os as _os
 
@@ -433,12 +433,12 @@ def q75_task_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q83_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil
-    import tempfile
 
     from pyspark.sql import Window
+    from ..scratch import scratch_dir
     from ..streaming.tasks import TASK_SCHEMA, task_progress_stateful
 
-    base = tempfile.mkdtemp(prefix="q83_stream_")
+    base = scratch_dir("q83_stream")
     inp, out = f"{base}/in", f"{base}/out"
     _os.makedirs(inp)
     # two identical files = an at-least-once redelivery of every task
@@ -506,11 +506,11 @@ def q83_stateful_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..streaming.tasks import TASK_SCHEMA, dedup_stream
 
-    base = tempfile.mkdtemp(prefix="q84_stream_")
+    base = scratch_dir("q84_stream")
     inp, out = f"{base}/in", f"{base}/out"
     _os.makedirs(inp)
     shutil.copy(f"{FX}/tasks.parquet", f"{inp}/delivery_a.parquet")
@@ -662,38 +662,93 @@ ATTRIB_WINDOW_MIN = 30
     tags=("workflow", "streaming", "T5", "J1"),
 )
 def q97_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    return _stream_attribution(spark, sf_dir, production=False)
+
+
+def _stream_attribution(
+    spark: SparkSession, sf_dir: str, production: bool
+) -> DataFrame:
+    """Two input shapes, one streaming join:
+
+    * ``production=False`` (the oracle-gated registry entry): each side
+      lands as ONE file → one micro-batch per source under availableNow,
+      so every row is processed before any watermark advances — nothing
+      is late, and streaming output == batch join bit-for-bit. The
+      ``coalesce(1)`` funnel is determinism plumbing for the oracle, not
+      the production shape.
+    * ``production=True`` (pytest-exercised): each side lands as
+      TIME-ORDERED slices consumed one file per micro-batch
+      (``maxFilesPerTrigger=1``) — the real multi-trigger shape where
+      watermarks advance BETWEEN batches and join state is actually
+      evicted. Time-ordered delivery is watermark-safe: a click is
+      evicted only once the purchase-side watermark passes click_ts +
+      30 min, and ordered slices guarantee every purchase still able to
+      match has already arrived (late-arriving UNORDERED feeds are
+      exactly what the 10-min delay absorbs in production). The pytest
+      case asserts multi-batch output == the single-batch/batch-join
+      result, proving the eviction discipline drops nothing."""
+    from ..scratch import scratch_dir
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    base = tempfile.mkdtemp(prefix="q97_stream_")
+    base = scratch_dir("q97_stream_prod" if production else "q97_stream")
     clicks_in, purch_in, out = f"{base}/clicks", f"{base}/purchases", f"{base}/out"
-    # one file per side => one micro-batch per source under availableNow:
-    # every row is processed before any watermark advances, so nothing is
-    # late and streaming output == batch join (see module comment)
-    ev.filter(F.col("event_type") == "click").select(
+    clicks_df = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
         # watermarks require TIMESTAMP (LTZ); only DIFFERENCES reach the
         # output, so the wall-clock->instant reinterpretation is inert
         F.col("ts").cast("timestamp").alias("click_ts"),
-    ).coalesce(1).write.parquet(clicks_in)
-    ev.filter(F.col("event_type") == "purchase").select(
+    )
+    purch_df = ev.filter(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user_id"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").cast("timestamp").alias("purchase_ts"),
-    ).coalesce(1).write.parquet(purch_in)
-
-    clicks = (
-        spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
-        .parquet(clicks_in)
-        .withWatermark("click_ts", "10 minutes")
     )
-    purchases = (
-        spark.readStream.schema(
-            "p_user_id long, purchase_id long, purchase_ts timestamp"
-        )
-        .parquet(purch_in)
-        .withWatermark("purchase_ts", "10 minutes")
+    if production:
+        # one appended file per time slice, written oldest-first —
+        # sequential writes give increasing mtimes, which the file
+        # stream source's ordering respects, so micro-batches replay
+        # the feed in event-time order (a Kafka topic's shape)
+        bounds = ev.select(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        n_slices = 3
+        span = (bounds.hi - bounds.lo) / n_slices
+        for i in range(n_slices):
+            lo = bounds.lo + span * i
+            hi = bounds.hi if i == n_slices - 1 else bounds.lo + span * (i + 1)
+            upper = (
+                (F.col("click_ts") <= F.lit(hi))
+                if i == n_slices - 1
+                else (F.col("click_ts") < F.lit(hi))
+            )
+            clicks_df.filter(
+                (F.col("click_ts") >= F.lit(lo)) & upper
+            ).coalesce(1).write.mode("append").parquet(clicks_in)
+            upper_p = (
+                (F.col("purchase_ts") <= F.lit(hi))
+                if i == n_slices - 1
+                else (F.col("purchase_ts") < F.lit(hi))
+            )
+            purch_df.filter(
+                (F.col("purchase_ts") >= F.lit(lo)) & upper_p
+            ).coalesce(1).write.mode("append").parquet(purch_in)
+    else:
+        clicks_df.coalesce(1).write.parquet(clicks_in)
+        purch_df.coalesce(1).write.parquet(purch_in)
+
+    click_reader = spark.readStream.schema(
+        "user_id long, click_id long, click_ts timestamp"
+    )
+    purch_reader = spark.readStream.schema(
+        "p_user_id long, purchase_id long, purchase_ts timestamp"
+    )
+    if production:
+        click_reader = click_reader.option("maxFilesPerTrigger", 1)
+        purch_reader = purch_reader.option("maxFilesPerTrigger", 1)
+    clicks = click_reader.parquet(clicks_in).withWatermark("click_ts", "10 minutes")
+    purchases = purch_reader.parquet(purch_in).withWatermark(
+        "purchase_ts", "10 minutes"
     )
     joined = clicks.join(
         purchases,

@@ -1,0 +1,55 @@
+"""Per-session scratch roots for queries that materialize an intermediate
+table layout (hive partitioning, bucketing, compaction, streaming fixtures).
+
+The registry's query functions return LAZY DataFrames — the caller
+(driver, bench, tests) collects after the function returns — so a query
+cannot remove its own scratch directory before the read happens.  The
+old pattern (``tempfile.mkdtemp`` per call) therefore leaked one full
+copy of the staged input per invocation: a bench run at n=4 iterations
+held four copies, and nothing ever deleted them.
+
+This module fixes the leak with two properties:
+
+1. **Stable per-(process, query) directories.**  ``scratch_dir(name)``
+   returns the same path every time within a process and wipes it clean
+   before handing it back, so repeated invocations (bench iterations,
+   test retries) REUSE the space instead of accumulating copies.  The
+   contract: the previous invocation's result must be materialized
+   before the query is invoked again — true for the driver, bench, and
+   pytest, all of which collect each result before moving on.
+
+2. **atexit removal of the whole root.**  The root carries the pid so
+   concurrent sessions on one machine never collide, and the process
+   removes it on exit — nothing survives the session.
+
+At real scale this staging would live in the job's scratch bucket/HDFS
+tmp with TTL policy; the lifecycle contract (stable path, overwrite on
+rerun, reaped at session end) is the same one implemented here.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+
+_ROOT: str | None = None
+
+
+def scratch_root() -> str:
+    """Lazily create the per-process scratch root (removed atexit)."""
+    global _ROOT
+    if _ROOT is None:
+        _ROOT = tempfile.mkdtemp(prefix=f"spark_graft_scratch_{os.getpid()}_")
+        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+    return _ROOT
+
+
+def scratch_dir(name: str) -> str:
+    """Stable scratch dir for ``name``; wiped clean on every call."""
+    p = os.path.join(scratch_root(), name)
+    if os.path.exists(p):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(p)
+    return p

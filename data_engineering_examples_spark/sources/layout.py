@@ -63,6 +63,57 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def recover_swap(path: str) -> bool:
+    """Crash recovery for :func:`swap_write`: a death between the two
+    renames leaves the ONLY copy at the ``.__swap_old__`` side path with
+    the live path missing — restore it. Returns True if a restore
+    happened. Idempotent; call before reading or rewriting a swap-managed
+    directory."""
+    import os
+
+    old = path.rstrip("/") + ".__swap_old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
+def swap_write(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """Replace the parquet dataset at ``path`` with ``df`` using the
+    write-new → move-old-aside → move-new-in → drop-old discipline.
+
+    ``df`` may READ from ``path`` (merge/compact rewrites): the new
+    content is fully materialized to a side dir while the old dir is
+    still readable, so the plan's scan and the rewrite never collide.
+    The data always exists at either the live path or the retained
+    ``.__swap_old__`` side path; a crash at any point is recoverable via
+    :func:`recover_swap`, and the reader-visible gap shrinks to the
+    instant between the two renames. That gap is the plain-parquet
+    limit — a Delta/Iceberg metadata commit (MERGE INTO / OPTIMIZE) is
+    the truly atomic form of this operation.
+    """
+    import os
+    import shutil
+
+    tmp = path.rstrip("/") + ".__swap_tmp__"
+    old = path.rstrip("/") + ".__swap_old__"
+    recover_swap(path)
+    # any remaining tmp/old dir is superseded or incomplete: remove it up
+    # front so the renames below cannot fail on EEXIST/ENOTEMPTY
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -73,15 +124,8 @@ def compact_parquet(
     compaction). Long-running ingestion — micro-batches, per-task state
     snapshots, streaming sinks — accretes thousands of tiny files; at
     scale the file-listing and per-file open costs then dominate scan
-    time. Returns the number of files written.
-
-    Swap order is write-new → move-old-aside → move-new-in → drop-old:
-    the data always exists at either the live path or the retained
-    ``.__compact_old__`` side path, so a crash at any point is manually
-    recoverable and the reader-visible gap shrinks to the instant between
-    the two renames (plain-parquet directories cannot give a truly atomic
-    swap — that is exactly what Delta/Iceberg's OPTIMIZE/
-    rewrite_data_files metadata commit buys).
+    time. The rewrite goes through :func:`swap_write`, so a crash at any
+    point is recoverable and reruns clean up leftovers.
 
     Returns the ACTUAL number of files written (counted post-swap; with
     ``partition_cols`` the repartition target multiplies across
@@ -89,21 +133,8 @@ def compact_parquet(
     """
     import math
     import os
-    import shutil
 
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
-    # crash recovery, before anything else: a crash between the two
-    # renames leaves the ONLY copy at the old-side path — restore it.
-    # Any other leftover tmp/old dir is superseded/incomplete: remove it
-    # up front so the rename swap below cannot fail on EEXIST/ENOTEMPTY
-    # after the rewrite work is already done.
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-
+    recover_swap(path)
     total_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _dn, fs in os.walk(path)
@@ -111,14 +142,7 @@ def compact_parquet(
         if f.endswith(".parquet")
     )
     n_target = max(1, math.ceil(total_bytes / (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(path)
-    writer = df.repartition(n_target).write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    swap_write(spark.read.parquet(path).repartition(n_target), path, partition_cols)
     return sum(
         1
         for dp, _dn, fs in os.walk(path)

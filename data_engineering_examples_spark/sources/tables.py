@@ -44,12 +44,29 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     over an NTZ literal yields NTZ without consulting the session zone,
     where ``timestamp_micros`` would give LTZ → tz-dependent text."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    if not isinstance(df.schema["ts"].dataType, LongType):
-        return df  # already TIMESTAMP(NTZ) — nothing to rebuild
+    ts_type = df.schema["ts"].dataType
+    if not isinstance(ts_type, LongType):
+        # Guard the pass-through: TIMESTAMP(MICROS, isAdjustedToUTC=true)
+        # reads as TIMESTAMP_LTZ, and formatting an LTZ consults the
+        # session timezone — silently breaking cross-engine parity if a
+        # testdata regeneration flips the flag. Normalize LTZ to NTZ
+        # (deterministic: the session timezone is pinned UTC in
+        # session.py), and fail loudly on anything else so a new
+        # physical type is a visible adapter change here, not a
+        # scattered hash mismatch downstream.
+        if isinstance(ts_type, TimestampNTZType):
+            return df  # already TIMESTAMP_NTZ — nothing to rebuild
+        if isinstance(ts_type, TimestampType):
+            return df.withColumn("ts", F.to_timestamp_ntz("ts"))
+        raise TypeError(
+            f"events.ts read as {ts_type}; expected TIMESTAMP_NTZ, "
+            "TIMESTAMP_LTZ, or int64 nanos — extend _read_events for "
+            "this physical type"
+        )
     # integer div — ns values exceed 2^53, double division would round
     return df.withColumn(
         "ts",

@@ -31,7 +31,6 @@ partition parallelism, not one DAG run per task.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -117,7 +116,19 @@ class TaskStateMachine:
             else F.now().cast("timestamp_ntz")
         )
 
+    def _recover(self) -> None:
+        """Crash recovery for the rename swap: dying between the two
+        renames leaves the only surviving state at the old-side path
+        (live dir missing) — restore the PRE-batch state. The streaming
+        checkpoint replays the unacknowledged batch, and replay-over-old
+        recomputes the identical transition (the clock is injected);
+        adopting the tmp dir instead would advance the batch twice."""
+        from ..sources.layout import recover_swap
+
+        recover_swap(self.state_dir)
+
     def state(self) -> DataFrame:
+        self._recover()
         if os.path.exists(os.path.join(self.state_dir, "_SUCCESS")):
             return self.spark.read.schema(TASK_SCHEMA).parquet(self.state_dir)
         return self.spark.createDataFrame([], TASK_SCHEMA)
@@ -174,20 +185,13 @@ class TaskStateMachine:
         )
         # state_dir is both source and sink, so the new state is written
         # executor-side to a temp dir while the old dir is still readable,
-        # then swapped in with two renames — no driver materialization, so
-        # the state table can be arbitrarily large. On Delta, MERGE makes
-        # this a transactional in-place upsert instead.
-        tmp = self.state_dir.rstrip("/") + ".__swap_tmp__"
-        old = self.state_dir.rstrip("/") + ".__swap_old__"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)  # crash leftovers; this write supersedes them
-        new_state.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(self.state_dir):
-            os.rename(self.state_dir, old)
-        os.rename(tmp, self.state_dir)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        # then swapped in with two renames (sources/layout.py:swap_write,
+        # which also owns the crash-recovery discipline) — no driver
+        # materialization, so the state table can be arbitrarily large.
+        # On Delta, MERGE makes this a transactional in-place upsert.
+        from ..sources.layout import swap_write
+
+        swap_write(new_state, self.state_dir)
 
     def run_available(self, input_dir: str, checkpoint_dir: str) -> None:
         """Drain all unprocessed files (T1: the poll trigger; tests use

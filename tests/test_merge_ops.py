@@ -103,3 +103,64 @@ def test_validation_gate(spark):
     assert "missing_ods" in by_name["NO ODS"][1]
     assert "bad_ods_format" in by_name["BAD FORMAT"][1]
     assert not by_name[None][0]
+
+
+# ---------------------------------------------------------------------------
+# MergeWriter seam (S6-S8 through one interface; VERDICT r4 item 4)
+
+
+def test_parquet_swap_merge_writer_applies_all_verbs(spark, tmp_path):
+    """insert/update/delete flow through the writer interface and land in
+    the rewritten table; a second diff against the applied table is all
+    noops (idempotence through the seam, not just the algebra)."""
+    from data_engineering_examples_spark.sinks.merge_writer import (
+        ParquetSwapMergeWriter,
+    )
+
+    cur, inc = _frames(spark)
+    path = str(tmp_path / "target")
+    cur.write.parquet(path)
+    w = ParquetSwapMergeWriter(spark, path)
+
+    cs = changeset(w.read(), inc, key="k")
+    w.merge(cs, key="k")
+
+    assert {tuple(r) for r in w.read().collect()} == {
+        tuple(r) for r in inc.collect()
+    }
+    cs2 = changeset(w.read(), inc, key="k")
+    assert {r.action for r in cs2.collect()} == {"noop"}
+
+
+def test_delta_merge_sql_maps_changeset_verbs():
+    """The S6-S8 → MERGE INTO mapping is code, not prose: one clause per
+    changeset verb, null-safe key equality, noop never materialized."""
+    from data_engineering_examples_spark.sinks.merge_writer import DeltaMergeWriter
+
+    sql = DeltaMergeWriter.merge_sql(
+        "orgs", "changes_v", key=["ods_code"], payload_cols=["ods_code", "name"]
+    )
+    assert "MERGE INTO orgs t USING changes_v s ON t.ods_code <=> s.ods_code" in sql
+    assert "WHEN MATCHED AND s.action = 'delete' THEN DELETE" in sql
+    assert (
+        "WHEN MATCHED AND s.action = 'update' THEN UPDATE SET "
+        "t.ods_code = s.incoming.ods_code, t.name = s.incoming.name" in sql
+    )
+    assert (
+        "WHEN NOT MATCHED AND s.action = 'insert' THEN INSERT "
+        "(ods_code, name) VALUES (s.incoming.ods_code, s.incoming.name)" in sql
+    )
+    assert "noop" not in sql
+
+
+def test_delta_merge_writer_requires_delta_session(spark):
+    """Without the delta-spark catalog the transactional impl refuses
+    loudly instead of half-running."""
+    import pytest as _pytest
+
+    from data_engineering_examples_spark.sinks.merge_writer import DeltaMergeWriter
+
+    cur, inc = _frames(spark)
+    cs = changeset(cur, inc, key="k")
+    with _pytest.raises(RuntimeError, match="Delta-enabled"):
+        DeltaMergeWriter(spark, "t").merge(cs, key="k")

@@ -58,6 +58,81 @@ def test_limits_are_topk_not_global_sort(plans):
     assert offenders == [], offenders
 
 
+# Unpartitioned Window nodes move EVERY input row to one partition — the
+# single-reducer trap. The ONLY acceptable form is a window whose input
+# is already a bounded-domain aggregate (a handful of rows by
+# construction), and each such case must be whitelisted here WITH the
+# bound that justifies it. Everything else must decompose (the
+# q88/q99 distinct-value rank pattern, TakeOrdered, or per-partition
+# offsets as in operators/ml.py:_global_rank).
+BOUNDED_DOMAIN_WINDOWS = {
+    # window input is one row per document source (≤ a few dozen)
+    "q81_source_mix",
+    # window input is one row per DISTINCT occurrence count (≪ vocab)
+    "q88_vocab_build",
+    # window input is one row per DISTINCT quality score (bounded grid)
+    "q99_token_curriculum",
+}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window/WindowGroupLimit nodes with an EMPTY partition spec.
+
+    Print formats (verified empirically on Spark 4.1):
+    ``Window [exprs], [partitionSpec], [orderSpec]`` — a 2-group form is
+    either unpartitioned+ordered (2nd group has ASC/DESC) or
+    partitioned+unordered (2nd group is plain columns); a <2-group form
+    is the global ``OVER ()``. ``WindowGroupLimit [partitionSpec],
+    [orderSpec], fn, k[, mode]`` — unpartitioned iff group 1 is empty."""
+    hits = []
+    for line in plan.splitlines():
+        t = line.strip()
+        if "WindowGroupLimit " in t:
+            g = _top_level_groups(t[t.find("WindowGroupLimit "):])
+            if g and g[0].strip() == "":
+                hits.append(t[:120])
+        elif "Window " in t and "windowspecdefinition" in t:
+            g = _top_level_groups(t[t.find("Window "):])
+            if len(g) < 2 or (len(g) == 2 and (" ASC" in g[1] or " DESC" in g[1])):
+                hits.append(t[:120])
+    return hits
+
+
+def test_no_unbounded_single_partition_windows(plans):
+    offenders = {
+        n: _unpartitioned_windows(p)
+        for n, p in plans.items()
+        if n not in BOUNDED_DOMAIN_WINDOWS and _unpartitioned_windows(p)
+    }
+    assert offenders == {}, offenders
+
+
+def test_whitelisted_windows_are_still_present(plans):
+    # the whitelist must not rot: every entry still has its (documented,
+    # bounded) unpartitioned window — drop the entry when the query stops
+    # needing it
+    for n in BOUNDED_DOMAIN_WINDOWS:
+        assert _unpartitioned_windows(plans[n]), n
+
+
 def test_no_driver_side_collect_in_package():
     """The only acceptable driver materialization is in tools/tests. A
     ``.collect()`` inside the package means an operator is looping rows

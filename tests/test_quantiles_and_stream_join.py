@@ -89,5 +89,49 @@ def test_q97_join_requires_watermarks(spark):
 
     from data_engineering_examples_spark.plans import workflow_queries as wq
 
-    src = inspect.getsource(wq.q97_stream_attribution)
+    src = inspect.getsource(wq._stream_attribution)
     assert src.count("withWatermark") == 2
+
+
+def test_stream_attribution_production_shape_matches_batch(spark):
+    """Multi-file, maxFilesPerTrigger=1 delivery — watermarks advance
+    between micro-batches and click state is actually evicted — must
+    still produce exactly the batch interval-join result, because
+    time-ordered delivery never evicts a click that a future purchase
+    could match."""
+    from data_engineering_examples_spark.plans.workflow_queries import (
+        _stream_attribution,
+    )
+    from data_engineering_examples_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    prod = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us)
+        for r in _stream_attribution(spark, sf, production=True).collect()
+    }
+
+    ev = load_tables(spark, sf, ["events"])["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.expr("timestampdiff(MICROSECOND, cts, pts)").alias("lag_us"),
+    )
+    expected = {
+        (r.user_id, r.click_id, r.purchase_id, r.lag_us) for r in batch.collect()
+    }
+    assert prod == expected and len(prod) > 0

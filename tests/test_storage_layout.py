@@ -181,12 +181,44 @@ def test_compact_parquet_recovers_from_stale_swap_dirs(spark, tmp_path):
     spark.range(1000).write.parquet(out)
 
     # stale tmp from a crashed write
-    os.makedirs(out + ".__compact_tmp__/junk")
+    os.makedirs(out + ".__swap_tmp__/junk")
     assert compact_parquet(spark, out, target_mb=256) >= 1
-    assert not os.path.exists(out + ".__compact_tmp__")
+    assert not os.path.exists(out + ".__swap_tmp__")
 
     # crash between renames: live path gone, old holds the only copy
-    shutil.rmtree(out + ".__compact_old__", ignore_errors=True)
-    os.rename(out, out + ".__compact_old__")
+    shutil.rmtree(out + ".__swap_old__", ignore_errors=True)
+    os.rename(out, out + ".__swap_old__")
     assert compact_parquet(spark, out, target_mb=256) >= 1
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_swap_write_crash_between_renames_is_recovered(spark, tmp_path):
+    """Chaos: simulate death between the two renames (live dir gone, only
+    copy at the old-side path, half-written tmp present). recover_swap
+    must restore the live dir, and a subsequent swap_write must complete
+    normally over the recovered state."""
+    import os
+    import shutil
+
+    from data_engineering_examples_spark.sources.layout import (
+        recover_swap,
+        swap_write,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+
+    # crash state: rename(path, old) happened, rename(tmp, path) did not
+    os.rename(path, path + ".__swap_old__")
+    os.makedirs(path + ".__swap_tmp__")
+    open(path + ".__swap_tmp__/part-half-written.parquet", "w").close()
+
+    assert recover_swap(path) is True
+    assert spark.read.parquet(path).count() == 100
+
+    # rerun the swap over the recovered dir: stale tmp must not break it
+    swap_write(spark.range(50), path)
+    assert spark.read.parquet(path).count() == 50
+    assert not os.path.exists(path + ".__swap_tmp__")
+    assert not os.path.exists(path + ".__swap_old__")
+    shutil.rmtree(path)

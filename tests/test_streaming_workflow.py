@@ -326,3 +326,42 @@ def test_trigger_rule_gate_rejects_unknown_rule(spark):
     df = spark.createDataFrame([("k", "success")], "id string, state string")
     with pytest.raises(ValueError, match="unknown trigger rules"):
         gate_decisions(df, ["id"], rules=("sometimes_success",))
+
+
+def test_task_state_machine_recovers_mid_swap_crash(spark, tmp_path):
+    """Chaos: kill the state store between its two renames — live state
+    dir missing, pre-batch state only at the old-side path, half-written
+    tmp present. state() must transparently restore the PRE-batch state
+    (the checkpoint would replay the batch), and a rerun must advance it
+    exactly once from there."""
+    import os
+    import shutil
+
+    from data_engineering_examples_spark.streaming.tasks import TaskStateMachine
+
+    base = str(tmp_path / "sm")
+    inp = f"{base}/in"
+    os.makedirs(inp)
+    shutil.copy(f"{FIXTURES_DIR}/tasks.parquet", f"{inp}/tasks.parquet")
+
+    sm = TaskStateMachine(spark, f"{base}/state", now_utc="2025-09-01T00:00:00")
+    sm.run_available(inp, f"{base}/ckpt")
+    before = {(r.id, r.status, r.version_id) for r in sm.state().collect()}
+    assert before  # the batch advanced something
+
+    # crash state: live dir renamed aside, tmp half-written
+    os.rename(f"{base}/state", f"{base}/state.__swap_old__")
+    os.makedirs(f"{base}/state.__swap_tmp__")
+    open(f"{base}/state.__swap_tmp__/part-half.parquet", "w").close()
+
+    sm2 = TaskStateMachine(spark, f"{base}/state", now_utc="2025-09-01T00:00:00")
+    after = {(r.id, r.status, r.version_id) for r in sm2.state().collect()}
+    assert after == before  # restored, not lost, not double-advanced
+
+    # replay the same input through a FRESH checkpoint (as the restarted
+    # job would re-process the unacknowledged batch): terminal states
+    # must not regress and versions advance monotonically
+    sm2.run_available(inp, f"{base}/ckpt2")
+    final = {r.id: r.version_id for r in sm2.state().collect()}
+    for r_id, v in {r[0]: r[2] for r in before}.items():
+        assert final[r_id] >= v
