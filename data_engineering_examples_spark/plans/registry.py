@@ -99,6 +99,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from . import multimodal_queries  # noqa: F401
     from . import corpus_queries  # noqa: F401
     from . import sketch_queries  # noqa: F401
+    from . import training_queries  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in _REGISTRY]
     if missing:

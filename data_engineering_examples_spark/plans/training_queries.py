@@ -1,0 +1,303 @@
+"""Training-pipeline operators beyond the reference's surface (round 5).
+
+The corpus/dedup/similarity modules cover cleaning and dedup; these five
+queries cover what happens NEXT in a large-scale training-data pipeline —
+the read-side and planning operators a 100 TB corpus needs before any
+token reaches a trainer:
+
+* q115 — deterministic shuffled training order, sharded. A trainer never
+  does a global sort of the corpus; it hash-assigns docs to shards and
+  reads each shard in a locally-shuffled order. Hash-partitioned,
+  shard-local ranks only.
+* q116 — exact-k per-group eval sample: deterministic hash-ranked top-k
+  per language (eval/holdout sets want exact sizes, not Bernoulli
+  fractions — q52/q98 cover the fraction form).
+* q117 — bigram continuation counts (the Kneser-Ney smoothing statistic):
+  for each word, how many DISTINCT left contexts precede it. Two-level
+  aggregation, partial-agg friendly.
+* q118 — sequence-length bucketing with padding-waste accounting: the
+  planner for fixed-capacity batch buckets (padding efficiency is a
+  first-order training-cost factor).
+* q119 — runtime-bloom-pruned selective join: a narrow dimension slice
+  prunes the fact scan via Spark's injected bloom filter BEFORE the
+  shuffle — at 100 TB this is the difference between shuffling the whole
+  fact table and shuffling the matching fraction. Plan-asserted in
+  ``tests/test_training_queries.py``.
+
+All five are oracle-backed (integer/exact arithmetic only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_tables
+from .dedup_queries import _duck_md5_int, _md5_int
+from .registry import register
+
+N_SHARDS = 8
+EVAL_K = 20
+BUCKET_TOKENS = 64  # bucket width; capacity = (bucket+1) * width
+MAX_BUCKET = 15
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ["documents"])["documents"]
+
+
+# ---------------------------------------------------------------------------
+# q115 — deterministic training order: hash-sharded, shard-local shuffle.
+# Scale: one hash-partition shuffle on shard id; ranks are per-shard
+# windows (each shard is one partition's worth of work, never a global
+# sort). Epoch re-shuffles change the salt ('order:'), nothing else.
+
+
+@register(
+    "q115_training_order_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             {_duck_md5_int("'order:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % {N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % {N_SHARDS}
+                                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    doc="deterministic shuffled training order: hash-assigned shards, "
+    "shard-local positions (no global sort anywhere)",
+    tags=("training", "llm", "sampling"),
+)
+def q115_training_order_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hv = _md5_int(F.concat(F.lit("order:"), F.col("doc_id").cast("string")))
+    shard = (hv % N_SHARDS).alias("shard")
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        d.select("doc_id", hv.alias("hv"), shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", F.col("shard").cast("bigint").alias("shard"), "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — exact-k per-group sample: hash-rank inside each language, keep
+# the first k. Compiles to a partitioned WindowGroupLimit (rank state is
+# k rows per group per partition, merged) — never a per-group collect.
+
+
+@register(
+    "q116_eval_group_sample",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, doc_id,
+             {_duck_md5_int("'eval:' || CAST(doc_id AS VARCHAR)")} AS hv
+      FROM documents
+    ),
+    r AS (
+      SELECT lang, doc_id,
+             row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+      FROM h
+    )
+    SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {EVAL_K}
+    """,
+    doc=f"exact-{EVAL_K} deterministic eval sample per language "
+    "(hash-ranked WindowGroupLimit; fraction-free holdout construction)",
+    tags=("training", "llm", "sampling", "A6"),
+)
+def q116_eval_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hv = _md5_int(F.concat(F.lit("eval:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        d.select("lang", "doc_id", hv.alias("hv"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= EVAL_K)
+        .select("lang", "doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q117 — bigram continuation counts (Kneser-Ney's N1+(•w)): per word,
+# the number of DISTINCT left contexts and total bigram occurrences.
+# Shape: explode positions (codegen, same as q28) → two-level aggregate.
+# The distinct-count dedups on (w2, w1) first — partial aggregation
+# collapses repeats map-side; no word ever gathers its contexts into a
+# single buffer. HAVING >= 3 bounds the output to words with real
+# context diversity (the ones smoothing actually redistributes mass to).
+
+
+@register(
+    "q117_bigram_continuation",
+    oracle="""
+    WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM tok WHERE len(t) >= 2
+    )
+    SELECT w2 AS word,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(DISTINCT w1) AS BIGINT) AS n_contexts
+    FROM bg GROUP BY w2
+    HAVING count(DISTINCT w1) >= 3
+    """,
+    doc="Kneser-Ney continuation counts: distinct left contexts per word "
+    "(two-level aggregate, map-side partials)",
+    tags=("training", "llm", "text"),
+)
+def q117_bigram_continuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = d.select(F.split(d.text, " ").alias("t"))
+    pos = tk.filter(F.size("t") >= 2).select(
+        "t", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i")
+    )
+    pairs = pos.select(
+        F.element_at("t", F.col("i") + 1).alias("w1"),
+        F.element_at("t", F.col("i") + 2).alias("w2"),
+    )
+    return (
+        pairs.groupBy("w2")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("w1").alias("n_contexts"),
+        )
+        .filter(F.col("n_contexts") >= 3)
+        .select(F.col("w2").alias("word"), "n_total", "n_contexts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — sequence-length bucketing: fixed-width capacity buckets with
+# padding-waste accounting. Map-only scoring + one bounded-domain
+# groupBy (16 buckets); the waste column is what a batch planner
+# minimizes when it picks bucket boundaries.
+
+
+@register(
+    "q118_seq_length_buckets",
+    oracle=f"""
+    WITH s AS (
+      SELECT least(len(string_split(text, ' ')),
+                   {(MAX_BUCKET + 1) * BUCKET_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    b AS (
+      SELECT n_tok,
+             least((n_tok - 1) // {BUCKET_TOKENS}, {MAX_BUCKET}) AS bucket
+      FROM s
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST((bucket + 1) * {BUCKET_TOKENS} AS BIGINT) AS capacity,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum((bucket + 1) * {BUCKET_TOKENS} - n_tok) AS BIGINT) AS pad_waste
+    FROM b GROUP BY bucket
+    """,
+    doc="sequence-length capacity buckets + padding-waste accounting "
+    "(map-only scoring, 16-row bounded-domain aggregate)",
+    tags=("training", "llm", "A4"),
+)
+def q118_seq_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    clip = (MAX_BUCKET + 1) * BUCKET_TOKENS
+    n_tok = F.least(F.size(F.split(d.text, " ")), F.lit(clip))
+    # (n_tok - 1) div width: a doc of exactly one capacity fits that
+    # bucket (64 tokens -> bucket 0, capacity 64, zero waste)
+    bucket = F.least(
+        F.expr(f"(n_tok - 1) div {BUCKET_TOKENS}"), F.lit(MAX_BUCKET)
+    )
+    return (
+        d.select(n_tok.alias("n_tok"))
+        .select("n_tok", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum((F.col("bucket") + 1) * BUCKET_TOKENS - F.col("n_tok"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            ((F.col("bucket") + 1) * BUCKET_TOKENS).cast("bigint").alias("capacity"),
+            "n_docs",
+            "total_tokens",
+            "pad_waste",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q119 — runtime-bloom-pruned selective join: a one-priority slice of
+# orders joins lineitem; Spark injects a bloom filter built from the
+# slice into the lineitem scan, so non-matching fact rows die BEFORE the
+# shuffle. At 100 TB fact scale this is the semi-join reduction that
+# keeps a selective dim⋈fact join from shuffling the whole fact table.
+#
+# The application-side threshold (default 10 GB) is lowered only for
+# THIS query's execution and restored after the result materializes —
+# the materialize-then-restore pattern keeps the session conf clean for
+# every other query (same discipline as the streaming fixtures).
+# ``tests/test_training_queries.py`` asserts BloomFilterMightContain in
+# the executed plan.
+
+
+@register(
+    "q119_bloom_pruned_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag
+    """,
+    doc="selective dim-slice join with runtime bloom-filter fact pruning "
+    "(non-matching rows die before the shuffle)",
+    tags=("training", "layout", "J1"),
+)
+def q119_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    joined = (
+        t["lineitem"]
+        .join(urgent, t["lineitem"].l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )
+    out = scratch_dir("q119_bloom") + "/out"
+    conf = spark.conf
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc = "spark.sql.autoBroadcastJoinThreshold"
+    prev, prev_bc = conf.get(key), conf.get(bc)
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(key, "0")
+    # broadcast off: bloom injection targets the SHUFFLE-join regime —
+    # exactly the 100 TB case where the dim slice has outgrown the
+    # broadcast threshold but its key set still fits a bloom filter.
+    # (When the slice IS broadcast-able, BHJ already prunes at the join
+    # and Spark rightly skips the bloom.)
+    conf.set(bc, "-1")
+    try:
+        joined.write.parquet(out)  # materialize under the bloom conf
+    finally:
+        conf.set(key, prev)
+        conf.set(bc, prev_bc)
+    return spark.read.parquet(out)

@@ -1,0 +1,95 @@
+"""Tests for the round-5 training-pipeline operators (q115-q119):
+shape/determinism properties the oracle compare can't see, plus the
+bloom-filter plan assertion for q119.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_training_order_is_a_permutation_and_stable(spark):
+    q = all_specs()["q115_training_order_shards"].fn
+    a = q(spark, SF)
+    total = a.count()
+    # a permutation: every doc appears exactly once
+    assert a.select("doc_id").distinct().count() == total
+    # positions are dense 1..n_shard within every shard
+    per = a.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"), F.min("pos").alias("mn")
+    )
+    assert per.filter((F.col("mx") != F.col("n")) | (F.col("mn") != 1)).count() == 0
+    # deterministic across invocations (same salt -> same order)
+    b = q(spark, SF)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_eval_sample_exact_k_per_group(spark):
+    from data_engineering_examples_spark.plans.training_queries import EVAL_K
+
+    df = all_specs()["q116_eval_group_sample"].fn(spark, SF)
+    sizes = {r.lang: r.n for r in df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    docs = all_specs()["q116_eval_group_sample"]  # registry sanity
+    assert docs is not None
+    # every group is exactly k (or the whole group when smaller)
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    totals = {
+        r.lang: r.n
+        for r in load_tables(spark, SF, ["documents"])["documents"]
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(EVAL_K, totals[lang]), (lang, n, totals[lang])
+
+
+def test_seq_length_buckets_account_for_every_doc(spark):
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    df = all_specs()["q118_seq_length_buckets"].fn(spark, SF)
+    rows = df.collect()
+    n_docs = load_tables(spark, SF, ["documents"])["documents"].count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.capacity == (r.bucket + 1) * 64
+        assert r.pad_waste >= 0
+        # waste is capacity*n minus tokens actually placed
+        assert r.pad_waste == r.capacity * r.n_docs - r.total_tokens
+
+
+def test_bloom_filter_actually_injects_for_q119_shape(spark):
+    """The q119 regime (shuffle join, selective creation side) must show
+    bloom_filter_agg + might_contain in the executed plan — the runtime
+    semi-join reduction is the point of the query, not an accident."""
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    t = load_tables(spark, "/root/testdata/sf0.01", ["orders", "lineitem"])
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    j = (
+        t["lineitem"]
+        .join(urgent, t["lineitem"].l_orderkey == urgent.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+    )
+    conf = spark.conf
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc = "spark.sql.autoBroadcastJoinThreshold"
+    prev, prev_bc = conf.get(key), conf.get(bc)
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(key, "0")
+    conf.set(bc, "-1")
+    try:
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        conf.set(key, prev)
+        conf.set(bc, prev_bc)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
