@@ -31,12 +31,12 @@ def _warm_python_and_streaming(spark) -> None:
     pandas-UDF query otherwise pays worker fork + Arrow init) and the
     streaming state-store/micro-batch machinery (first streaming drain
     otherwise pays state-store provider + progress-tracking init)."""
-    import tempfile
-
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from data_engineering_examples_spark.scratch import scratch_dir
 
     _idty = pandas_udf(lambda s: s, "int")
 
@@ -49,7 +49,7 @@ def _warm_python_and_streaming(spark) -> None:
         state.update((n,))
         yield pd.DataFrame([{"id": int(key[0]), "n": n}])
 
-    base = tempfile.mkdtemp(prefix="bench_warm_")
+    base = scratch_dir("bench_warm")
     spark.range(4).selectExpr("id", "id AS v").coalesce(1).write.parquet(f"{base}/in")
     q = (
         spark.readStream.schema("id long, v long")
