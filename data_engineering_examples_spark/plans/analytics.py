@@ -1756,3 +1756,140 @@ def q114_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q121 — per-group exact OLS trend (distributed model fitting without a
+# UDF): slope of event value over time per event_type, computed from the
+# five classical sums entirely in integer/DECIMAL(38,0) arithmetic so the
+# result is bit-identical across engines (floating-point OLS — DuckDB's
+# regr_slope — is NOT cross-engine stable). x is centered per group
+# (minutes since the group's first event) BEFORE squaring, which keeps
+# every sum inside BIGINT range even at sf1 (bounds in comments); the
+# moment products then widen to DECIMAL(38,0)/HUGEINT where n*Sxy can
+# reach ~4e22. Output slope in micro-units (value-millis per minute,
+# truncated toward zero — verified identical div/'//' semantics).
+# Scale: two shuffles (per-group min, then the sums); the 5-row min
+# table broadcasts back. No window, no UDF, pure codegen.
+
+
+@register(
+    "q121_group_trend",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, min(epoch_us(ts)) AS us0 FROM events GROUP BY event_type
+    ),
+    pts AS (
+      SELECT e.event_type,
+             (epoch_us(e.ts) - m.us0) // 60000000 AS x,
+             CAST(floor(e.value * 1000) AS BIGINT) AS y
+      FROM events e JOIN m ON m.event_type = e.event_type
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(sy // n AS BIGINT) AS mean_y_millis,
+           CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT)
+             AS slope_e6
+    FROM s
+    WHERE n * sxx - sx * sx <> 0
+    """,
+    doc="per-group exact OLS slope (value-millis per minute, e6 units) "
+    "from integer moment sums; no UDF, no floats, cross-engine exact",
+    tags=("analytics", "training", "A4"),
+)
+def q121_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("y"),
+    )
+    m = base.groupBy("event_type").agg(F.min("us").alias("us0"))
+    # x in minutes since group start: range ~4e4 (30-day span) .. ~5e5
+    # (a year), so with n<=2e5/group: sxy <= n*x*y ~ 2e17 < 2^63 ✓
+    pts = base.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        F.expr("(us - us0) div 60000000").alias("x"),
+        "y",
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+    def d38(c):
+        return F.col(c).cast("decimal(38,0)")
+
+    num = d38("n") * d38("sxy") - d38("sx") * d38("sy")
+    den = d38("n") * d38("sxx") - d38("sx") * d38("sx")
+    return (
+        s.withColumn("num", num)
+        .withColumn("den", den)
+        .filter(F.col("den") != 0)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST(sy div n AS BIGINT)").alias("mean_y_millis"),
+            F.expr("CAST((num * 1000000) div den AS BIGINT)").alias("slope_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122 — ORC round-trip (second columnar format, SURVEY §2.1 source
+# surface): the events table written to ORC and read back, with the
+# same lossless-accounting oracle pattern as q114 — the oracle computes
+# the accounting from the ORIGINAL parquet, so parity proves the format
+# conversion dropped and altered nothing. value is pre-quantized to
+# millis before the write so the round-trip contract covers integers,
+# strings, and ids (ORC timestamp semantics are format-specific and are
+# deliberately kept out of the payload — a conversion pipeline should
+# normalize times BEFORE changing formats, not during).
+
+
+@register(
+    "q122_orc_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    doc="ORC round-trip: parquet -> ORC -> scan; accounting vs the "
+    "original table proves the format conversion is lossless",
+    tags=("layout", "S1", "A4"),
+)
+def q122_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q122_orc")
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_millis"),
+    ).write.orc(f"{base}/events_orc")
+    back = spark.read.orc(f"{base}/events_orc")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_millis").cast("bigint").alias("value_millis"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -783,3 +783,126 @@ def _stream_attribution(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# q120 — STREAMING sessionization: q59's session_window operator run as
+# a watermarked Structured Streaming aggregation (append mode), drained
+# availableNow. Append-mode session aggregates emit only when the
+# watermark passes the session end, and the watermark only advances at
+# micro-batch boundaries — so the feed is staged as three time-ordered
+# files consumed one per trigger (maxFilesPerTrigger=1): the real
+# events, then two future sentinel events (user_id < 0) whose sole job
+# is to push the watermark past every real session's end across the two
+# following batches. Without the second sentinel the final batch's
+# sessions would still be buffered in state when the drain stops — the
+# classic append-mode flush gap. Sentinels are filtered from the output;
+# the oracle is the batch gaps-and-islands derivation plus per-session
+# value totals, so parity proves streaming emission == batch semantics.
+#
+# Scale: session state is hash-partitioned by user_id and merged
+# map-side; the watermark bounds state to open sessions only. The
+# sentinel trick is test plumbing — a production feed advances the
+# watermark with its own arrivals.
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q120_stream_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    flag AS (
+      SELECT user_id, ts, vm,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts, vm,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flag
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vm) AS BIGINT) AS value_millis
+    FROM sid
+    GROUP BY user_id, s
+    """,
+    doc="streaming session_window aggregation (watermarked, append mode, "
+    "availableNow drain) == batch gaps-and-islands sessions",
+    tags=("workflow", "streaming", "T5", "session"),
+)
+def q120_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q120_sessions")
+    inp, out = f"{base}/in", f"{base}/out"
+
+    feed = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    hi = feed.agg(F.max("ts").alias("hi")).first().hi
+    # file 1: the real feed; files 2/3: watermark-advancing sentinels
+    feed.coalesce(1).write.parquet(inp)
+    for i, (uid, offset_h) in enumerate([(-1, 2), (-2, 4)], start=1):
+        spark.createDataFrame(
+            [(uid, hi + _dt.timedelta(hours=offset_h), 0)],
+            "user_id long, ts timestamp, vm long",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, vm long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+        .withWatermark("ts", "10 minutes")
+    )
+    sessions = (
+        stream.groupBy(
+            "user_id",
+            F.session_window(F.col("ts"), f"{SESSION_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("vm").alias("value_millis"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "value_millis",
+        )
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)
