@@ -687,3 +687,78 @@ def q95_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").alias("degree"),
         (F.col("r").cast("double") / F.lit(float(PR_UNIT))).alias("pagerank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — triangle census of the near-dup graph: the standard distributed
+# triangle count (edges oriented low→high id, closed by a two-hop join)
+# plus the wedge count that turns it into global transitivity. Dedup
+# QA uses this to tell CHAINS (A~B~C with A!~C: transitivity ≈ 0,
+# min-hash drift) from CLIQUES (true duplicate groups: transitivity ≈ 1)
+# before collapsing clusters — a wrong collapse at 100 TB merges
+# distinct documents irreversibly.
+#
+# Scale: orientation halves the edge list and makes each triangle
+# countable exactly once; the two-hop join shuffles on vertex id (skew
+# bounded by max near-dup degree, itself bounded by the LSH band
+# structure); wedges come from one degree aggregation — no vertex ever
+# gathers its full neighborhood.
+
+
+@register(
+    "q123_graph_triangles",
+    oracle=f"""
+    WITH pairs AS ({_duck_minhash_oracle()}),
+    e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS (
+      SELECT v, count(*) AS d
+      FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+      GROUP BY v
+    ),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e ab JOIN e bc ON bc.a = ab.b
+                JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+    )
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg) AS BIGINT)
+             AS n_wedges
+    """,
+    doc="near-dup graph triangle census + wedge count (oriented two-hop "
+    "join; chain-vs-clique QA before cluster collapse)",
+    tags=("dedup", "llm", "graph"),
+)
+def q123_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one LSH pass, reused four times below — checkpoint, don't recompute
+    edges = (
+        q24_minhash_lsh_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    verts_wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("w"),
+    ).select("n_vertices", F.coalesce(F.col("w"), F.lit(0)).alias("n_wedges"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    tri = (
+        ab.join(bc, F.col("bc.a") == F.col("ab.b"))
+        .join(
+            ac,
+            (F.col("ac.a") == F.col("ab.a")) & (F.col("ac.b") == F.col("bc.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        verts_wedges.join(n_edges)
+        .join(tri)
+        .select("n_vertices", "n_edges", "n_triangles", "n_wedges")
+    )
