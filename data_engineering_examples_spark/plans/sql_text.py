@@ -40,13 +40,27 @@ FHIR_TABLES = [
 ]
 
 
+# session-id -> sf_dir CURRENTLY registered (views are named globals, so
+# a different sf_dir must re-register; a set of past keys would wrongly
+# skip re-pointing views after an sf switch)
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Create temp views for every table + register the L2 functions.
 
     Fails fast with the missing names if any fixture is absent —
     ``load_fhir_tables`` silently drops missing files, which would
     otherwise surface much later as a confusing TABLE_OR_VIEW_NOT_FOUND
-    inside user SQL."""
+    inside user SQL.
+
+    Memoized per (session, sf_dir): each registration eagerly reads ~20
+    parquet footers for view schemas — a fixed ~2 s that an interactive
+    SQL session should pay once, not on every statement. Views registered
+    here point at immutable fixture/testdata files, so re-registration
+    has nothing to refresh."""
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return
     register_all(spark)
     registered: set[str] = set()
     for name, df in load_tables(spark, sf_dir, TABLES).items():
@@ -60,3 +74,4 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         raise FileNotFoundError(
             f"fixtures missing for views: {sorted(missing)} (fixtures dir: {FIXTURES_DIR})"
         )
+    _REGISTERED[id(spark)] = sf_dir

@@ -857,12 +857,16 @@ def q120_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
     )
     hi = feed.agg(F.max("ts").alias("hi")).first().hi
-    # file 1: the real feed; files 2/3: watermark-advancing sentinels
+    # file 1: the real feed; files 2/3: watermark-advancing sentinels.
+    # Sentinels are built JVM-side (range(1) + literals): a 1-row
+    # createDataFrame pays ~5 s of Python-serialization setup per call,
+    # which would dominate the whole query.
     feed.coalesce(1).write.parquet(inp)
-    for i, (uid, offset_h) in enumerate([(-1, 2), (-2, 4)], start=1):
-        spark.createDataFrame(
-            [(uid, hi + _dt.timedelta(hours=offset_h), 0)],
-            "user_id long, ts timestamp, vm long",
+    for uid, offset_h in [(-1, 2), (-2, 4)]:
+        spark.range(1).select(
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(hi + _dt.timedelta(hours=offset_h)).cast("timestamp").alias("ts"),
+            F.lit(0).cast("long").alias("vm"),
         ).coalesce(1).write.mode("append").parquet(inp)
 
     stream = (

@@ -145,6 +145,23 @@ def test_no_driver_side_collect_in_package():
     for py in pkg.rglob("*.py"):
         for i, line in enumerate(py.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            if ".collect()" in code:
+            if ".collect()" in code or ".toPandas()" in code:
                 offenders.append(f"{py.name}:{i}")
     assert offenders == [], offenders
+
+
+def test_driver_first_calls_are_single_row_bounds_only():
+    """``.first()`` in the package is tolerated ONLY for one-row bound
+    fetches feeding fixture staging (a time max, a min) — never inside
+    an operator's data path. Pin the exact call sites so a new one is a
+    conscious decision."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_engineering_examples_spark"
+    sites = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".first()" in code or ".head(" in code:
+                sites.append(py.name)
+    assert sorted(sites) == ["workflow_queries.py", "workflow_queries.py"], sites
