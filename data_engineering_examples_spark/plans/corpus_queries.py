@@ -1221,3 +1221,71 @@ def q110_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q124 — dirty-CSV ingestion with corrupt-row quarantine (S1's unhappy
+# path): a landing CSV is staged with deterministically injected garbage
+# lines (every doc_id % 97 == 0 becomes an unparseable single-field
+# line), read back in PERMISSIVE mode with a _corrupt_record column, and
+# accounted: quarantined rows counted, clean rows checksummed. The
+# oracle computes the SAME accounting from the original table + the
+# injection rule, so parity proves the reader's malformed-row handling
+# quarantines exactly the injected lines — no silent drops, no
+# misparses. At 100 TB ingest, this accounting (clean vs quarantined,
+# with a content checksum) is the gate between a landing zone and the
+# bronze layer; FAILFAST aborts the world and DROPMALFORMED lies —
+# PERMISSIVE + quarantine count is the production posture.
+
+CSV_BAD_MOD = 97
+
+
+@register(
+    "q124_dirty_csv_ingest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % {CSV_BAD_MOD} <> 0
+    )
+    SELECT CAST((SELECT count(*) FROM g) AS BIGINT) AS n_good,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id % {CSV_BAD_MOD} = 0) AS BIGINT) AS n_quarantined,
+           CAST((SELECT count(DISTINCT lang) FROM g) AS BIGINT) AS n_langs,
+           CAST((SELECT sum(n_chars) FROM g) AS BIGINT) AS chars_total,
+           CAST((SELECT bit_xor(doc_id) FROM g) AS BIGINT) AS id_checksum
+    """,
+    doc="PERMISSIVE CSV ingest with corrupt-record quarantine accounting "
+    "(injected garbage lines; clean-vs-quarantined gate for a landing zone)",
+    tags=("corpus", "S1", "llm"),
+)
+def q124_dirty_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    base = scratch_dir("q124_csv")
+    good = docs.filter(F.col("doc_id") % CSV_BAD_MOD != 0).select(
+        F.concat_ws(
+            ",", F.col("doc_id"), F.col("lang"), F.col("n_chars")
+        ).alias("value")
+    )
+    bad = docs.filter(F.col("doc_id") % CSV_BAD_MOD == 0).select(
+        # single unparseable field: no delimiters, non-numeric first col
+        F.concat(F.lit("GARBAGE<"), F.col("doc_id"), F.lit(">")).alias("value")
+    )
+    good.unionAll(bad).write.text(f"{base}/landing")
+
+    landed = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(f"{base}/landing")
+    )
+    clean = F.col("_corrupt_record").isNull()
+    return landed.agg(
+        F.count(F.when(clean, 1)).alias("n_good"),
+        F.count(F.when(~clean, 1)).alias("n_quarantined"),
+        F.countDistinct(F.when(clean, F.col("lang"))).alias("n_langs"),
+        F.sum(F.when(clean, F.col("n_chars"))).cast("bigint").alias("chars_total"),
+        F.bit_xor(F.when(clean, F.col("doc_id"))).cast("bigint").alias("id_checksum"),
+    )
