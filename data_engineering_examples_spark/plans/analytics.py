@@ -1893,3 +1893,105 @@ def q122_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125/q126 — pivot and unpivot (the reshape pair, SURVEY §2.4 adjacent):
+# per-day event counts turned into one column per event type, and melted
+# back. Spark's pivot with an EXPLICIT value list compiles to a single
+# hash aggregate over pivot-CASE expressions — one shuffle, no second
+# pass (omitting the list costs an extra distinct-scan job to discover
+# values, and makes the output schema data-dependent — never do that in
+# a pipeline). unpivot/melt is a generate-style row expansion, map-only.
+# The oracle mirrors with FILTER aggregates / UNION ALL.
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q125_pivot_event_matrix",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           {", ".join(
+               f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+               for t in PIVOT_TYPES
+           )}
+    FROM events GROUP BY day
+    """,
+    doc="pivot with explicit value list: day x event_type count matrix "
+    "in ONE hash aggregate (no value-discovery scan)",
+    tags=("agg", "pivot", "A4"),
+)
+def q125_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    return (
+        ev.select(F.col("ts").cast("date").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+        .select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_TYPES]
+        )
+    )
+
+
+@register(
+    "q126_unpivot_event_matrix",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {", ".join(
+                 f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+                 for t in PIVOT_TYPES
+             )}
+      FROM events GROUP BY day
+    )
+    {" UNION ALL ".join(
+        f"SELECT day, '{t}' AS event_type, {t} AS n_events FROM m"
+        for t in PIVOT_TYPES
+    )}
+    """,
+    doc="unpivot/melt back to long form (map-only row expansion); "
+    "round-trips q125's matrix",
+    tags=("agg", "pivot"),
+)
+def q126_unpivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q125_pivot_event_matrix(spark, sf_dir)
+    return wide.unpivot(
+        "day", list(PIVOT_TYPES), "event_type", "n_events"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q127 — CUBE with GROUPING id: all four aggregation granularities of
+# (priority, status) in one pass. Like ROLLUP (q53), Spark expands the
+# cube into one Expand + hash aggregate — 4 grouping sets cost one
+# shuffle, not four queries. grouping_id() disambiguates the NULLs that
+# mark rolled-up dimensions from genuine NULL data.
+
+
+@register(
+    "q127_cube_order_stats",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE over (priority, status) + grouping_id: 4 granularities in "
+    "one Expand + single hash aggregate",
+    tags=("agg", "rollup"),
+)
+def q127_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_cents"
+        ),
+    )
