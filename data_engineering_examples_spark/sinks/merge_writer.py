@@ -81,6 +81,35 @@ class ParquetSwapMergeWriter(MergeWriter):
 
         swap_write(apply_changeset(self.read(), changes, key), self.path)
 
+    def merge_incoming(
+        self,
+        incoming: DataFrame,
+        key: list[str] | str,
+        evolve_schema: bool = False,
+    ) -> None:
+        """Derive the changeset AND apply it in one step. With
+        ``evolve_schema`` the target first gains any columns the incoming
+        frame carries that it lacks (existing rows null-backfilled) — the
+        plain-parquet analog of Delta's ``mergeSchema`` on MERGE. The
+        evolution must precede changeset derivation: only then does the
+        new column join the compared set, so a row whose only change is
+        the new column's value classifies as an update, not a noop. Off
+        by default: silent widening hides producer mistakes — a pipeline
+        should opt in per contract."""
+        from ..operators.merge import changeset
+        from ..sources.layout import swap_write
+
+        current = self.read()
+        if evolve_schema:
+            have = set(current.columns)
+            for f in incoming.schema.fields:
+                if f.name not in have:
+                    current = current.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
+        cs = changeset(current, incoming, key)
+        swap_write(apply_changeset(current, cs, key), self.path)
+
 
 class DeltaMergeWriter(MergeWriter):
     """Delta-table target: the changeset ships as one ``MERGE INTO``.

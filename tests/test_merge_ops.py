@@ -164,3 +164,31 @@ def test_delta_merge_writer_requires_delta_session(spark):
     cs = changeset(cur, inc, key="k")
     with _pytest.raises(RuntimeError, match="Delta-enabled"):
         DeltaMergeWriter(spark, "t").merge(cs, key="k")
+
+
+def test_parquet_swap_merge_writer_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: a new incoming column lands in the target with
+    NULL backfill on untouched rows; without the flag the merge keeps the
+    target's schema (silent-widening protection)."""
+    from data_engineering_examples_spark.sinks.merge_writer import (
+        ParquetSwapMergeWriter,
+    )
+
+    cur = spark.createDataFrame([("k1", "a"), ("k2", "b")], ["k", "v"])
+    inc = spark.createDataFrame(
+        # k1 rides along unchanged (extra=None) so the full-outer
+        # changeset doesn't classify it as a delete
+        [("k1", "a", None), ("k2", "B", 20), ("k3", "c", 30)],
+        "k string, v string, extra int",
+    )
+    path = str(tmp_path / "target")
+    cur.write.parquet(path)
+    w = ParquetSwapMergeWriter(spark, path)
+
+    w.merge_incoming(inc, key="k")  # default: no evolution
+    assert "extra" not in w.read().columns
+
+    w.merge_incoming(inc, key="k", evolve_schema=True)
+    rows = {r.k: r for r in w.read().collect()}
+    assert rows["k2"].extra == 20 and rows["k3"].extra == 30
+    assert rows["k1"].extra is None  # untouched row null-backfilled
