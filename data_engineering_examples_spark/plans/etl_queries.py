@@ -424,3 +424,68 @@ def q89_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array(_version(F.col("segment"), 1, _SCD2_FROM, None, True)))
     return joined.select("c_custkey", F.inline(rows))
+
+
+# ---------------------------------------------------------------------------
+# q128 — hierarchy closure by pointer doubling: every org resolved to its
+# root ancestor with depth, via JOIN-based path doubling over a parent
+# link table (the ODS partOf rollup shape: practice → PCN → ICB). The
+# link relation is seeded deterministically (parent = id div 10 — the
+# fixture carries no partOf) but the OPERATOR is data-driven: after
+# seeding, ancestry is resolved purely by self-joins, exactly as it
+# would be over arbitrary parent data. r rounds resolve chains of 2^r
+# links (ids ≤ 999 ⇒ depth ≤ 3; 3 rounds cover 8), each round one
+# key-partitioned self-join — O(log depth) shuffles, the only
+# scale-correct closure shape (naive iteration is O(depth), and a
+# recursive CTE is exactly what Spark lacks). The DuckDB oracle IS the
+# recursive CTE, so convergence is verified, not assumed.
+
+
+@register(
+    "q128_org_hierarchy_closure",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT CAST(_id AS BIGINT) AS id, CAST(_id AS BIGINT) AS cur,
+             CAST(0 AS BIGINT) AS depth
+      FROM read_parquet('{FX}/organizations.parquet')
+      UNION ALL
+      SELECT id, cur // 10, depth + 1 FROM chain WHERE cur >= 10
+    )
+    SELECT id, cur AS root_id, depth
+    FROM chain WHERE cur < 10
+    """,
+    doc="hierarchy closure (root ancestor + depth) via pointer-doubling "
+    "self-joins; recursive-CTE oracle proves convergence",
+    tags=("etl", "iterative", "J1"),
+)
+def q128_org_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fhir import load_fhir_tables
+
+    orgs = load_fhir_tables(spark, ["organizations"])["organizations"].select(
+        F.col("_id").cast("long").alias("id")
+    )
+    # J holds (id, anc, steps): following `steps` parent links from id
+    # lands on anc, where anc is either 2^r links away or already a root
+    # (saturated — roots carry a self-loop of 0 steps so composition
+    # leaves them fixed).
+    j = orgs.select(
+        "id",
+        F.when(F.col("id") >= 10, F.expr("id div 10")).otherwise(F.col("id")).alias("anc"),
+        F.when(F.col("id") >= 10, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("steps"),
+    )
+    for _ in range(3):  # 2^3 = 8 >= max depth (ids <= 999 => depth <= 3)
+        nxt = j.select(
+            F.col("id").alias("m_id"),
+            F.col("anc").alias("m_anc"),
+            F.col("steps").alias("m_steps"),
+        )
+        j = (
+            j.join(nxt, j.anc == F.col("m_id"))
+            .select(
+                "id",
+                F.col("m_anc").alias("anc"),
+                (F.col("steps") + F.col("m_steps")).alias("steps"),
+            )
+            .localCheckpoint()
+        )
+    return j.select("id", F.col("anc").alias("root_id"), F.col("steps").alias("depth"))
