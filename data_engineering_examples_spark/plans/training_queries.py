@@ -36,7 +36,7 @@ from ..sources.tables import load_tables
 from .dedup_queries import _duck_md5_int, _md5_int
 from .registry import register
 
-N_SHARDS = 8
+N_SHARDS = 64
 EVAL_K = 20
 BUCKET_TOKENS = 64  # bucket width; capacity = (bucket+1) * width
 MAX_BUCKET = 15
@@ -50,7 +50,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q115 — deterministic training order: hash-sharded, shard-local shuffle.
 # Scale: one hash-partition shuffle on shard id; ranks are per-shard
 # windows (each shard is one partition's worth of work, never a global
-# sort). Epoch re-shuffles change the salt ('order:'), nothing else.
+# sort). N_SHARDS is the parallelism/file-granularity knob: one shard ≈
+# one output file a trainer streams, so production uses thousands
+# (100 TB / ~1-4 GB files), keeping every rank window file-sized — the
+# 64 here is scaled to bench SF. Epoch re-shuffles change the salt
+# ('order:'), nothing else.
 
 
 @register(
