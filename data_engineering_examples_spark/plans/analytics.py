@@ -1995,3 +1995,55 @@ def q127_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_cents"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — range-clustered scan: events rewritten range-sorted on user_id
+# (sources/layout.py:write_sorted), then a narrow user slice scanned
+# back. Each file covers a contiguous user span, so the filter skips
+# whole files on parquet footer min/max before reading a row — the
+# zone-map effect on a high-cardinality key, complementing q111's
+# discrete-value directory pruning. The oracle computes the same slice
+# from the original table (lossless + correct-slice in one gate);
+# tests/test_storage_layout.py asserts the files-read metric actually
+# dropped.
+
+CLUSTER_USER_LO, CLUSTER_USER_HI = 100, 199
+
+
+@register(
+    "q129_range_clustered_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    WHERE user_id BETWEEN {CLUSTER_USER_LO} AND {CLUSTER_USER_HI}
+    GROUP BY event_type
+    """,
+    doc="range-clustered layout scan: file-level min/max skipping on a "
+    "high-cardinality key (zone-map effect, no index structure)",
+    tags=("layout", "S1", "A4"),
+)
+def q129_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sources.layout import write_sorted
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q129_clustered")
+    write_sorted(ev, f"{base}/events_by_user", ["user_id"])
+    clustered = spark.read.parquet(f"{base}/events_by_user")
+    return (
+        clustered.filter(
+            F.col("user_id").between(CLUSTER_USER_LO, CLUSTER_USER_HI)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias(
+                "value_millis"
+            ),
+        )
+    )

@@ -910,3 +910,92 @@ def q120_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# q130 — STREAMING incremental rollup through the MergeWriter seam: the
+# events feed arrives as two micro-batches (maxFilesPerTrigger=1); an
+# update-mode streaming aggregation emits each batch's CHANGED
+# (event_type, day) cumulative rows, and foreachBatch upserts them into
+# a parquet rollup table via ParquetSwapMergeWriter.merge_incoming with
+# full_sync=False — the incremental form: keys untouched by a batch
+# must survive, which is exactly the clause the full-sync (snapshot)
+# merge would get wrong. The oracle recomputes the rollup from ALL
+# events in one pass, so parity proves stream-maintained state ==
+# batch truth. On Delta the foreachBatch body is the DELETE-less MERGE
+# (DeltaMergeWriter.merge_sql(full_sync=False)).
+#
+# Scale: the aggregation state is |event_type × day| (bounded domain);
+# each batch shuffles only its arrivals; the merge shuffles only
+# changed keys. This is q90's batch algebra running live.
+
+
+@register(
+    "q130_stream_rollup_merge",
+    oracle="""
+    SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    GROUP BY event_type, day
+    """,
+    doc="streaming incremental rollup: update-mode agg deltas upserted "
+    "per micro-batch through MergeWriter (full_sync=False)",
+    tags=("workflow", "streaming", "T2", "S7"),
+)
+def q130_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sinks.merge_writer import ParquetSwapMergeWriter
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q130_rollup")
+    inp, target = f"{base}/in", f"{base}/rollup"
+
+    feed = ev.select(
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        "event_id",
+    )
+    # two batches split by event id parity — each touches most days, so
+    # the second batch exercises UPDATE paths, not just inserts
+    feed.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(inp)
+    feed.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    # seed an empty rollup table so the writer's read() resolves
+    empty = spark.createDataFrame(
+        [], "event_type string, day date, n_events long, value_millis long"
+    )
+    empty.write.parquet(target)
+    writer = ParquetSwapMergeWriter(spark, target)
+
+    stream = spark.readStream.schema(
+        "event_type string, ts timestamp, vm long, event_id long"
+    ).option("maxFilesPerTrigger", 1).parquet(inp)
+    agg = stream.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vm").alias("value_millis"),
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: writer.merge_incoming(
+                    df, key=["event_type", "day"], full_sync=False
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return writer.read()

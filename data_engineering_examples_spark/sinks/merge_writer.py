@@ -86,16 +86,30 @@ class ParquetSwapMergeWriter(MergeWriter):
         incoming: DataFrame,
         key: list[str] | str,
         evolve_schema: bool = False,
+        full_sync: bool = True,
     ) -> None:
-        """Derive the changeset AND apply it in one step. With
-        ``evolve_schema`` the target first gains any columns the incoming
-        frame carries that it lacks (existing rows null-backfilled) — the
-        plain-parquet analog of Delta's ``mergeSchema`` on MERGE. The
-        evolution must precede changeset derivation: only then does the
-        new column join the compared set, so a row whose only change is
-        the new column's value classifies as an update, not a noop. Off
-        by default: silent widening hides producer mistakes — a pipeline
-        should opt in per contract."""
+        """Derive the changeset AND apply it in one step.
+
+        ``full_sync`` (default) treats ``incoming`` as a complete
+        snapshot: keys absent from it are DELETED from the target — the
+        ODS-import semantics (the master file IS the world). Pass
+        ``full_sync=False`` for an INCREMENTAL feed (a micro-batch, a
+        CDC slice, an aggregation delta): absent keys are left alone and
+        only insert/update actions apply. On Delta the distinction is
+        exactly whether the ``WHEN MATCHED ... THEN DELETE`` clause is
+        compiled (see :meth:`DeltaMergeWriter.merge_sql`). Conflating
+        the two corrupts either way — a snapshot merged as an upsert
+        resurrects deleted rows; a delta merged as a snapshot wipes
+        everything it didn't mention.
+
+        With ``evolve_schema`` the target first gains any columns the
+        incoming frame carries that it lacks (existing rows
+        null-backfilled) — the plain-parquet analog of Delta's
+        ``mergeSchema`` on MERGE. The evolution must precede changeset
+        derivation: only then does the new column join the compared set,
+        so a row whose only change is the new column's value classifies
+        as an update, not a noop. Off by default: silent widening hides
+        producer mistakes — a pipeline should opt in per contract."""
         from ..operators.merge import changeset
         from ..sources.layout import swap_write
 
@@ -108,6 +122,8 @@ class ParquetSwapMergeWriter(MergeWriter):
                         f.name, F.lit(None).cast(f.dataType)
                     )
         cs = changeset(current, incoming, key)
+        if not full_sync:
+            cs = cs.filter(F.col(ACTION) != "delete")
         swap_write(apply_changeset(current, cs, key), self.path)
 
 
@@ -128,21 +144,30 @@ class DeltaMergeWriter(MergeWriter):
 
     @staticmethod
     def merge_sql(target: str, source_view: str, key: list[str] | str,
-                  payload_cols: list[str]) -> str:
+                  payload_cols: list[str], full_sync: bool = True) -> str:
         """One MERGE INTO statement for a changeset frame.
 
         ``source_view`` must hold the changeset schema (key cols,
         ``action``, ``incoming`` struct); noop rows are excluded by the
         action predicates, so pre-filtering them is an optimization, not
-        a correctness requirement."""
+        a correctness requirement. ``full_sync=False`` compiles the
+        incremental-upsert form: the DELETE clause is omitted, so keys
+        absent from the source survive (see
+        :meth:`ParquetSwapMergeWriter.merge_incoming` for when each is
+        correct)."""
         keys = [key] if isinstance(key, str) else list(key)
         on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
         set_clause = ", ".join(f"t.{c} = s.incoming.{c}" for c in payload_cols)
         ins_cols = ", ".join(payload_cols)
         ins_vals = ", ".join(f"s.incoming.{c}" for c in payload_cols)
+        delete_clause = (
+            f"WHEN MATCHED AND s.{ACTION} = 'delete' THEN DELETE\n"
+            if full_sync
+            else ""
+        )
         return (
             f"MERGE INTO {target} t USING {source_view} s ON {on}\n"
-            f"WHEN MATCHED AND s.{ACTION} = 'delete' THEN DELETE\n"
+            f"{delete_clause}"
             f"WHEN MATCHED AND s.{ACTION} = 'update' THEN UPDATE SET {set_clause}\n"
             f"WHEN NOT MATCHED AND s.{ACTION} = 'insert' "
             f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})"

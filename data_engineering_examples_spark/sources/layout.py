@@ -63,6 +63,21 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_sorted(df: DataFrame, path: str, cols: list[str], n_files: int = 8) -> None:
+    """Write parquet range-clustered on ``cols``: rows range-partition
+    into ``n_files`` contiguous key spans, sorted within each file. Every
+    file then covers a NARROW min/max range for the cluster columns, so
+    a selective filter skips whole files on footer stats alone (and row
+    groups within the survivors) — the zone-map effect, without any
+    index structure. This is the single-dimension clustering layout;
+    partitionBy (q111) prunes on discrete values, this prunes on RANGES
+    over high-cardinality keys. Exercised with a scan-metric assertion
+    in ``tests/test_storage_layout.py``."""
+    df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def recover_swap(path: str) -> bool:
     """Crash recovery for :func:`swap_write`: a death between the two
     renames leaves the ONLY copy at the ``.__swap_old__`` side path with

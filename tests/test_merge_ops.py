@@ -192,3 +192,30 @@ def test_parquet_swap_merge_writer_schema_evolution(spark, tmp_path):
     rows = {r.k: r for r in w.read().collect()}
     assert rows["k2"].extra == 20 and rows["k3"].extra == 30
     assert rows["k1"].extra is None  # untouched row null-backfilled
+
+
+def test_merge_sql_upsert_form_omits_delete():
+    from data_engineering_examples_spark.sinks.merge_writer import DeltaMergeWriter
+
+    sql = DeltaMergeWriter.merge_sql(
+        "rollup", "batch_v", key=["k"], payload_cols=["k", "n"], full_sync=False
+    )
+    assert "DELETE" not in sql
+    assert "WHEN MATCHED AND s.action = 'update'" in sql
+
+
+def test_merge_incoming_upsert_keeps_absent_keys(spark, tmp_path):
+    """full_sync=False: keys the batch doesn't mention survive — the
+    incremental-feed contract (full_sync would delete them)."""
+    from data_engineering_examples_spark.sinks.merge_writer import (
+        ParquetSwapMergeWriter,
+    )
+
+    cur = spark.createDataFrame([("k1", 1), ("k2", 2)], ["k", "n"])
+    inc = spark.createDataFrame([("k2", 20), ("k3", 30)], ["k", "n"])
+    path = str(tmp_path / "t")
+    cur.write.parquet(path)
+    w = ParquetSwapMergeWriter(spark, path)
+    w.merge_incoming(inc, key="k", full_sync=False)
+    rows = {r.k: r.n for r in w.read().collect()}
+    assert rows == {"k1": 1, "k2": 20, "k3": 30}

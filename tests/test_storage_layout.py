@@ -222,3 +222,32 @@ def test_swap_write_crash_between_renames_is_recovered(spark, tmp_path):
     assert not os.path.exists(path + ".__swap_tmp__")
     assert not os.path.exists(path + ".__swap_old__")
     shutil.rmtree(path)
+
+
+def test_range_clustered_layout_skips_files(spark, tmp_path):
+    """write_sorted gives each file a narrow min/max span on the cluster
+    key, so a selective range filter must read FEWER files than the
+    layout holds (parquet footer stats, no index). Compare the scan's
+    files-read metric against the file count on disk."""
+    import os
+
+    from data_engineering_examples_spark.sources.layout import write_sorted
+    from data_engineering_examples_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, "/root/testdata/sf0.01", ["events"])["events"]
+    out = str(tmp_path / "by_user")
+    write_sorted(ev, out, ["user_id"], n_files=8)
+    n_files = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_files >= 4  # the layout actually spread across files
+
+    df = spark.read.parquet(out).filter(F.col("user_id").between(100, 199))
+    df.write.format("noop").mode("overwrite").save()
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+    files_read = None
+    for i in range(leaves.size()):
+        node = leaves.apply(i)
+        if "Scan" in node.nodeName():
+            files_read = node.metrics().apply("numFiles").value()
+            break
+    assert files_read is not None and files_read < n_files, (files_read, n_files)
