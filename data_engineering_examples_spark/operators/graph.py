@@ -1,0 +1,57 @@
+"""Distributed graph primitives shared by the dedup/linkage queries.
+
+``connected_components`` is min-label propagation WITH pointer jumping:
+each round every node adopts the minimum label in its neighborhood, then
+jumps to its current label's label (path halving), so label distance to
+the component minimum shrinks doubly-exponentially — O(log d) rounds for
+diameter d, each round two key-partitioned shuffles (neighbor-min join +
+jump join). The edge set is checkpointed by the CALLER (it usually comes
+out of an expensive candidate-generation pipeline); the label frame is
+checkpointed here per round to keep the plan from deepening.
+
+Used by q72 (dedup clusters over exact+LSH edges) and q131 (patient
+record-linkage clusters); correctness of the round counts is verified by
+both queries' recursive-CTE oracles, not assumed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, rounds: int
+) -> DataFrame:
+    """``nodes``: one column ``id``; ``edges``: columns ``u``, ``v``
+    (one direction suffices — both are added here). Returns
+    ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
+    node id. ``rounds`` must cover log2(component diameter); callers
+    pair this with an oracle that computes the full closure so an
+    insufficient round count fails loudly."""
+    bidir = (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    labels = nodes.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(rounds):
+        neighbour_min = (
+            bidir.join(labels, bidir.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        # least() skips NULLs, so isolated nodes keep their own label
+        labels = labels.join(
+            neighbour_min, labels.id == neighbour_min.u, "left"
+        ).select("id", F.least("label", "nlabel").alias("label"))
+        # pointer jump: adopt the label of the current label's node
+        parents = labels.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        labels = (
+            labels.join(parents, labels.label == parents.pid)
+            .select("id", F.col("plabel").alias("label"))
+            .localCheckpoint()
+        )
+    return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))

@@ -559,33 +559,15 @@ def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_e = q24_minhash_lsh_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    edges = exact_e.union(near_e).distinct()
     # materialize the edge set ONCE — it feeds every propagation round,
     # and recomputing it would re-run the whole LSH pipeline per round
-    bidir = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # (operators/graph.py checkpoints the bidirected form internally)
+    edges = exact_e.union(near_e).distinct()
+    from ..operators.graph import connected_components
 
-    labels = docs.select(F.col("doc_id").alias("id"), F.col("doc_id").alias("label"))
-    for _ in range(CC_ROUNDS):
-        neighbour_min = (
-            bidir.join(labels, bidir.v == labels.id)
-            .groupBy("u")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # least() skips NULLs, so isolated nodes keep their own label
-        labels = labels.join(neighbour_min, labels.id == neighbour_min.u, "left").select(
-            "id", F.least("label", "nlabel").alias("label")
-        )
-        # pointer jump: adopt the label of the current label's node
-        parents = labels.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
-        labels = (
-            labels.join(parents, labels.label == parents.pid)
-            .select("id", F.col("plabel").alias("label"))
-            .localCheckpoint()
-        )
-
-    cc = labels.groupBy("id").agg(F.min("label").alias("cluster_id"))
+    cc = connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges, CC_ROUNDS
+    )
     return cc.select(
         F.col("id").alias("doc_id"),
         "cluster_id",

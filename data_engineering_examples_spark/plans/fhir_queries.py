@@ -25,7 +25,7 @@ uniformity and ignore it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -816,4 +816,103 @@ def q45_extract_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(cond_list, ",").alias("cond_entries"),
         n_obs.alias("n_obs"),
         (F.lit(1) + F.size(cond_list) + n_obs).alias("n_entries"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — patient record linkage (entity resolution): the full
+# blocking → pairwise scoring → transitive closure pipeline over the
+# patient registry. The reference stops at exact-duplicate detection
+# (A3, q15/q35); real registries need PROBABILISTIC linkage — records
+# that agree on most-but-not-all identifiers. Shape:
+#
+# 1. **Block** on family name (candidate pairs only within a block —
+#    the O(n²) killer; block sizes are bounded by surname frequency).
+# 2. **Score** each in-block pair on field agreement: birthdate,
+#    gender, given-initial — integers, no fuzzy floats, so the score
+#    is cross-engine exact.
+# 3. **Link** pairs scoring >= 2, then resolve transitive identity
+#    with connected components (operators/graph.py — A~B~C links make
+#    one identity even when A,C never directly matched).
+#
+# The oracle replays scoring in SQL and closes the link graph with a
+# recursive CTE — closure convergence is verified, not assumed.
+# Scale: one shuffle on the block key; pair generation never leaves a
+# block; CC is O(log d) rounds over the (tiny) link set.
+
+LINK_SCORE_MIN = 2
+LINK_CC_ROUNDS = 3
+
+
+@register(
+    "q131_patient_linkage",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT CAST(_id AS BIGINT) AS id,
+             json_extract_string(resource_string, '$.name[0].family') AS family,
+             substr(json_extract_string(resource_string, '$.name[0].given[0]'), 1, 1) AS gi,
+             birthdate, gender
+      FROM read_parquet('{{fx}}/patients.parquet')
+    ),
+    pairs AS (
+      SELECT a.id AS u, b.id AS v,
+             (CASE WHEN a.birthdate = b.birthdate THEN 1 ELSE 0 END
+              + CASE WHEN a.gender = b.gender THEN 1 ELSE 0 END
+              + CASE WHEN a.gi = b.gi THEN 1 ELSE 0 END) AS score
+      FROM p a JOIN p b ON a.family = b.family AND a.id < b.id
+    ),
+    e AS (SELECT u, v FROM pairs WHERE score >= {LINK_SCORE_MIN}),
+    bidir AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+    reach(id, label) AS (
+      SELECT id, id FROM p
+      UNION
+      SELECT b.u, r.label FROM bidir b JOIN reach r ON r.id = b.v
+    ),
+    cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+    SELECT id AS patient_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM cc
+    """.format(fx=FX),
+    doc="patient record linkage: surname blocking -> integer field "
+    "scoring -> transitive closure (entity resolution beyond exact dup)",
+    tags=("fhir", "dedup", "A3", "graph"),
+)
+def q131_patient_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pts = load_fhir_tables(spark, ["patients"])["patients"]
+    p = pts.select(
+        F.col("_id").cast("long").alias("id"),
+        F.get_json_object("resource_string", "$.name[0].family").alias("family"),
+        F.substring(
+            F.get_json_object("resource_string", "$.name[0].given[0]"), 1, 1
+        ).alias("gi"),
+        "birthdate",
+        "gender",
+    )
+    a, b = p.alias("a"), p.alias("b")
+    score = (
+        F.when(F.col("a.birthdate") == F.col("b.birthdate"), 1).otherwise(0)
+        + F.when(F.col("a.gender") == F.col("b.gender"), 1).otherwise(0)
+        + F.when(F.col("a.gi") == F.col("b.gi"), 1).otherwise(0)
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("a.family") == F.col("b.family"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("u"), F.col("b.id").alias("v"), score.alias("score")
+        )
+        .filter(F.col("score") >= LINK_SCORE_MIN)
+        .select("u", "v")
+    )
+    cc = connected_components(p.select("id"), edges, LINK_CC_ROUNDS)
+    return cc.select(
+        F.col("id").alias("patient_id"),
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
     )
