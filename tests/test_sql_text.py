@@ -66,3 +66,47 @@ def test_sql_text_fhir_functions_callable(spark):
         """
     ).collect()
     assert all(r.gmp for r in gmp)
+
+
+def test_observe_inline_quality_metrics(spark):
+    """df.observe(): data-quality counters collected DURING the job — no
+    second pass over the data. The production posture for ingest gates:
+    row counts / null counts / domain violations ride along with the
+    write and are checked after, instead of re-scanning 100 TB to audit
+    what was just written."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    ev = load_tables(spark, "/root/testdata/sf0.001", ["events"])["events"]
+    obs = Observation("ingest_gate")
+    gated = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_users"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_values"),
+    )
+    gated.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    assert m["n_rows"] == ev.count()
+    assert m["null_users"] == 0 and m["neg_values"] == 0
+
+
+def test_parameterized_sql_text(spark):
+    """spark.sql named-parameter binding: the injection-safe form of the
+    reference's hand-concatenated SQL strings (dags build WHERE clauses
+    by f-string; parameter markers keep user values out of the parse)."""
+    from data_engineering_examples_spark.plans.sql_text import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderpriority = :prio AND o_totalprice > :floor",
+        args={"prio": "1-URGENT", "floor": 1000.0},
+    ).first()
+    expected = spark.sql(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000.0"
+    ).first()
+    assert got.n == expected.n and got.n > 0
