@@ -34,6 +34,7 @@ from ..operators.merge import changeset
 from ..sources.fhir import FIXTURES_DIR
 from ..sources.ods import EPRACCUR_COLS, read_epraccur, with_organisation_json
 from ..sources.tables import load_tables
+from .dedup_queries import _duck_md5_int
 from .fhir_queries import _ODS_RE
 from .registry import register
 
@@ -489,3 +490,200 @@ def q128_org_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return j.select("id", F.col("anc").alias("root_id"), F.col("steps").alias("depth"))
+
+
+# ---------------------------------------------------------------------------
+# q132 — right-to-erasure cascade (GDPR Art.17 over a clinical store):
+# given an erasure set (patients flagged by a deterministic rule standing
+# in for received requests), remove their rows from every referencing
+# table IN ONE COORDINATED PASS and emit the per-table erasure
+# accounting an auditor signs off on — rows erased per table, rows
+# surviving, and a checksum of the survivor keys proving the cascade
+# touched exactly the right records (no over- nor under-deletion).
+# Scale: the erasure set broadcasts; each fact table takes one scan +
+# anti-join (no shuffle of the big side); accounting aggregates ride the
+# same scans. On Delta each leg is a DELETE WHERE ... IN (broadcast
+# semi-join) with the same plan shape.
+
+ERASE_MOD = 31  # patient _id % 31 == 0 => erasure request received
+
+
+@register(
+    "q132_erasure_cascade",
+    oracle=f"""
+    WITH erase AS (
+      SELECT key FROM read_parquet('{FX}/patients.parquet')
+      WHERE CAST(_id AS BIGINT) % {ERASE_MOD} = 0
+    ),
+    acct AS (
+      SELECT 'patients' AS tbl,
+             CAST((SELECT count(*) FROM erase) AS BIGINT) AS n_erased,
+             CAST((SELECT count(*) FROM read_parquet('{FX}/patients.parquet') p
+                   WHERE p.key NOT IN (SELECT key FROM erase)) AS BIGINT) AS n_kept,
+             CAST((SELECT bit_xor({_duck_md5_int('p.key')})
+                   FROM read_parquet('{FX}/patients.parquet') p
+                   WHERE p.key NOT IN (SELECT key FROM erase)) AS BIGINT) AS survivor_checksum
+      UNION ALL
+      SELECT 'conditions',
+             CAST((SELECT count(*) FROM read_parquet('{FX}/conditions.parquet') c
+                   WHERE c.patient IN (SELECT key FROM erase)) AS BIGINT),
+             CAST((SELECT count(*) FROM read_parquet('{FX}/conditions.parquet') c
+                   WHERE c.patient NOT IN (SELECT key FROM erase)) AS BIGINT),
+             CAST((SELECT bit_xor({_duck_md5_int('CAST(c._id AS VARCHAR)')})
+                   FROM read_parquet('{FX}/conditions.parquet') c
+                   WHERE c.patient NOT IN (SELECT key FROM erase)) AS BIGINT)
+      UNION ALL
+      SELECT 'observations',
+             CAST((SELECT count(*) FROM read_parquet('{FX}/observations.parquet') o
+                   WHERE o.patient IN (SELECT key FROM erase)) AS BIGINT),
+             CAST((SELECT count(*) FROM read_parquet('{FX}/observations.parquet') o
+                   WHERE o.patient NOT IN (SELECT key FROM erase)) AS BIGINT),
+             CAST((SELECT bit_xor({_duck_md5_int('CAST(o._id AS VARCHAR)')})
+                   FROM read_parquet('{FX}/observations.parquet') o
+                   WHERE o.patient NOT IN (SELECT key FROM erase)) AS BIGINT)
+    )
+    SELECT tbl, n_erased, n_kept, survivor_checksum FROM acct
+    """,
+    doc="right-to-erasure cascade: broadcast anti-join per referencing "
+    "table + auditable per-table accounting with survivor checksums",
+    tags=("etl", "S8", "A4"),
+)
+def q132_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _md5_int
+    from ..sources.fhir import load_fhir_tables
+
+    t = load_fhir_tables(spark, ["patients", "conditions", "observations"])
+    erase = (
+        t["patients"]
+        .filter(F.col("_id").cast("long") % ERASE_MOD == 0)
+        .select("key")
+    )
+    b_erase = F.broadcast(erase.withColumn("_hit", F.lit(1)))
+
+    def leg(df: DataFrame, ref_col: str, id_col, tbl: str) -> DataFrame:
+        tagged = df.join(
+            b_erase, df[ref_col] == b_erase["key"], "left"
+        )
+        hit = F.col("_hit").isNotNull()
+        return tagged.agg(
+            F.lit(tbl).alias("tbl"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("n_erased"),
+            F.sum(F.when(~hit, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.bit_xor(F.when(~hit, _md5_int(id_col)))
+            .cast("bigint")
+            .alias("survivor_checksum"),
+        )
+
+    pts = t["patients"].select(F.col("key").alias("pkey"), F.col("key").alias("pid"))
+    return (
+        leg(pts, "pkey", F.col("pid"), "patients")
+        .unionAll(
+            leg(
+                t["conditions"].select("patient", F.col("_id").cast("string").alias("cid")),
+                "patient", F.col("cid"), "conditions",
+            )
+        )
+        .unionAll(
+            leg(
+                t["observations"].select("patient", F.col("_id").cast("string").alias("oid")),
+                "patient", F.col("oid"), "observations",
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133 — point-in-time (SCD2) dimension join: every order resolved
+# against the customer-segment version THAT WAS VALID ON ITS ORDER DATE
+# (eff_from <= t < eff_to), the correctness property that separates a
+# warehouse from a lookup table — joining facts to the CURRENT dimension
+# back-dates attributes and silently rewrites history. The versioned
+# dimension is built with q89's SCD2 algebra (split mid-range so both
+# versions receive facts); the join predicate is the half-open validity
+# interval, and the rollup proves every order matched EXACTLY one
+# version (n_orders sums to the fact count — an auditor's invariant).
+# Scale: facts shuffle never — the versioned dim stays dimension-sized
+# (<= 2 rows per key) and broadcasts; the validity predicate is a join
+# residual evaluated map-side. On a 100 TB fact table this is one scan.
+
+_PIT_FROM = "1995-01-01"
+_PIT_SPLIT = "1998-01-01"
+
+
+@register(
+    "q133_point_in_time_join",
+    oracle=f"""
+    WITH dim AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+    j AS (
+      SELECT c_custkey, segment,
+             CASE WHEN c_custkey % 10 = 3 THEN segment || '-R' ELSE segment END
+               AS new_segment,
+             c_custkey % 10 = 3 AS ch
+      FROM dim
+    ),
+    versions AS (
+      SELECT c_custkey, segment, CAST(1 AS INT) AS version,
+             TIMESTAMP '{_PIT_FROM} 00:00:00' AS eff_from,
+             CASE WHEN ch THEN TIMESTAMP '{_PIT_SPLIT} 00:00:00' END AS eff_to
+      FROM j
+      UNION ALL
+      SELECT c_custkey, new_segment, CAST(2 AS INT),
+             TIMESTAMP '{_PIT_SPLIT} 00:00:00', NULL
+      FROM j WHERE ch
+    )
+    SELECT v.segment, v.version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders o
+    JOIN versions v
+      ON v.c_custkey = o.o_custkey
+     AND o.o_orderdate >= v.eff_from
+     AND (v.eff_to IS NULL OR o.o_orderdate < v.eff_to)
+    GROUP BY v.segment, v.version
+    """,
+    doc="point-in-time SCD2 join: facts resolve the dimension version "
+    "valid AT event time (half-open interval residual, broadcast dim)",
+    tags=("etl", "scd2", "J1", "T5"),
+)
+def q133_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    dim = t["customer"].select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    ch = F.col("c_custkey") % 10 == 3
+    new_segment = F.when(ch, F.concat(F.col("segment"), F.lit("-R"))).otherwise(
+        F.col("segment")
+    )
+
+    def _version(seg, ver: int, frm, to):
+        return F.struct(
+            seg.alias("segment"),
+            F.lit(ver).alias("version"),
+            F.lit(frm).cast("timestamp_ntz").alias("eff_from"),
+            F.lit(to).cast("timestamp_ntz").alias("eff_to"),
+        )
+
+    rows = F.when(
+        ch,
+        F.array(
+            _version(F.col("segment"), 1, _PIT_FROM, _PIT_SPLIT),
+            _version(new_segment, 2, _PIT_SPLIT, None),
+        ),
+    ).otherwise(F.array(_version(F.col("segment"), 1, _PIT_FROM, None)))
+    versions = dim.select("c_custkey", F.inline(rows))
+
+    o = t["orders"]
+    valid = (
+        (o.o_custkey == versions.c_custkey)
+        & (o.o_orderdate >= F.col("eff_from"))
+        & (F.col("eff_to").isNull() | (o.o_orderdate < F.col("eff_to")))
+    )
+    return (
+        o.join(F.broadcast(versions), valid)
+        .groupBy("segment", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )
