@@ -744,3 +744,85 @@ def q123_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tri)
         .select("n_vertices", "n_edges", "n_triangles", "n_wedges")
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — prefix-duplicate detection: documents whose full text is a strict
+# prefix of another document (truncated re-crawls, partial mirrors — the
+# substring-dedup family from the training-data-dedup literature; exact
+# substring matching needs suffix arrays, but PREFIX containment falls out
+# of one sorted pass: in sorted order, if t is a prefix of any string then
+# it is a prefix of its immediate successor, because every string between
+# t and t||s also starts with t).
+#
+# Scale design — no global sort anywhere:
+# * distinct texts of length >= PREFIX_KEY_LEN are windowed BY their
+#   16-char prefix key (any string extending t shares t's first 16 chars,
+#   so the within-group successor check is exactly the global one). Group
+#   size = docs sharing a 16-char prefix; on boilerplate-heavy corpora
+#   bump PREFIX_KEY_LEN (it only needs to stay <= the min long-doc
+#   length) to keep groups file-sized.
+# * texts shorter than the key can extend across groups, so they take an
+#   equi-join instead: every distinct text emits its proper prefixes of
+#   length 1..15 (bounded 15-way fan-out, map-side) and short texts
+#   semi-join that substrate on equality. Short docs are rare, the
+#   prefix substrate is de-duplicated before the join.
+# Both legs are shuffles on high-cardinality string keys; zero windows
+# over an unpartitioned ordering.
+
+PREFIX_KEY_LEN = 16
+
+
+@register(
+    "q134_prefix_dups",
+    oracle="""
+    WITH d AS (SELECT DISTINCT text FROM documents),
+    s AS (SELECT text, lead(text) OVER (ORDER BY text) AS nxt FROM d),
+    flagged AS (
+      SELECT text FROM s WHERE nxt IS NOT NULL AND starts_with(nxt, text)
+    )
+    SELECT doc.doc_id, CAST(length(doc.text) AS BIGINT) AS pfx_len
+    FROM documents doc JOIN flagged USING (text)
+    """,
+    doc="strict-prefix duplicate detection via sorted-successor adjacency, "
+    "decomposed to prefix-key windows + a bounded short-text equi-join "
+    "(never a single-partition global sort)",
+    tags=("dedup", "llm"),
+)
+def q134_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    texts = docs.select("text").distinct()
+
+    # Long leg: within each 16-char-prefix group, sorted-successor check.
+    w = Window.partitionBy("pk").orderBy("text")
+    flagged_long = (
+        texts.filter(F.length("text") >= PREFIX_KEY_LEN)
+        .select("text", F.substring("text", 1, PREFIX_KEY_LEN).alias("pk"))
+        .withColumn("nxt", F.lead("text").over(w))
+        .filter(F.col("nxt").startswith(F.col("text")))
+        .select("text")
+    )
+
+    # Short leg: texts below the key length semi-join the (deduped)
+    # proper-prefix substrate of all texts. sequence() needs end >= 1,
+    # hence the length >= 2 guard (1-char texts emit no proper prefix).
+    pfx = (
+        texts.filter(F.length("text") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, least({PREFIX_KEY_LEN - 1}, "
+                    "length(text) - 1)), i -> substring(text, 1, i))"
+                )
+            ).alias("text")
+        )
+        .distinct()
+    )
+    flagged_short = (
+        texts.filter(F.length("text") < PREFIX_KEY_LEN).join(pfx, "text", "left_semi")
+    )
+
+    flagged = flagged_long.unionByName(flagged_short)
+    return docs.join(flagged, "text").select(
+        "doc_id", F.length("text").cast("bigint").alias("pfx_len")
+    )

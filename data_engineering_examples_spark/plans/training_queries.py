@@ -305,3 +305,115 @@ def q119_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.set(key, prev)
         conf.set(bc, prev_bc)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# q135 — bigram-LM surprisal quality filter (the CCNet/KenLM "perplexity
+# filter" reshaped for cross-engine exactness): score every document by
+# its mean per-bigram surprisal under an add-one-smoothed bigram model
+# trained on the corpus itself; low-surprisal docs read like the corpus,
+# high-surprisal docs are noise/garble candidates.
+#
+# Determinism design: float log-probs are NOT bit-identical across
+# engines (measured for idf in text_queries.py — JVM Math.log vs
+# DuckDB's libm differ in final bits), and float SUMs are
+# order-dependent. So surprisal is kept in exact integer "bits":
+#   bits(w1,w2) = floor(log2((c1 + V) / (c12 + 1)))
+#               = length(bin((c1 + V) div (c12 + 1))) - 1
+# using the identity floor(log2(d/n)) = bitlength(d div n) - 1 for
+# d >= n >= 1 (both engines have bin(); no transcendental touches the
+# data). The only float is the final mean = total_bits / n_bigrams —
+# one IEEE division of two int64s, bit-identical everywhere.
+#
+# Scale: bigram model = one explode + groupBy(w1,w2) with map-side
+# partials; c1 re-aggregates the (much smaller) model; V and the scoring
+# join broadcast/shuffle exactly like q87's tf-idf. The scoring join on
+# (w1,w2) is skewed by stopword bigrams — AQE skew-join territory, same
+# as q23's hot shingles.
+
+SURPRISAL_KEEP_BITS = 12.0  # keep docs whose mean bigram surprisal <= 12 bits
+
+
+@register(
+    "q135_lm_surprisal_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    v AS (
+      SELECT count(DISTINCT w) AS vsz
+      FROM (SELECT unnest(t) AS w FROM tok)
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM tok WHERE len(t) >= 2
+    ),
+    m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             length(bin((ctx.c1 + v.vsz) // (m.c12 + 1))) - 1 AS bits
+      FROM bg b
+      JOIN m USING (w1, w2)
+      JOIN ctx USING (w1)
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(bits) AS BIGINT) AS total_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits,
+           CAST(sum(bits) AS DOUBLE) / count(*) <= {SURPRISAL_KEEP_BITS} AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    doc="bigram-LM mean-surprisal quality filter (CCNet-style perplexity "
+    "gate) in exact integer bits — floor(log2((c1+V)/(c12+1))) via "
+    "bitlength, zero transcendentals, cross-engine bit parity",
+    tags=("training", "llm", "text", "A5"),
+)
+def q135_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tk = d.select("doc_id", F.split(d.text, " ").alias("t"))
+
+    vsz = (
+        tk.select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.size("t") - 2)).alias("i"), "t"
+        )
+        .select(
+            "doc_id",
+            F.element_at("t", F.col("i") + 1).alias("w1"),
+            F.element_at("t", F.col("i") + 2).alias("w2"),
+        )
+    )
+
+    m = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = m.groupBy("w1").agg(F.sum("c12").alias("c1"))
+
+    scored = (
+        bg.join(m, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("(c1 + vsz) div (c12 + 1)"))) - 1
+            ).alias("bits"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("bits").cast("bigint").alias("total_bits"),
+    )
+    mean_bits = F.col("total_bits").cast("double") / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "total_bits",
+        mean_bits.alias("mean_bits"),
+        (mean_bits <= SURPRISAL_KEEP_BITS).alias("keep"),
+    )

@@ -93,3 +93,43 @@ def test_bloom_filter_actually_injects_for_q119_shape(spark):
         conf.set(bc, prev_bc)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_prefix_dups_match_bruteforce(spark):
+    q = all_specs()["q134_prefix_dups"].fn
+    got = {r.doc_id for r in q(spark, SF).collect()}
+    docs = [(r.doc_id, r.text) for r in
+            spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()]
+    texts = {t for _, t in docs}
+    expect = {
+        did for did, t in docs
+        if any(u != t and u.startswith(t) for u in texts)
+    }
+    assert got == expect
+
+
+def test_lm_surprisal_matches_bruteforce(spark):
+    q = all_specs()["q135_lm_surprisal_filter"].fn
+    got = {r.doc_id: (r.n_bigrams, r.total_bits, r.keep)
+           for r in q(spark, SF).collect()}
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").collect()
+    from collections import Counter
+    c12, vocab = Counter(), set()
+    per_doc = {}
+    for r in rows:
+        t = r.text.split(" ")
+        vocab.update(t)
+        bgs = list(zip(t, t[1:]))
+        if bgs:
+            per_doc[r.doc_id] = bgs
+        c12.update(bgs)
+    c1 = Counter()
+    for (w1, _), c in c12.items():
+        c1[w1] += c
+    V = len(vocab)
+    for did, bgs in per_doc.items():
+        total = sum(((c1[w1] + V) // (c12[(w1, w2)] + 1)).bit_length() - 1
+                    for w1, w2 in bgs)
+        keep = total / len(bgs) <= 12.0
+        assert got[did] == (len(bgs), total, keep), did
+    assert set(got) == set(per_doc)
