@@ -2047,3 +2047,194 @@ def q129_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — dynamic-partition-overwrite incremental rematerialization: the
+# 100 TB pattern for correcting a partitioned table in place. A day-
+# partitioned events table receives a correction batch covering only the
+# 2 most recent days; with partitionOverwriteMode=dynamic the write
+# replaces EXACTLY the partitions present in the batch — every other
+# day's files are untouched (asserted byte-for-byte in
+# tests/test_storage_layout.py). Static overwrite mode would truncate
+# the whole table; recomputing it would scan 100 TB to fix 2 days.
+# The oracle pins the post-overwrite table state: untouched days keep
+# their original rows, corrected days keep only rows passing the
+# correction predicate.
+
+Q136_CORRECTED_DAYS = 2
+Q136_MIN_VALUE = 0.5
+
+
+@register(
+    "q136_dynamic_partition_overwrite",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, value,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day
+      FROM events
+    ),
+    tgt AS (
+      SELECT day FROM (SELECT DISTINCT day FROM ev ORDER BY day DESC
+                       LIMIT {Q136_CORRECTED_DAYS})
+    ),
+    final AS (
+      SELECT * FROM ev WHERE day NOT IN (SELECT day FROM tgt)
+      UNION ALL
+      SELECT * FROM ev WHERE day IN (SELECT day FROM tgt)
+                         AND value >= {Q136_MIN_VALUE}
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM final GROUP BY day
+    """,
+    doc="dynamic partition overwrite: a 2-day correction batch replaces "
+    "only its own day-partitions in a hive-layout table; all other "
+    "partition files are untouched (file-level test asserts it)",
+    tags=("layout", "S1", "S7", "A4"),
+)
+def q136_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    base = scratch_dir("q136_dynpart")
+    path = f"{base}/events_by_day"
+    ev.write.partitionBy("day").parquet(path)
+
+    # correction batch: the 2 most recent days, low-value rows dropped.
+    # The day list is tiny (bounded by the calendar) — broadcast it.
+    days = (
+        ev.select("day").distinct()
+        .orderBy(F.col("day").desc())
+        .limit(Q136_CORRECTED_DAYS)
+    )
+    batch = ev.join(F.broadcast(days), "day", "left_semi").filter(
+        F.col("value") >= Q136_MIN_VALUE
+    )
+    # dynamic mode: only partitions present in `batch` are replaced.
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — GROUPING SETS with explicitly chosen, non-hierarchical sets:
+# the report-planner shape CUBE can't express economically. CUBE(a,b,c)
+# pays for 8 granularities; a dashboard usually needs 3. One Expand (3×
+# the input, not 8×) feeding a single hash aggregate — at 100 TB the
+# Expand factor IS the cost model, so enumerating only the needed sets
+# is the optimization.
+
+@register(
+    "q137_grouping_sets_report",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT)
+             AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    doc="explicit GROUPING SETS (3 of the 4 cube granularities): Expand "
+    "factor = number of sets, the knob CUBE doesn't give you",
+    tags=("agg", "rollup"),
+)
+def q137_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "price_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138 — calendar-spine gap fill: per (user, day) activity series with
+# explicit zero rows for silent days — the shape every retention/
+# forecasting pipeline needs before a window or model sees the data.
+# The spine is generated with sequence() off the user's own first/last
+# active day (no global calendar scan), exploded map-side; activity
+# joins back on (user_id, day). Costs: one groupBy for spans, one
+# explode (bounded by the date range), one shuffle join on a dense
+# composite key — no skew (each user contributes its own span).
+
+@register(
+    "q138_gapfill_user_days",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      FROM events
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    act AS (
+      SELECT user_id, day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+      FROM ev GROUP BY user_id, day
+    )
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.value_millis, 0) AS value_millis,
+           a.n_events IS NULL AS is_gap
+    FROM spine s LEFT JOIN act a USING (user_id, day)
+    """,
+    doc="calendar-spine gap fill: per-user day spine via sequence(), "
+    "explicit zero rows for silent days (retention/forecast input shape)",
+    tags=("timeseries", "W3", "A4"),
+)
+def q138_gapfill_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
+    )
+    act = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    return spine.join(act, ["user_id", "day"], "left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("value_millis", F.lit(0)).alias("value_millis"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

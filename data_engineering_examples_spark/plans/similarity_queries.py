@@ -935,3 +935,74 @@ def q107_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("drift_sq"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — int8 vector quantization (the serving-side compression step for
+# ANN indexes: 4x smaller than float32, SIMD-friendly dot products).
+# Per-vector symmetric scheme: scale = max|x_i|, code_i =
+# floor(x_i * 127 / scale + 0.5). Map-only over the embedding column —
+# embarrassingly parallel at any scale, no shuffle at all; the output
+# summary (integer checksum over position-weighted codes, clip/zero
+# tallies, quantized scale) is integer-exact so the cross-engine hash
+# can't wobble. Every arithmetic step is a deterministic IEEE op on
+# identical double inputs (mul/div/add/floor — no transcendentals, no
+# float SUM reorder; the checksum sums int64s).
+
+@register(
+    "q139_int8_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+               FROM embeddings),
+    s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+    c AS (
+      SELECT vec_id, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                                         ELSE CAST(floor(x * 127.0 / scale + 0.5)
+                                                   AS INTEGER) END) AS codes
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_micros,
+           CAST(list_sum(list_transform(codes, (x, i) -> CAST(x AS BIGINT) * i))
+                AS BIGINT) AS checksum,
+           CAST(len(list_filter(codes, x -> abs(x) = 127)) AS BIGINT) AS n_clipped,
+           CAST(len(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero
+    FROM c
+    """,
+    doc="symmetric int8 vector quantization for ANN serving: map-only, "
+    "zero shuffles; integer-exact summary (position-weighted checksum, "
+    "clip/zero tallies) keeps cross-engine parity",
+    tags=("similarity", "llm"),
+)
+def q139_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    e = _to_double("embedding")
+    scale = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    codes = F.transform(
+        e,
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.floor(x * 127.0 / F.col("scale") + 0.5).cast("int")
+        ),
+    )
+    # position-weighted integer checksum: codes ⊙ (1..dim), summed in int64
+    weighted = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(1), F.size("codes")),
+        lambda c, i: c.cast("bigint") * i,
+    )
+    return (
+        emb.select("vec_id", "embedding", scale.alias("scale"))
+        .withColumn("codes", codes)
+        .select(
+            "vec_id",
+            F.floor(F.col("scale") * 1000000).cast("bigint").alias("scale_micros"),
+            F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+                "checksum"
+            ),
+            F.size(F.filter("codes", lambda c: F.abs(c) == 127))
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.size(F.filter("codes", lambda c: c == 0)).cast("bigint").alias("n_zero"),
+        )
+    )

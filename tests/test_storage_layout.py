@@ -251,3 +251,59 @@ def test_range_clustered_layout_skips_files(spark, tmp_path):
             files_read = node.metrics().apply("numFiles").value()
             break
     assert files_read is not None and files_read < n_files, (files_read, n_files)
+
+
+def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
+    """q136's core claim, proven at the file level: a dynamic-mode
+    overwrite whose batch covers only the 2 most recent day-partitions
+    replaces exactly those directories — every other partition keeps the
+    same files with the same mtimes (no rewrite), and a static-mode
+    overwrite would NOT have this property (it truncates the table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, SF, ["events"])["events"].select(
+        "user_id", "event_type", "value",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+    )
+    path = str(tmp_path / "events_by_day")
+    ev.write.partitionBy("day").parquet(path)
+
+    def snap():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("day="):
+                full = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = snap()
+    days = sorted(d.split("=", 1)[1] for d in before)
+    target = {f"day={d}" for d in days[-2:]}
+    assert len(before) > 2, "need untouched partitions for the claim"
+
+    batch = ev.filter(F.col("day").isin([d.split("=")[1] for d in target])).filter(
+        F.col("value") >= 0.5
+    )
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    after = snap()
+    assert set(after) == set(before)  # no partition vanished (static would drop)
+    for d in set(before) - target:
+        assert after[d] == before[d], f"untouched partition {d} was rewritten"
+    for d in target:
+        assert after[d] != before[d], f"target partition {d} was not replaced"
+    # replaced partitions hold exactly the batch rows
+    got = spark.read.parquet(path).filter(
+        F.col("day").isin([d.split("=")[1] for d in target])
+    ).count()
+    assert got == batch.count()
