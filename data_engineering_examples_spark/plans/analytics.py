@@ -2238,3 +2238,227 @@ def q138_gapfill_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("value_millis", F.lit(0)).alias("value_millis"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — MAD-based robust outlier gate per event_type: median and
+# median-absolute-deviation via the q96 distributed-selection shape
+# (count-per-value + cumulative selection over DISTINCT values — never a
+# per-group row sort), then flag values with |x - med| > 3·MAD. Median/
+# MAD are SELECTED data values (percentile_disc), so no cross-engine
+# float synthesis exists anywhere: the only arithmetic on doubles is
+# subtract/abs/multiply/compare — deterministic IEEE ops. Three
+# partial-agg shuffles total; the med/MAD tables are |event_type| rows
+# and broadcast back to the fact scan.
+
+MAD_K = 3.0
+
+
+@register(
+    "q140_mad_outliers",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT event_type, value AS v, count(*) AS c FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, v,
+             sum(c) OVER (PARTITION BY event_type ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM cnt
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+             min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS med
+      FROM cum GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS d
+      FROM events e JOIN med m USING (event_type)
+    ),
+    dcnt AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+    dcum AS (
+      SELECT event_type, d,
+             sum(c) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM dcnt
+    ),
+    mad AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad
+      FROM dcum GROUP BY 1
+    )
+    SELECT m.event_type, m.n_events, m.med, mad.mad,
+           CAST(sum(CASE WHEN dev.d > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type) JOIN med m USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="robust MAD outlier gate per event_type: discrete-selection "
+    "median + MAD (q96 shape), flag |x-med| > 3*MAD; no per-group row "
+    "sort, med/MAD broadcast back to the fact scan",
+    tags=("analytics", "A5", "quality"),
+)
+def q140_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select("event_type", "value")
+
+    def _disc_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        cnt = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w_cum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_n = Window.partitionBy("event_type")
+        cum = cnt.select(
+            "event_type",
+            col,
+            F.sum("c").over(w_cum).alias("cum"),
+            F.sum("c").over(w_n).alias("n"),
+        )
+        return cum.groupBy("event_type").agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(0.5) * F.col("n")), F.col(col))
+            ).alias(out),
+        )
+
+    med = _disc_median(ev, "value", "med")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = _disc_median(dev, "d", "mad").drop("n_events")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n_events", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141 — Z-order (Morton) clustered layout: events sorted by the bit-
+# interleave of (user_id, cents(value)) so every file covers a narrow
+# box in BOTH dimensions — a 2-d box predicate then skips files on
+# parquet footer min/max for either column (q129 clusters one dimension;
+# Z-order is the multi-dimension generalization, the Delta/Iceberg
+# Z-ORDER primitive, built here from pure column arithmetic + the same
+# range-partitioned sorted write). The oracle computes the identical box
+# aggregate from the raw table: lossless round-trip + correct slice in
+# one gate. tests/test_storage_layout.py asserts file skipping happens
+# for EACH single-dimension predicate on the z-layout.
+
+# low user range: user_id cardinality scales with SF (max 14 at
+# sf0.001), so the box must sit at the bottom to be non-empty at every SF
+Z_USER_LO, Z_USER_HI = 2, 39
+Z_VAL_LO, Z_VAL_HI = 20.0, 60.0
+
+
+@register(
+    "q141_zorder_box_scan",
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events
+    WHERE user_id BETWEEN {Z_USER_LO} AND {Z_USER_HI}
+      AND value >= {Z_VAL_LO} AND value < {Z_VAL_HI}
+    GROUP BY event_type
+    """,
+    doc="Z-order clustered scan: Morton-interleaved (user_id, value) "
+    "sort key gives file-level skipping on BOTH dimensions of a box "
+    "predicate (multi-column zone maps from one sort)",
+    tags=("layout", "S1", "A4"),
+)
+def q141_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sources.layout import morton_key, write_sorted
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    z = morton_key(
+        F.col("user_id").cast("bigint"),
+        F.floor(F.col("value") * 100).cast("bigint"),
+    )
+    base = scratch_dir("q141_zorder")
+    path = f"{base}/events_zorder"
+    write_sorted(ev.withColumn("z", z), path, ["z"], n_files=16)
+    clustered = spark.read.parquet(path)
+    return (
+        clustered.filter(
+            F.col("user_id").between(Z_USER_LO, Z_USER_HI)
+            & (F.col("value") >= Z_VAL_LO)
+            & (F.col("value") < Z_VAL_HI)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — VARIANT semi-structured ingest: raw JSON event payloads parsed
+# ONCE into Spark 4's binary VARIANT encoding, then field-extracted with
+# typed variant_get paths. Versus get_json_object (re-tokenizes the
+# string on every access) the parse cost is paid once per row and every
+# extraction is a binary offset lookup — the difference between O(fields)
+# and O(fields × payload) string work at 100 TB ingest. The JSON payload
+# is synthesized from the events table in-query (map-only), so the
+# oracle can pin the round-trip against the raw columns: parse →
+# extract → aggregate must equal the aggregate computed without any
+# JSON at all.
+
+@register(
+    "q142_variant_ingest",
+    oracle="""
+    SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+           CAST(max(user_id) AS BIGINT) AS max_user
+    FROM events
+    WHERE value >= 1.0
+    GROUP BY 1, 2
+    """,
+    doc="VARIANT ingest: JSON payloads parsed once to binary variant, "
+    "typed variant_get extraction + filter + aggregate; oracle pins the "
+    "round-trip against the raw columns",
+    tags=("analytics", "F1", "A4"),
+)
+def q142_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    payload = F.to_json(
+        F.struct(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            ).alias("meta"),
+        )
+    )
+    v = ev.select(F.parse_json(payload).alias("v"))
+    extracted = v.select(
+        F.variant_get("v", "$.meta.day", "string").alias("day"),
+        F.variant_get("v", "$.event_type", "string").alias("event_type"),
+        F.variant_get("v", "$.value", "double").alias("value"),
+        F.variant_get("v", "$.user_id", "bigint").alias("user_id"),
+    )
+    return (
+        extracted.filter(F.col("value") >= 1.0)
+        .groupBy("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis"),
+            F.max("user_id").alias("max_user"),
+        )
+    )

@@ -164,3 +164,25 @@ def compact_parquet(
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def morton_key(a, b, bits: int = 16):
+    """Interleaved Morton (Z-order) code of two non-negative integer
+    columns: bit i of ``a`` lands at position 2i, bit i of ``b`` at
+    2i+1. Sorting by the result clusters rows so every file covers a
+    narrow range in BOTH dimensions — multi-column zone-map skipping
+    from a single sort key, the lakehouse Z-ORDER primitive. Pure
+    shift/and/add column arithmetic (codegen, integer-exact); callers
+    must ensure both keys fit in ``bits`` bits (values above are
+    truncated, which degrades clustering but never correctness — the
+    layout only affects which files a filter can skip)."""
+    from functools import reduce
+    from operator import add
+
+    from pyspark.sql import functions as F
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return reduce(add, terms)

@@ -307,3 +307,37 @@ def test_dynamic_partition_overwrite_leaves_other_partitions_untouched(spark, tm
         F.col("day").isin([d.split("=")[1] for d in target])
     ).count()
     assert got == batch.count()
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
+    """Morton clustering must let a selective filter on EITHER dimension
+    skip files — that's the whole point over single-key clustering,
+    which only skips on its own key."""
+    import os
+
+    from data_engineering_examples_spark.sources.layout import morton_key, write_sorted
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, "/root/testdata/sf0.01", ["events"])["events"]
+    z = morton_key(
+        F.col("user_id").cast("bigint"), F.floor(F.col("value") * 100).cast("bigint")
+    )
+    out = str(tmp_path / "zorder")
+    write_sorted(ev.withColumn("z", z), out, ["z"], n_files=16)
+    n_files = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_files >= 8
+
+    def files_read(df):
+        df.write.format("noop").mode("overwrite").save()
+        leaves = df._jdf.queryExecution().executedPlan().collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "Scan" in node.nodeName():
+                return node.metrics().apply("numFiles").value()
+        raise AssertionError("no scan leaf")
+
+    base = spark.read.parquet(out)
+    by_user = files_read(base.filter(F.col("user_id").between(0, 99)))
+    by_value = files_read(base.filter(F.col("value") < 30.0))
+    assert by_user < n_files, (by_user, n_files)
+    assert by_value < n_files, (by_value, n_files)
