@@ -1006,3 +1006,101 @@ def q139_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter("codes", lambda c: c == 0)).cast("bigint").alias("n_zero"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — cluster-purity audit against ground-truth labels: the standard
+# clustering-evaluation join (how well do IVF lists line up with the
+# `label` column). Assignment is exactly q50's broadcast-centroid
+# argmax-cosine (sequential-fold dot products, deterministic tie-break
+# to the lower centroid id); purity is pure counting — contingency
+# (centroid × label) then majority label per centroid — so the only
+# float in the output is one int/int division. At scale: one broadcast
+# pass for assignment, one shuffle on (cent_id, label) whose domain is
+# K × |labels| (bounded), then a K-row window. Purity ≈ 1 means the
+# index partitions like the labels; a centroid with low purity is where
+# ANN recall against label-matched neighbors degrades first.
+
+@register(
+    "q145_cluster_purity",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v
+              WHERE vec_id IN ({", ".join(str(i) for i in CENT_IDS)})),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {_duck_dot('x.e', 'c.ce')} /
+                                  (sqrt({_duck_dot('x.e', 'x.e')}) *
+                                   sqrt({_duck_dot('c.ce', 'c.ce')})) DESC,
+                                  c.cent_id) AS rk
+      FROM v x CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cent_id FROM ranked WHERE rk = 1),
+    cont AS (
+      SELECT a.cent_id, e.label, count(*) AS n
+      FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT cent_id, label AS top_label, n AS top_count,
+             row_number() OVER (PARTITION BY cent_id
+                                ORDER BY n DESC, label) AS rk
+      FROM cont
+    )
+    SELECT c.cent_id,
+           CAST(sum(c.n) AS BIGINT) AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           CAST(max(t.top_label) AS BIGINT) AS top_label,
+           CAST(max(t.top_count) AS BIGINT) AS top_count,
+           CAST(max(t.top_count) AS DOUBLE) / sum(c.n) AS purity
+    FROM cont c JOIN top t ON t.cent_id = c.cent_id AND t.rk = 1
+    GROUP BY c.cent_id
+    """,
+    doc="cluster-purity audit: q50's centroid assignment x ground-truth "
+    "labels; contingency counts + majority label per centroid (bounded-"
+    "domain aggregate, K-row window)",
+    tags=("similarity", "llm", "ml"),
+)
+def q145_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    assign = (
+        v.crossJoin(cents)
+        .select("vec_id", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id")
+    )
+    cont = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cent_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_top = Window.partitionBy("cent_id").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        cont.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select("cent_id", F.col("label").alias("top_label"), F.col("n").alias("top_count"))
+    )
+    per_cent = cont.groupBy("cent_id").agg(
+        F.sum("n").cast("bigint").alias("n_vecs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+    )
+    return per_cent.join(F.broadcast(top), "cent_id").select(
+        "cent_id",
+        "n_vecs",
+        "n_labels",
+        F.col("top_label").cast("bigint").alias("top_label"),
+        F.col("top_count").cast("bigint").alias("top_count"),
+        (F.col("top_count").cast("double") / F.col("n_vecs")).alias("purity"),
+    )

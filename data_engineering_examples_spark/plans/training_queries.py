@@ -417,3 +417,53 @@ def q135_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_bits.alias("mean_bits"),
         (mean_bits <= SURPRISAL_KEEP_BITS).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — probability-proportional-to-size (PPS) document sampling: the
+# corpus-mixing primitive "sample documents proportional to their token
+# count" (token-budget sampling favors long docs exactly as a token-
+# level uniform draw would). Deterministic: the per-doc draw is an
+# md5-derived integer mod W compared against the doc's clamped token
+# count — inclusion probability min(tokens, W)/W with zero RNG state,
+# reproducible across engines, epochs re-salt the hash. Map-only over
+# the corpus (the draw needs only the row), no shuffle at all; the
+# importance weight ships as an exact integer pair (W, n_tokens) so
+# downstream reweighting never sees synthesized floats.
+
+PPS_W = 512  # draw window: docs with >= W tokens are always kept
+
+
+@register(
+    "q143_pps_token_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             {_duck_md5_int("'pps:' || CAST(doc_id AS VARCHAR)")} % {PPS_W} AS draw
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, CAST(draw AS BIGINT) AS draw,
+           CAST({PPS_W} AS BIGINT) AS weight_den
+    FROM t
+    WHERE draw < least(n_tokens, {PPS_W})
+    """,
+    doc="deterministic PPS sampling by token count: hash-draw mod W vs "
+    "clamped tokens (inclusion prob min(tok,W)/W), map-only, re-saltable "
+    "per epoch, exact integer importance weights",
+    tags=("training", "llm", "sampling", "A6"),
+)
+def q143_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(d.text, " ")).cast("bigint")
+    draw = _md5_int(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))) % PPS_W
+    return (
+        d.select("doc_id", n_tokens.alias("n_tokens"), draw.alias("draw"))
+        .filter(F.col("draw") < F.least(F.col("n_tokens"), F.lit(PPS_W)))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("draw").cast("bigint").alias("draw"),
+            F.lit(PPS_W).cast("bigint").alias("weight_den"),
+        )
+    )

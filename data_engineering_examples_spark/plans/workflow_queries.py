@@ -999,3 +999,81 @@ def q130_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return writer.read()
+
+
+# ---------------------------------------------------------------------------
+# q144 — stream-static enrichment join: the canonical Structured
+# Streaming dimension lookup. The event feed streams in micro-batches
+# (maxFilesPerTrigger=1 over a 3-file input → 3 separate batches); each
+# batch inner-joins the STATIC customer dimension — stateless, no
+# watermark, no state store; Spark broadcasts the dim per batch exactly
+# as it would on a cluster (at 100 TB/day the stream side never
+# shuffles; only the bounded dim moves). Batch==streaming equivalence is
+# the oracle: the same join + aggregate computed without streaming. The
+# aggregate runs BATCH over the sink parquet, keeping the streaming leg
+# append-only and stateless.
+
+@register(
+    "q144_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="stream-static dimension enrichment: micro-batched event feed "
+    "inner-joins the static customer dim (stateless, per-batch broadcast, "
+    "no state store); batch==streaming equivalence oracle",
+    tags=("streaming", "T2", "J1"),
+)
+def q144_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    t = load_tables(spark, sf_dir, ["events", "customer"])
+    base = scratch_dir("q144_enrich")
+    inp, out = f"{base}/in", f"{base}/out"
+
+    feed = t["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    # three files → three micro-batches under maxFilesPerTrigger=1
+    feed.repartition(3).write.parquet(inp)
+
+    dim = t["customer"].select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, vm long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    enriched = stream.join(dim, stream.user_id == dim.c_custkey).select(
+        "c_mktsegment", "event_type", "user_id", "vm"
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            enriched.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("vm").alias("value_millis"),
+        )
+    )
