@@ -2462,3 +2462,68 @@ def q142_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("user_id").alias("max_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — event-transition (first-order Markov) mining: per-user ordered
+# event streams → (prev, next) transition counts → row-normalized
+# transition probabilities. The behavioral-modeling primitive behind
+# next-action prediction and anomaly scoring. The lag window partitions
+# BY USER (bounded per-user history, never a global sort); the
+# transition aggregate's domain is |event_type|² — tiny, broadcast-
+# friendly. Ordering ties: the sort key is the full (ts, type, millis)
+# tuple, and transitions are invariant under permutation of identical
+# tuples, so cross-engine row order can't change the answer. The only
+# float is the final count/total division.
+
+@register(
+    "q147_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm, CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS curr,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY t, event_type, vm) AS prev
+      FROM s
+    ),
+    trans AS (
+      SELECT prev, curr, count(*) AS n_trans
+      FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev, curr, CAST(n_trans AS BIGINT) AS n_trans,
+           CAST(sum(n_trans) OVER (PARTITION BY prev) AS BIGINT) AS out_total,
+           CAST(n_trans AS DOUBLE) / sum(n_trans) OVER (PARTITION BY prev) AS prob
+    FROM trans
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "streams: user-partitioned lag, |types|^2 bounded aggregate, "
+    "row-normalized probabilities",
+    tags=("analytics", "W3", "A4"),
+)
+def q147_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.col("ts").cast("timestamp").alias("t"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("t", "event_type", "vm")
+    seq = ev.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w_seq).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    trans = seq.groupBy("prev", "curr").agg(F.count(F.lit(1)).alias("n_trans"))
+    w_out = Window.partitionBy("prev")
+    return trans.select(
+        "prev",
+        "curr",
+        F.col("n_trans").cast("bigint").alias("n_trans"),
+        F.sum("n_trans").over(w_out).cast("bigint").alias("out_total"),
+        (
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(w_out)
+        ).alias("prob"),
+    )

@@ -1289,3 +1289,108 @@ def q124_dirty_csv_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clean, F.col("n_chars"))).cast("bigint").alias("chars_total"),
         F.bit_xor(F.when(clean, F.col("doc_id"))).cast("bigint").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — canonical-document selection: the step AFTER clustering that
+# dedup pipelines actually ship — each near-dup cluster keeps ONE
+# representative, chosen by quality, not by accident of doc_id. Composes
+# q72's connected-component clusters with q29's quality gates; the
+# representative is argmax (keep, n_tokens, -doc_id) within the cluster
+# — all-integer ranking, deterministic tie-breaks, no float synthesis.
+# Scale: the cluster assignment is q72 (bounded pointer-jumping rounds);
+# the rank window partitions BY CLUSTER (cluster sizes are near-dup
+# group sizes — bounded by the LSH threshold, never corpus-sized).
+
+
+def _q146_oracle() -> str:
+    from .dedup_queries import _duck_minhash_bands_cte
+    from .text_queries import STOPWORDS
+
+    return f"""
+    WITH RECURSIVE
+    {_duck_minhash_bands_cte()},
+    exact_e AS (
+      SELECT keeper AS u, doc_id AS v FROM (
+        SELECT doc_id, min(doc_id) OVER (
+          PARTITION BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
+        FROM documents)
+      WHERE doc_id <> keeper
+    ),
+    near_e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    e AS (SELECT u, v FROM exact_e UNION SELECT u, v FROM near_e),
+    bidir AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+    reach(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT b.u, r.label FROM bidir b JOIN reach r ON r.id = b.v
+    ),
+    cc AS (SELECT id AS doc_id, min(label) AS cluster_id FROM reach GROUP BY id),
+    q AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             (len(string_split(text, ' ')) BETWEEN 10 AND 200
+              AND CAST(len(list_filter(string_split(text, ' '),
+                    w -> list_contains({STOPWORDS!r}, w))) AS DOUBLE)
+                  / len(string_split(text, ' ')) < 0.5) AS keep
+      FROM documents
+    ),
+    j AS (SELECT cc.cluster_id, q.doc_id, q.n_tokens, q.keep
+          FROM cc JOIN q USING (doc_id)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY keep DESC, n_tokens DESC, doc_id) AS rk
+      FROM j
+    )
+    SELECT j.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN j.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(max(r.doc_id) AS BIGINT) AS rep_doc_id,
+           CAST(max(r.n_tokens) AS BIGINT) AS rep_tokens
+    FROM j JOIN ranked r ON r.cluster_id = j.cluster_id AND r.rk = 1
+    GROUP BY j.cluster_id
+    """
+
+
+@register(
+    "q146_canonical_docs",
+    oracle=_q146_oracle(),
+    doc="canonical-doc selection per near-dup cluster: q72 components x "
+    "q29 quality, argmax(keep, n_tokens, -doc_id) representative — "
+    "all-integer ranking, cluster-bounded windows",
+    tags=("dedup", "llm", "text"),
+)
+def q146_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import q72_dedup_clusters
+    from .text_queries import q29_quality_score
+
+    cc = q72_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    qual = q29_quality_score(spark, sf_dir).select("doc_id", "n_tokens", "keep")
+    j = cc.join(qual, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("keep"), F.desc("n_tokens"), F.asc("doc_id")
+    )
+    rep = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_tokens").alias("rep_tokens"),
+        )
+    )
+    per = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_keep"),
+    )
+    return per.join(rep, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_keep",
+        F.col("rep_doc_id").cast("bigint"),
+        F.col("rep_tokens").cast("bigint"),
+    )

@@ -341,3 +341,31 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, tmp_path):
     by_value = files_read(base.filter(F.col("value") < 30.0))
     assert by_user < n_files, (by_user, n_files)
     assert by_value < n_files, (by_value, n_files)
+
+
+def test_morton_key_matches_reference_interleave(spark):
+    """morton_key must equal the reference bit-interleave for edge cases
+    and a seeded random sample across the full 16-bit domain (bijectivity
+    over the sample follows from equality with the injective reference)."""
+    import random
+
+    from data_engineering_examples_spark.sources.layout import morton_key
+    from pyspark.sql import functions as F
+
+    def ref(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(11)
+    pairs = [(0, 0), (0, 65535), (65535, 0), (65535, 65535), (1, 2), (43690, 21845)]
+    pairs += [(rng.randrange(65536), rng.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", morton_key(F.col("a"), F.col("b"))
+    )
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    for (a, b), z in got.items():
+        assert z == ref(a, b), (a, b, z, ref(a, b))
+    assert len(set(got.values())) == len(set(pairs))
