@@ -2527,3 +2527,68 @@ def q147_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("double") / F.sum("n_trans").over(w_out)
         ).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — chi-squared drift detector between two event batches (the
+# monitoring gate that catches a shifted event-type mix before a model
+# retrains on it). Reference batch = even calendar days, current = odd
+# days — a deterministic split needing no state. The per-type statistic
+# uses the identity (o − e)²/e = (oR − rC)²/(R·r·C) with e = rC/R, so
+# both engines evaluate THE SAME rational in double (products stay
+# ≤2^53 at any per-type count the int64 counts allow; mul/div are
+# deterministic IEEE), then quantize to integer micro-units BEFORE any
+# sum. Two bounded-domain aggregates (|event_type| rows) + one
+# broadcast-scale join — map-side combine does all the heavy lifting.
+# Types absent from the reference batch are excluded (a production gate
+# would alert on them separately — new-category drift needs no χ²).
+
+@register(
+    "q149_chi2_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, day(CAST(ts AS TIMESTAMP)) % 2 = 0 AS is_ref FROM events
+    ),
+    per AS (
+      SELECT event_type,
+             sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r,
+             sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS o
+      FROM tagged GROUP BY event_type
+    ),
+    tot AS (SELECT sum(r) AS big_r, sum(o) AS big_c FROM per)
+    SELECT event_type,
+           CAST(r AS BIGINT) AS ref_n, CAST(o AS BIGINT) AS cur_n,
+           CAST(floor(1000000.0 *
+                 (CAST(o AS DOUBLE) * big_r - CAST(r AS DOUBLE) * big_c) *
+                 (CAST(o AS DOUBLE) * big_r - CAST(r AS DOUBLE) * big_c) /
+                 (CAST(big_r AS DOUBLE) * r * big_c)) AS BIGINT) AS term_micros
+    FROM per CROSS JOIN tot
+    WHERE r > 0
+    """,
+    doc="chi-squared event-mix drift between even/odd-day batches: "
+    "(oR-rC)^2/(R r C) per type in deterministic IEEE double, quantized "
+    "to integer micro-units before any summation",
+    tags=("analytics", "quality", "A4"),
+)
+def q149_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    tagged = ev.select(
+        "event_type", (F.dayofmonth(F.col("ts").cast("timestamp")) % 2 == 0).alias("is_ref")
+    )
+    per = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("is_ref"), 0).otherwise(1)).alias("o"),
+    )
+    tot = per.agg(F.sum("r").alias("big_r"), F.sum("o").alias("big_c"))
+    num = F.col("o").cast("double") * F.col("big_r") - F.col("r").cast("double") * F.col("big_c")
+    term = num * num / (F.col("big_r").cast("double") * F.col("r") * F.col("big_c"))
+    return (
+        per.join(F.broadcast(tot))
+        .filter(F.col("r") > 0)
+        .select(
+            "event_type",
+            F.col("r").cast("bigint").alias("ref_n"),
+            F.col("o").cast("bigint").alias("cur_n"),
+            F.floor(F.lit(1000000.0) * term).cast("bigint").alias("term_micros"),
+        )
+    )

@@ -687,3 +687,78 @@ def q133_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q150 — write-audit-publish (WAP): the lakehouse governance pattern for
+# "no bad batch ever becomes visible". The batch (an orders rollup with
+# a derived quality flag) is materialized to a STAGING path; audits run
+# against the staged files (non-empty, no null keys, counts reconcile
+# with the source); only on pass does the atomic swap publish staging
+# into the live path readers query. A failing audit leaves the previous
+# live table untouched — the query returns the published state, so the
+# oracle (the rollup computed directly from the source) also proves the
+# audits passed and the publish happened. Staging + audit costs one
+# extra pass over the BATCH (not the table); the swap is two renames.
+
+WAP_AUDIT_MIN_ROWS = 1
+
+
+@register(
+    "q150_write_audit_publish",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY 1, 2
+    """,
+    doc="write-audit-publish: batch staged to a side path, audited "
+    "(non-empty, null-free keys, source reconciliation), atomically "
+    "swapped live only on pass; the result reads the PUBLISHED table",
+    tags=("etl", "S6", "S7", "quality"),
+)
+def q150_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sources.layout import swap_write
+
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    batch = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "price_cents"
+            ),
+        )
+    )
+
+    base = scratch_dir("q150_wap")
+    staging, live = f"{base}/staging", f"{base}/live"
+    batch.write.parquet(staging)
+
+    # audits run on the STAGED FILES (what readers would see), not the plan
+    staged = spark.read.parquet(staging)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("o_orderpriority").isNull() | F.col("o_orderstatus").isNull())
+            .cast("int")
+        ).alias("null_keys"),
+        F.sum("n_orders").alias("total_orders"),
+    ).first()
+    source_total = orders.filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    ).count()
+    if (
+        audit.n < WAP_AUDIT_MIN_ROWS
+        or (audit.null_keys or 0) > 0
+        or audit.total_orders != source_total
+    ):
+        raise AssertionError(f"WAP audit failed, batch NOT published: {audit}")
+
+    swap_write(spark.read.parquet(staging), live)
+    return spark.read.parquet(live)

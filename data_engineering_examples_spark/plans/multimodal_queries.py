@@ -163,3 +163,85 @@ def q74_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.hex("frame_bytes").alias("frame_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# q148 — aspect-ratio bucketing for image batches: the multimodal
+# counterpart of q118's sequence-length buckets. Vision trainers batch
+# images of like aspect ratio to a shared canvas (resize within a
+# bucket, never across), so the bucketing decision — nearest canonical
+# ratio, integer arithmetic only — is a first-order throughput knob.
+# Map-only scoring + a bounded-domain aggregate (|canonical ratios|
+# rows); the nearest-bucket argmin is unrolled as a CASE chain over the
+# fixed ratio list in both engines (integer |Δ| comparisons,
+# deterministic smaller-ratio tie-break), so no float ever appears.
+
+ASPECT_BUCKETS = (500, 750, 1000, 1333, 2000)  # ratio * 1000: 1:2 .. 2:1
+
+
+def _nearest_bucket_spark(r):
+    expr = None
+    best = F.lit(ASPECT_BUCKETS[0])
+    bestd = F.abs(r - ASPECT_BUCKETS[0])
+    for b in ASPECT_BUCKETS[1:]:
+        d = F.abs(r - b)
+        better = d < bestd
+        best = F.when(better, F.lit(b)).otherwise(best)
+        bestd = F.when(better, d).otherwise(bestd)
+    return best
+
+
+def _nearest_bucket_duck(r: str) -> str:
+    best, bestd = str(ASPECT_BUCKETS[0]), f"abs({r} - {ASPECT_BUCKETS[0]})"
+    for b in ASPECT_BUCKETS[1:]:
+        d = f"abs({r} - {b})"
+        best = f"CASE WHEN {d} < {bestd} THEN {b} ELSE {best} END"
+        bestd = f"CASE WHEN {d} < {bestd} THEN {d} ELSE {bestd} END"
+    return best
+
+
+@register(
+    "q148_aspect_ratio_buckets",
+    oracle=f"""
+    WITH img AS (
+      SELECT media_id, width, height,
+             (1000 * width) // height AS ratio_millis
+      FROM read_parquet('{FX}/media.parquet')
+      WHERE kind = 'image' AND height > 0
+    ),
+    b AS (
+      SELECT media_id, width, height, ratio_millis,
+             {_nearest_bucket_duck('ratio_millis')} AS bucket
+      FROM img
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket_ratio_millis,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(width * height) AS BIGINT) AS total_px,
+           CAST(min(ratio_millis) AS BIGINT) AS min_ratio,
+           CAST(max(ratio_millis) AS BIGINT) AS max_ratio,
+           CAST(sum(abs(ratio_millis - bucket)) AS BIGINT) AS distortion_millis
+    FROM b GROUP BY bucket
+    """,
+    doc="aspect-ratio bucketing for image batching: integer nearest-"
+    "canonical-ratio assignment (CASE-chain argmin, no floats), "
+    "map-only + bounded-domain aggregate; distortion = resize stretch",
+    tags=("multimodal", "llm", "A4"),
+)
+def q148_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark).filter((F.col("kind") == "image") & (F.col("height") > 0))
+    r = F.expr("(1000 * width) div height")
+    img = m.select(
+        "media_id", "width", "height", r.alias("ratio_millis")
+    ).withColumn("bucket", _nearest_bucket_spark(F.col("ratio_millis")))
+    return img.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum(F.col("width").cast("bigint") * F.col("height")).alias("total_px"),
+        F.min("ratio_millis").cast("bigint").alias("min_ratio"),
+        F.max("ratio_millis").cast("bigint").alias("max_ratio"),
+        F.sum(F.abs(F.col("ratio_millis") - F.col("bucket"))).cast("bigint").alias(
+            "distortion_millis"
+        ),
+    ).select(
+        F.col("bucket").cast("bigint").alias("bucket_ratio_millis"),
+        "n_images", "total_px", "min_ratio", "max_ratio", "distortion_millis",
+    )

@@ -164,4 +164,12 @@ def test_driver_first_calls_are_single_row_bounds_only():
             code = line.split("#", 1)[0]
             if ".first()" in code or ".head(" in code:
                 sites.append(py.name)
-    assert sorted(sites) == ["workflow_queries.py", "workflow_queries.py"], sites
+    # etl_queries.py: q150's WAP audit fetches ONE aggregate row (the
+    # audit verdict) before deciding to publish — a gate scalar, not a
+    # data path. workflow_queries.py: the two streaming time-bound
+    # fetches feeding fixture staging.
+    assert sorted(sites) == [
+        "etl_queries.py",
+        "workflow_queries.py",
+        "workflow_queries.py",
+    ], sites

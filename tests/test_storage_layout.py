@@ -369,3 +369,22 @@ def test_morton_key_matches_reference_interleave(spark):
     for (a, b), z in got.items():
         assert z == ref(a, b), (a, b, z, ref(a, b))
     assert len(set(got.values())) == len(set(pairs))
+
+
+def test_wap_republish_is_idempotent_and_atomic(spark):
+    """Running q150 twice must leave exactly one live copy (the swap
+    replaces, never appends) and no stranded swap side-dirs."""
+    import os
+
+    from data_engineering_examples_spark import scratch as _scratch
+    from data_engineering_examples_spark.plans.etl_queries import (
+        q150_write_audit_publish,
+    )
+
+    a = q150_write_audit_publish(spark, SF).collect()
+    b = q150_write_audit_publish(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    base = os.path.join(_scratch.scratch_root(), "q150_wap")
+    assert os.path.isdir(os.path.join(base, "live"))
+    leftovers = [d for d in os.listdir(base) if "__swap_" in d]
+    assert not leftovers, leftovers
