@@ -2592,3 +2592,132 @@ def q149_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(1000000.0) * term).cast("bigint").alias("term_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q151 — forward-fill imputation over the gap-filled spine (LOCF — last
+# observation carried forward, the pandas ``ffill`` the reference's
+# notebook workflows lean on, distributed). Composes q138's calendar
+# spine: silent days carry the user's last active day's value; leading
+# gaps (before any observation) stay NULL and are reported. The fill is
+# one ``last(..., ignorenulls=True)`` running window PER USER ordered by
+# day — state is a single value per partition stream, and the window is
+# user-partitioned (bounded by a user's own span, never a global sort).
+# Integer payloads only, so the carried values are hash-stable.
+
+@register(
+    "q151_ffill_user_days",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      FROM events
+    ),
+    act AS (
+      SELECT user_id, day,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis
+      FROM ev GROUP BY user_id, day
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ),
+    joined AS (
+      SELECT s.user_id, s.day, a.value_millis,
+             a.value_millis IS NULL AS is_gap
+      FROM spine s LEFT JOIN act a USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day, is_gap,
+           last_value(value_millis IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS UNBOUNDED PRECEDING) AS filled_millis
+    FROM joined
+    """,
+    doc="distributed pandas-ffill (LOCF) over the q138 calendar spine: "
+    "last-non-null running window per user, bounded partitions, integer "
+    "payloads for hash stability",
+    tags=("timeseries", "W3", "F15"),
+)
+def q151_ffill_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .select("user_id", F.col("ts").cast("date").alias("day"), "value")
+    )
+    act = ev.groupBy("user_id", "day").agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint")).alias("value_millis")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    joined = spine.join(act, ["user_id", "day"], "left").select(
+        "user_id", "day", "value_millis", F.col("value_millis").isNull().alias("is_gap")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "is_gap",
+        F.last("value_millis", ignorenulls=True).over(w).alias("filled_millis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q153 — per-user ordered event-path reconstruction: the sequence-
+# mining substrate (clickstream paths, care-pathway strings) built with
+# ONE grouped collect of (t, type, millis) structs sorted in-group —
+# array_sort on structs is lexicographic, so the order key is the same
+# full tuple q147 uses and identical-tuple permutations can't change
+# the path string. Per-user state is the user's own event list (bounded
+# by per-user activity, the same bound any sessionizer carries); at
+# 100 TB the group-by shuffles once on user_id with map-side partial
+# collects. No window, no global sort.
+
+@register(
+    "q153_user_event_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm, CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           string_agg(event_type, '->' ORDER BY t, event_type, vm) AS path
+    FROM s GROUP BY user_id
+    """,
+    doc="per-user ordered event-path strings: grouped struct-sorted "
+    "collect (full-tuple order key, permutation-invariant ties), one "
+    "shuffle, no windows",
+    tags=("analytics", "W3", "A4"),
+)
+def q153_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.col("ts").cast("timestamp").alias("t"),
+    )
+    path = F.concat_ws(
+        "->",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "event_type", "vm"))),
+            lambda s: s.event_type,
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        path.alias("path"),
+    )

@@ -1394,3 +1394,59 @@ def q146_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rep_doc_id").cast("bigint"),
         F.col("rep_tokens").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q152 — temperature-scaled source mixing at α = 0.5: the multilingual/
+# multi-source sampling scheme (share_s ∝ n_s^α) that upweights small
+# sources without letting one giant source dominate. α = 0.5 is chosen
+# deliberately: n^0.5 = sqrt(n), and IEEE-754 sqrt is CORRECTLY ROUNDED
+# — bit-identical across engines — where a general pow() is not. The
+# share is one double division per source (deterministic); the
+# normalizer folds a value-sorted list sequentially so the float sum
+# has ONE cross-engine accumulation order; the sampling
+# budget per source is floored to an integer quota. One bounded-domain
+# aggregate (|source| rows), everything else map-side.
+
+MIX_BUDGET = 10_000  # total docs the mixed corpus draws
+
+
+@register(
+    "q152_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT list_reduce(list_sort(list(sqrt(CAST(n AS DOUBLE)))),
+                               (a, b) -> a + b) AS z FROM per)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           sqrt(CAST(n AS DOUBLE)) / z AS share,
+           CAST(floor({MIX_BUDGET} * sqrt(CAST(n AS DOUBLE)) / z) AS BIGINT)
+             AS quota
+    FROM per CROSS JOIN tot
+    """,
+    doc="sqrt-temperature source mixing (alpha=0.5): IEEE-exact sqrt "
+    "shares + floored integer quotas; bounded-domain aggregate",
+    tags=("corpus", "llm", "sampling"),
+)
+def q152_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # the normalizer is a float SUM — order-dependent if left to the
+    # engines' own accumulation order. Fold a VALUE-SORTED list
+    # sequentially instead (same trick as the similarity dot products):
+    # both engines add the identical doubles in the identical order.
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("z")
+    )
+    share = F.sqrt(F.col("n").cast("double")) / F.col("z")
+    return per.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        share.alias("share"),
+        F.floor(F.lit(MIX_BUDGET) * share).cast("bigint").alias("quota"),
+    )
