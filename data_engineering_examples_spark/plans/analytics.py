@@ -2721,3 +2721,131 @@ def q153_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         path.alias("path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q154 — recency-decayed engagement scores with an EXACT half-life:
+# weight = 2^(-age_days) implemented as an integer right-shift of the
+# millis value (vm >> age), so the decayed sum is pure int64 arithmetic
+# — the decay curve ranking/recommendation systems want, without the
+# exp() that would break cross-engine parity. age is measured from the
+# corpus max day (broadcast 1-row bound); shifts past 62 clamp to zero
+# explicitly. One partial-agg shuffle on user_id.
+
+DECAY_MAX_SHIFT = 62
+
+
+@register(
+    "q154_decayed_scores",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    mx AS (SELECT max(day) AS d1 FROM ev),
+    aged AS (
+      SELECT user_id, vm, date_diff('day', day, d1) AS age
+      FROM ev CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN age > {DECAY_MAX_SHIFT} THEN 0
+                         ELSE vm // CAST(power(2, age) AS BIGINT) END)
+                AS BIGINT) AS decayed_millis,
+           CAST(sum(vm) AS BIGINT) AS raw_millis
+    FROM aged GROUP BY user_id
+    """,
+    doc="half-life-decayed engagement scores: weight 2^-age as an "
+    "integer shift (vm >> age_days) — exact decay, no exp(); one "
+    "partial-agg shuffle",
+    tags=("analytics", "W3", "A4"),
+)
+def q154_decayed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    mx = ev.agg(F.max("day").alias("d1"))
+    aged = ev.join(F.broadcast(mx)).select(
+        "user_id", "vm", F.datediff("d1", "day").alias("age")
+    )
+    decayed = F.when(F.col("age") > DECAY_MAX_SHIFT, F.lit(0)).otherwise(
+        F.expr("shiftright(vm, cast(age AS int))")
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(decayed).cast("bigint").alias("decayed_millis"),
+        F.sum("vm").cast("bigint").alias("raw_millis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q155 — bitmap audience intersection: the segment-overlap primitive
+# behind "users who did A and B" at interactive latency. Each segment's
+# membership compresses to 63-bit words — user u sets bit (u mod 63) of
+# word (u div 63); 63 keeps every shift off the int64 sign bit, which
+# DuckDB rejects (1<<63 overflow) and Spark silently wraps — via a
+# bit_or aggregate; overlap is then
+# bit_count(word_a AND word_b) summed over words. The contrast at
+# 100 TB: the naive distinct-pair self-join shuffles user-grain rows;
+# the bitmap form shuffles |segments| × (max_user/64) words — four
+# orders of magnitude less — and overlap queries against materialized
+# segment bitmaps never touch the fact table again. All int64 bit ops,
+# exact in both engines. Output: every segment pair's overlap (the
+# segment-similarity matrix), from one word-grain self-join.
+
+@register(
+    "q155_bitmap_audience_overlap",
+    oracle="""
+    WITH m AS (
+      SELECT DISTINCT event_type AS seg, user_id FROM events
+    ),
+    words AS (
+      SELECT seg, user_id // 63 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER)) AS bits
+      FROM m GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             sum(bit_count(a.bits & b.bits)) AS n_both
+      FROM words a JOIN words b ON a.w = b.w AND a.seg < b.seg
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT seg, count(*) AS n FROM m GROUP BY seg)
+    SELECT p.seg_a, p.seg_b,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(coalesce(p.n_both, 0) AS BIGINT) AS n_both
+    FROM pairs p
+    JOIN sizes sa ON sa.seg = p.seg_a
+    JOIN sizes sb ON sb.seg = p.seg_b
+    """,
+    doc="bitmap segment overlap: membership packed to 63-bit words via "
+    "bit_or, intersections as popcount(a AND b) over a word-grain join "
+    "(shuffles words, not users)",
+    tags=("analytics", "A4", "J1"),
+)
+def q155_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    m = ev.select(F.col("event_type").alias("seg"), "user_id").distinct()
+    words = m.groupBy(
+        "seg", F.expr("user_id div 63").alias("w")
+    ).agg(F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")).alias("bits"))
+    a, b = words.alias("a"), words.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.seg") < F.col("b.seg")))
+        .groupBy(F.col("a.seg").alias("seg_a"), F.col("b.seg").alias("seg_b"))
+        .agg(F.sum(F.bit_count(F.col("a.bits").bitwiseAND(F.col("b.bits")))).alias("n_both"))
+    )
+    sizes = m.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(F.broadcast(sizes.select(F.col("seg").alias("seg_a"), F.col("n").alias("n_a"))), "seg_a")
+        .join(F.broadcast(sizes.select(F.col("seg").alias("seg_b"), F.col("n").alias("n_b"))), "seg_b")
+        .select(
+            "seg_a", "seg_b",
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("n_both"),
+        )
+    )
