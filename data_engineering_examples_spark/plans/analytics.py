@@ -2849,3 +2849,89 @@ def q155_bitmap_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("n_both"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — score-band lift table: the model-evaluation report ("do high-
+# score users actually convert more?") in its scale-correct form. Exact
+# global deciles need a corpus-wide rank; banding the integer score
+# into fixed-width bins FIRST makes every downstream structure bounded-
+# domain (|bands| rows) — the histogram-quantile trade every large-scale
+# eval harness makes, with the band width as the documented resolution.
+# Score = summed click value per user; response = any purchase. Lift =
+# band conversion over global conversion, computed as one deterministic
+# IEEE expression on exact int64 counts, quantized to micro-units.
+
+LIFT_BAND_MILLIS = 50_000
+LIFT_MAX_BAND = 19
+
+
+@register(
+    "q157_score_band_lift",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN event_type = 'click'
+                      THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END) AS score,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp
+      FROM events GROUP BY user_id
+    ),
+    banded AS (
+      SELECT least(score // {LIFT_BAND_MILLIS}, {LIFT_MAX_BAND}) AS band,
+             resp
+      FROM per_user
+    ),
+    per_band AS (
+      SELECT band, count(*) AS n_users, sum(resp) AS n_resp
+      FROM banded GROUP BY band
+    ),
+    tot AS (SELECT sum(n_users) AS tu, sum(n_resp) AS tr FROM per_band)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_resp AS BIGINT) AS n_resp,
+           CAST(CASE WHEN tr = 0 THEN 0
+                     ELSE floor(1000000.0 * (CAST(n_resp AS DOUBLE) * tu)
+                                / (CAST(n_users AS DOUBLE) * tr)) END
+                AS BIGINT) AS lift_micros
+    FROM per_band CROSS JOIN tot
+    """,
+    doc="score-band lift table: fixed-width integer score bands (the "
+    "histogram-quantile trade), per-band conversion vs global in one "
+    "deterministic IEEE expression, micro-unit quantized",
+    tags=("analytics", "ml", "A4"),
+)
+def q157_score_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * 1000).cast("bigint"),
+            ).otherwise(0)
+        ).alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("resp"),
+    )
+    per_band = (
+        per_user.select(
+            F.least(
+                F.expr(f"score div {LIFT_BAND_MILLIS}"), F.lit(LIFT_MAX_BAND)
+            ).alias("band"),
+            "resp",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum("resp").alias("n_resp"))
+    )
+    tot = per_band.agg(F.sum("n_users").alias("tu"), F.sum("n_resp").alias("tr"))
+    lift = F.when(F.col("tr") == 0, F.lit(0)).otherwise(
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n_resp").cast("double") * F.col("tu"))
+            / (F.col("n_users").cast("double") * F.col("tr"))
+        )
+    )
+    return per_band.join(F.broadcast(tot)).select(
+        F.col("band").cast("bigint"),
+        F.col("n_users").cast("bigint"),
+        F.col("n_resp").cast("bigint"),
+        lift.cast("bigint").alias("lift_micros"),
+    )

@@ -96,3 +96,136 @@ def q85_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "n_kept", est.cast("bigint").alias("est_distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — KMV set algebra for join-size estimation: the planner question
+# "how many customer keys actually appear in orders?" answered from two
+# mergeable sketches WITHOUT scanning either table again. Sketch merge =
+# min-k of the union of the two k-sets (the defining KMV property);
+# Jaccard ≈ |merged-k ∩ A-k ∩ B-k| / k; intersection ≈ J · |A∪B|-est.
+# Everything downstream of the two per-side sketches touches ≤ 2k rows
+# — the point: at 100 TB the sketches are bytes, the estimate is free,
+# and re-estimation after a filter only rebuilds one side. Same fixed
+# md5 hash as q85 so the whole pipeline is engine-deterministic; exact
+# counts ride along in the same row as the built-in quality check.
+# Each side's min-k uses q85's two-level salt shape; the merge windows
+# run over ≤ 2k rows (documented bounded-domain single partitions).
+
+
+def _kmv_minmerge(df, key_col: str, k: int):
+    """k smallest 'kmv:'-salted hashes of df[key_col] — two-level."""
+    h = _md5_int(F.concat_ws("", F.lit("kmv:"), F.col("key").cast("string")))
+    hashed = df.select(F.col(key_col).alias("key")).distinct().select(
+        "key", h.alias("h")
+    )
+    lvl1 = Window.partitionBy(F.col("h") % KMV_SALTS).orderBy("h", "key")
+    surv = (
+        hashed.withColumn("_rn", F.row_number().over(lvl1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    lvl2 = Window.partitionBy(F.lit(1)).orderBy("h", "key")  # ≤ SALTS*k rows
+    return (
+        surv.withColumn("_rn", F.row_number().over(lvl2))
+        .filter(F.col("_rn") <= k)
+        .select("h")
+    )
+
+
+def _duck_kmv(table: str, key: str, k: int) -> str:
+    return f"""(
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h, key) AS rn FROM (
+          SELECT DISTINCT {key} AS key,
+                 {_duck_md5_int(f"'kmv:' || CAST({key} AS VARCHAR)")} AS h
+          FROM {table})
+      ) WHERE rn <= {k})"""
+
+
+@register(
+    "q156_kmv_join_estimate",
+    oracle=f"""
+    WITH ka AS {_duck_kmv('orders', 'o_custkey', KMV_K)},
+    kb AS {_duck_kmv('customer', 'c_custkey', KMV_K)},
+    merged AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))
+      ) WHERE rn <= {KMV_K}
+    ),
+    mk AS (SELECT count(*) AS n_kept, max(h) AS h_k FROM merged),
+    ki AS (
+      SELECT count(*) AS n_int FROM merged m
+      WHERE EXISTS (SELECT 1 FROM ka WHERE ka.h = m.h)
+        AND EXISTS (SELECT 1 FROM kb WHERE kb.h = m.h)
+    ),
+    ex AS (
+      SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_a,
+             (SELECT count(*) FROM customer) AS exact_b,
+             (SELECT count(DISTINCT o_custkey) FROM orders o
+              WHERE EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS exact_inter
+    )
+    SELECT CAST(ex.exact_a AS BIGINT) AS exact_a,
+           CAST(ex.exact_b AS BIGINT) AS exact_b,
+           CAST(ex.exact_inter AS BIGINT) AS exact_inter,
+           CAST(ki.n_int AS BIGINT) AS k_int,
+           CAST(CASE WHEN mk.n_kept < {KMV_K} THEN mk.n_kept
+                     ELSE floor(({KMV_K} - 1) * {_POW2_60} / mk.h_k) END
+                AS BIGINT) AS est_union,
+           CAST(floor(CAST(ki.n_int AS DOUBLE) *
+                 (CASE WHEN mk.n_kept < {KMV_K} THEN mk.n_kept
+                       ELSE floor(({KMV_K} - 1) * {_POW2_60} / mk.h_k) END)
+                 / mk.n_kept) AS BIGINT) AS est_inter
+    FROM ex CROSS JOIN mk CROSS JOIN ki
+    """,
+    doc="KMV sketch set-algebra join-size estimate: merged min-k union "
+    "estimator + k-overlap Jaccard -> intersection; sketch-only after "
+    "the two per-side passes, exact counts ride along as quality check",
+    tags=("sketch", "llm", "J1"),
+)
+def q156_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    ka = _kmv_minmerge(t["orders"], "o_custkey", KMV_K).localCheckpoint()
+    kb = _kmv_minmerge(t["customer"], "c_custkey", KMV_K).localCheckpoint()
+
+    w = Window.partitionBy(F.lit(1)).orderBy("h")  # ≤ 2k rows
+    merged = (
+        ka.unionByName(kb).distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= KMV_K)
+        .select("h")
+        .localCheckpoint()
+    )
+    mk = merged.agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
+    ki = (
+        merged.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    exact_a = t["orders"].agg(
+        F.countDistinct("o_custkey").alias("exact_a")
+    )
+    exact_b = t["customer"].agg(F.count(F.lit(1)).alias("exact_b"))
+    exact_i = (
+        t["orders"].select("o_custkey").distinct()
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_union = F.when(F.col("n_kept") < KMV_K, F.col("n_kept")).otherwise(
+        F.floor(F.lit(float(KMV_K - 1)) * F.lit(_POW2_60) / F.col("h_k"))
+    )
+    return (
+        exact_a.join(exact_b).join(exact_i).join(F.broadcast(mk)).join(F.broadcast(ki))
+        .select(
+            F.col("exact_a").cast("bigint"),
+            F.col("exact_b").cast("bigint"),
+            F.col("exact_inter").cast("bigint"),
+            F.col("n_int").cast("bigint").alias("k_int"),
+            est_union.cast("bigint").alias("est_union"),
+            F.floor(
+                F.col("n_int").cast("double") * est_union / F.col("n_kept")
+            ).cast("bigint").alias("est_inter"),
+        )
+    )
