@@ -826,3 +826,58 @@ def q134_prefix_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(flagged, "text").select(
         "doc_id", F.length("text").cast("bigint").alias("pfx_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# q158 — n-gram novelty scoring: for each document, what fraction of its
+# distinct trigrams appears in NO earlier document (doc_id order = ingest
+# order)? The redundancy-curation signal between exact dedup (all or
+# nothing) and near-dup similarity (pairwise): a doc that re-treads
+# earlier content scores near 0 and can be down-sampled even when no
+# single pair crosses a similarity threshold. Two aggregates over the
+# hashed-shingle substrate (first-seen owner per shingle = min doc_id,
+# then per-doc counts) — both partial-agg shuffles on the 8-byte shingle
+# hash; no windows, no pairwise joins at all, so cost is linear in
+# corpus shingle volume regardless of how redundant the corpus is.
+
+@register(
+    "q158_ngram_novelty",
+    oracle=f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    first_seen AS (SELECT sh, min(doc_id) AS owner FROM sh GROUP BY sh),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_shingles,
+             sum(CASE WHEN f.owner = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh s JOIN first_seen f USING (sh)
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+    FROM per_doc
+    """,
+    doc="n-gram novelty: fraction of a doc's distinct trigrams first "
+    "seen in it (ingest order); two shingle-hash aggregates, linear "
+    "cost, no pairwise work",
+    tags=("dedup", "llm", "text"),
+)
+def q158_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _hashed_shingles(spark, sf_dir)
+    first_seen = sh.groupBy("sh").agg(F.min("doc_id").alias("owner"))
+    per_doc = (
+        sh.join(first_seen, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("bigint"),
+        F.col("n_novel").cast("bigint"),
+        (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
+    )

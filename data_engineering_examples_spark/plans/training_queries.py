@@ -467,3 +467,88 @@ def q143_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PPS_W).cast("bigint").alias("weight_den"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q159 — span-corruption mask planning (T5/UL2 denoising): each doc gets
+# ~15% of its tokens masked in 3-token spans. Spans are placed ONE PER
+# STRATUM — the doc is cut into n_spans equal token segments and the
+# span lands at a hash-derived offset inside its segment — so spans are
+# disjoint BY CONSTRUCTION (no rejection sampling, no RNG state, same
+# mask plan on every engine and every epoch salt). Map-only: explode is
+# bounded by n_spans ≈ tokens/20 per doc; at 100 TB the mask table
+# partitions with the docs and nothing shuffles.
+
+SPAN_LEN = 3
+CORRUPT_PCT = 15  # target corrupted-token percentage
+
+
+@register(
+    "q159_span_corruption_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens * {CORRUPT_PCT}) // (100 * {SPAN_LEN}) AS n_spans
+      FROM t WHERE (n_tokens * {CORRUPT_PCT}) // (100 * {SPAN_LEN}) >= 1
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, n_spans,
+             unnest(range(0, n_spans)) AS span_idx,
+             n_tokens // n_spans AS seg_len
+      FROM k
+    )
+    SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+           CAST(span_idx * seg_len +
+                {_duck_md5_int("'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(span_idx AS VARCHAR)")}
+                  % (seg_len - {SPAN_LEN} + 1) AS BIGINT) AS start_tok,
+           CAST({SPAN_LEN} AS BIGINT) AS span_len,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM s WHERE seg_len >= {SPAN_LEN}
+    """,
+    doc="T5-style span-corruption mask plan: one hash-placed 3-token "
+    "span per equal stratum (disjoint by construction, no RNG state), "
+    "map-only bounded explode",
+    tags=("training", "llm", "sampling"),
+)
+def q159_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(d.text, " ")).cast("bigint")
+    k = (
+        d.select("doc_id", n_tokens.alias("n_tokens"))
+        .withColumn(
+            "n_spans", F.expr(f"(n_tokens * {CORRUPT_PCT}) div (100 * {SPAN_LEN})")
+        )
+        .filter(F.col("n_spans") >= 1)
+        .withColumn("seg_len", F.expr("n_tokens div n_spans"))
+        .filter(F.col("seg_len") >= SPAN_LEN)
+    )
+    s = k.select(
+        "doc_id",
+        "n_tokens",
+        "seg_len",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_idx"),
+    )
+    h = _md5_int(
+        F.concat(
+            F.lit("span:"),
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.col("span_idx").cast("string"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        F.col("span_idx").cast("bigint"),
+        (
+            F.col("span_idx") * F.col("seg_len")
+            + h % (F.col("seg_len") - SPAN_LEN + 1)
+        )
+        .cast("bigint")
+        .alias("start_tok"),
+        F.lit(SPAN_LEN).cast("bigint").alias("span_len"),
+        "n_tokens",
+    )

@@ -133,3 +133,21 @@ def test_lm_surprisal_matches_bruteforce(spark):
         keep = total / len(bgs) <= 12.0
         assert got[did] == (len(bgs), total, keep), did
     assert set(got) == set(per_doc)
+
+
+def test_span_corruption_plan_spans_are_disjoint_and_in_bounds(spark):
+    q = all_specs()["q159_span_corruption_plan"].fn
+    rows = q(spark, SF).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "plan produced no spans"
+    for doc, spans in by_doc.items():
+        seen = set()
+        for r in spans:
+            assert 0 <= r.start_tok and r.start_tok + r.span_len <= r.n_tokens, r
+            span = set(range(r.start_tok, r.start_tok + r.span_len))
+            assert not (span & seen), f"overlapping spans in doc {doc}"
+            seen |= span
+        # corruption budget: at most the target percentage (integer floor)
+        assert len(seen) <= max(spans[0].n_tokens * 15 // 100, 3)
