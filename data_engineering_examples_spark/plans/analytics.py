@@ -2935,3 +2935,192 @@ def q157_score_band_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_resp").cast("bigint"),
         lift.cast("bigint").alias("lift_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 helpers: one md5-derived int64 per canonicalized row, identical
+# in both engines (same trick as the dedup shingle hashes).
+
+
+def _row_hash(df):
+    from .dedup_queries import _md5_int
+
+    return _md5_int(
+        F.concat_ws("|", F.col("user_id"), F.col("event_type"), F.col("vm"), F.col("tss"))
+    )
+
+
+def _duck_row_hash_expr() -> str:
+    from .dedup_queries import _duck_md5_int
+
+    return _duck_md5_int(
+        "CAST(user_id AS VARCHAR) || '|' || event_type || '|' || "
+        "CAST(vm AS VARCHAR) || '|' || tss"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q161 — order-insensitive table checksum reconciliation: prove a
+# relocated copy (here: the events table rewritten into hive day-
+# partitions) is byte-equal to its source WITHOUT a sort or a full
+# anti-join compare. Each row folds to one md5-derived int64; the
+# table's fingerprint is (row_count, SUM of row hashes, XOR-ish
+# bit_or/bit_and pair; the sum accumulates in exact decimal(38,0) —
+# Spark's ANSI int64 sum would overflow, DuckDB's HUGEINT wouldn't,
+# so 128-bit-exact-then-mod is the one form both agree on) — all
+# commutative integer aggregates, so the
+# checksum never cares how the copy is partitioned, ordered, or split
+# into files. At 100 TB this is one map+reduce per side versus the
+# shuffle-heavy EXCEPT both-ways a naive reconciliation runs. The
+# oracle computes the fingerprint from the source, pinning the
+# Spark-side match=true (source vs relocated copy) as the claim.
+
+@register(
+    "q161_table_checksum",
+    oracle=f"""
+    WITH canon AS (
+      SELECT {_duck_row_hash_expr()} AS rh FROM (
+        SELECT user_id, event_type,
+               CAST(floor(value * 1000) AS BIGINT) AS vm,
+               strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS tss
+        FROM events)
+    ),
+    fp AS (
+      SELECT count(*) AS n_rows,
+             CAST(sum(rh) % 9223372036854775807 AS BIGINT) AS hash_sum,
+             bit_or(rh) AS hash_or, bit_and(rh) AS hash_and
+      FROM canon
+    )
+    SELECT a.n_rows, a.hash_sum, a.hash_or, a.hash_and,
+           TRUE AS copies_match
+    FROM fp a
+    """,
+    doc="order-insensitive table checksum: commutative integer "
+    "fingerprint (count, wrapped hash sum, bit_or/bit_and) reconciles a "
+    "repartitioned copy in one map+reduce per side — no sort, no "
+    "except-compare",
+    tags=("analytics", "quality", "S1"),
+)
+def q161_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    canon_cols = [
+        F.col("user_id"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("tss"),
+    ]
+
+    def fingerprint(df):
+        rh = _row_hash(df)
+        return df.select(rh.alias("rh")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("rh").cast("decimal(38,0)")) % F.lit(9223372036854775807))
+            .cast("bigint")
+            .alias("hash_sum"),
+            F.bit_or("rh").alias("hash_or"),
+            F.bit_and("rh").alias("hash_and"),
+        )
+
+    src = ev.select(*canon_cols)
+    base = scratch_dir("q161_checksum")
+    # the relocated copy: hive day-partitioned, different file layout
+    src.withColumn("day", F.substring("tss", 1, 10)).write.partitionBy(
+        "day"
+    ).parquet(f"{base}/copy")
+    copy = spark.read.parquet(f"{base}/copy").select(
+        "user_id", "event_type", "vm", "tss"
+    )
+
+    a = fingerprint(src)
+    b = (
+        fingerprint(copy)
+        .select(
+            F.col("n_rows").alias("b_rows"),
+            F.col("hash_sum").alias("b_sum"),
+            F.col("hash_or").alias("b_or"),
+            F.col("hash_and").alias("b_and"),
+        )
+    )
+    return a.join(F.broadcast(b)).select(
+        "n_rows",
+        "hash_sum",
+        "hash_or",
+        "hash_and",
+        (
+            (F.col("n_rows") == F.col("b_rows"))
+            & (F.col("hash_sum") == F.col("b_sum"))
+            & (F.col("hash_or") == F.col("b_or"))
+            & (F.col("hash_and") == F.col("b_and"))
+        ).alias("copies_match"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — percent-of-total within hierarchy: each nation's share of its
+# region's revenue plus its rank — the canonical BI report shape. The
+# window runs over PRE-AGGREGATED rows (|nation| = 25 at any data
+# scale), so the share/rank pass is free no matter how large lineitem
+# is; all the heavy lifting is one partial-agg shuffle keyed by nation.
+# Revenue accumulates in exact decimal; share is a single decimal
+# division quantized to micro-units (no float summation anywhere).
+
+@register(
+    "q162_region_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS rev_cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(rev_cents * 1000000 // sum(rev_cents) OVER (PARTITION BY region)
+                AS BIGINT) AS share_micros,
+           CAST(row_number() OVER (PARTITION BY region
+                                   ORDER BY rev_cents DESC, nation) AS BIGINT)
+             AS rank_in_region
+    FROM rev
+    """,
+    doc="percent-of-total + rank within region: windows over 25 pre-"
+    "aggregated rows (free at any scale), exact integer cents, share as "
+    "integer-division micro-units",
+    tags=("analytics", "A4", "W1"),
+)
+def q162_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev_cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("region")
+    w_rank = Window.partitionBy("region").orderBy(F.desc("rev_cents"), F.asc("nation"))
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev_cents").cast("bigint"),
+        F.expr("rev_cents * 1000000").cast("bigint")
+        .alias("_num"),
+        F.sum("rev_cents").over(w).alias("_den"),
+        F.row_number().over(w_rank).cast("bigint").alias("rank_in_region"),
+    ).select(
+        "region",
+        "nation",
+        "rev_cents",
+        F.expr("_num div _den").cast("bigint").alias("share_micros"),
+        "rank_in_region",
+    )

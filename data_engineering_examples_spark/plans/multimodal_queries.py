@@ -245,3 +245,46 @@ def q148_aspect_ratio_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("bucket_ratio_millis"),
         "n_images", "total_px", "min_ratio", "max_ratio", "distortion_millis",
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — exact media dedup by payload digest: the multimodal counterpart
+# of q22 (byte-identical images/audio re-crawled under different ids —
+# the single highest-volume waste in scraped media corpora). sha256 over
+# the binary column's hex encoding (DuckDB's sha256 is VARCHAR-only;
+# hex() is uppercase in both engines) + one hash-groupBy; the digest keys are uniform so
+# the shuffle self-balances at any scale, and payload bytes stream
+# through the hash without ever being collected. Keeper = lowest
+# media_id; per-group byte savings ride along for the storage report.
+
+@register(
+    "q160_media_exact_dedup",
+    oracle=f"""
+    SELECT sha256(hex(payload)) AS digest,
+           CAST(min(media_id) AS BIGINT) AS keeper_media_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(max(octet_length(payload)) AS BIGINT) AS payload_bytes,
+           CAST((count(*) - 1) * max(octet_length(payload)) AS BIGINT)
+             AS reclaimable_bytes
+    FROM read_parquet('{FX}/media.parquet')
+    GROUP BY 1
+    """,
+    doc="exact media dedup: sha256(payload) hash-groupBy keep-first, "
+    "uniform digest shuffle, byte-savings accounting",
+    tags=("multimodal", "llm", "dedup"),
+)
+def q160_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark)
+    return (
+        m.select(F.sha2(F.hex("payload"), 256).alias("digest"), "media_id",
+                 F.octet_length("payload").alias("nb"))
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").cast("bigint").alias("keeper_media_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            F.max("nb").cast("bigint").alias("payload_bytes"),
+            ((F.count(F.lit(1)) - 1) * F.max("nb")).cast("bigint").alias(
+                "reclaimable_bytes"
+            ),
+        )
+    )
