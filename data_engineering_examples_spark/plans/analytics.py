@@ -3124,3 +3124,164 @@ def q162_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_num div _den").cast("bigint").alias("share_micros"),
         "rank_in_region",
     )
+
+
+# ---------------------------------------------------------------------------
+# q163 — rolling 7-day distinct users (WAU) via day-bitmaps: COUNT
+# DISTINCT over a sliding window doesn't partial-aggregate — the naive
+# form re-scans 7 days of raw events per output day. Bitmaps restore
+# mergeability: one pass packs each day's membership into 63-bit words
+# (q155's encoding), then each day-word row fans out to the ≤7 window
+# ends it contributes to (a bounded explode — this is the shuffle-frame
+# trick for sliding windows), bit_or merges per (end_day, word), and
+# popcount sums give the exact rolling distinct. Work per day is
+# |words| = max_user/63 regardless of event volume. The oracle computes
+# the NAIVE definition (per-day range join + count distinct), so the
+# equality gate proves the bitmap algebra, not just reproducibility.
+
+ROLL_DAYS = 7
+
+
+@register(
+    "q163_rolling_distinct_users",
+    oracle=f"""
+    WITH ev AS (
+      SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST((SELECT count(DISTINCT e.user_id) FROM ev e
+                 WHERE e.day BETWEEN d.day - INTERVAL {ROLL_DAYS - 1} DAY
+                                 AND d.day) AS BIGINT) AS rolling_users,
+           CAST((SELECT count(*) FROM ev e WHERE e.day = d.day) AS BIGINT)
+             AS daily_users
+    FROM days d
+    """,
+    doc="exact rolling 7-day distinct users via mergeable day-bitmaps "
+    "(63-bit words, bounded 7-way fan-out, bit_or merge + popcount); "
+    "oracle is the naive range-join definition, gating the bitmap algebra",
+    tags=("analytics", "W3", "A4"),
+)
+def q163_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_tables(spark, sf_dir, ["events"])["events"]
+        .select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    day_words = ev.groupBy(
+        "day", F.expr("user_id div 63").alias("w")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(user_id % 63 as int))")
+        ).alias("bits")
+    )
+    # each (day, word) contributes to window ends day .. day+6; only ends
+    # that are real activity days survive the semi-join below
+    fanned = day_words.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), ROLL_DAYS - 1))
+        ).alias("end_day"),
+        "w",
+        "bits",
+    )
+    real_days = ev.select(F.col("day").alias("end_day")).distinct()
+    merged = (
+        fanned.join(F.broadcast(real_days), "end_day", "left_semi")
+        .groupBy("end_day", "w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    rolling = merged.groupBy("end_day").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("rolling_users")
+    )
+    daily = ev.groupBy(F.col("day").alias("end_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("daily_users")
+    )
+    return rolling.join(daily, "end_day").select(
+        F.date_format("end_day", "yyyy-MM-dd").alias("day"),
+        "rolling_users",
+        "daily_users",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q164 — partition-level fingerprint diff: q161 says WHETHER two copies
+# match; this says WHERE they diverge, so the repair job re-syncs one
+# partition instead of 100 TB. Both sides fingerprint per day (count +
+# decimal-exact hash sum); a full outer join labels each day matched/
+# diverged/missing. The "remote" copy is deterministically corrupted —
+# the latest day drops every user_id ≡ 0 (mod 97) — so the expected
+# answer is computable by the oracle from the source alone: exactly one
+# diverged day (the latest), everything else matched. Fingerprints are
+# |days| rows — the diff join is metadata-sized at any scale.
+
+@register(
+    "q164_partition_fingerprint_diff",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm,
+             strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS tss,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    mx AS (SELECT max(day) AS d1 FROM ev),
+    src AS (
+      SELECT day, count(*) AS n,
+             CAST(sum({_duck_row_hash_expr()}) % 9223372036854775807 AS BIGINT) AS hs
+      FROM ev GROUP BY day
+    ),
+    cpy AS (
+      SELECT e.day, count(*) AS n,
+             CAST(sum({_duck_row_hash_expr()}) % 9223372036854775807 AS BIGINT) AS hs
+      FROM ev e CROSS JOIN mx
+      WHERE NOT (e.day = mx.d1 AND e.user_id % 97 = 0)
+      GROUP BY e.day
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(s.n AS BIGINT) AS src_rows,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS copy_rows,
+           CASE WHEN c.day IS NULL THEN 'missing'
+                WHEN s.n = c.n AND s.hs = c.hs THEN 'matched'
+                ELSE 'diverged' END AS status
+    FROM src s LEFT JOIN cpy c ON c.day = s.day
+    """,
+    doc="partition-level checksum diff: per-day (count, decimal-exact "
+    "hash sum) fingerprints full-outer-joined -> matched/diverged/"
+    "missing per partition; repair scope = one partition, not the table",
+    tags=("analytics", "quality", "S8"),
+)
+def q164_partition_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("tss"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    mx = ev.agg(F.max("day").alias("d1"))
+    corrupted = ev.join(F.broadcast(mx)).filter(
+        ~((F.col("day") == F.col("d1")) & (F.col("user_id") % 97 == 0))
+    )
+
+    def fp(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_row_hash(df).cast("decimal(38,0)")) % F.lit(9223372036854775807))
+            .cast("bigint")
+            .alias("hs"),
+        )
+
+    s = fp(ev)
+    c = fp(corrupted).select(
+        F.col("day").alias("c_day"), F.col("n").alias("c_n"), F.col("hs").alias("c_hs")
+    )
+    return s.join(c, s.day == c.c_day, "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("src_rows"),
+        F.coalesce("c_n", F.lit(0)).cast("bigint").alias("copy_rows"),
+        F.when(F.col("c_day").isNull(), "missing")
+        .when((F.col("n") == F.col("c_n")) & (F.col("hs") == F.col("c_hs")), "matched")
+        .otherwise("diverged")
+        .alias("status"),
+    )
