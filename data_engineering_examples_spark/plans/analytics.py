@@ -3285,3 +3285,199 @@ def q164_partition_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise("diverged")
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — multi-touch attribution (batch): every purchase distributes
+# credit over the SAME USER's clicks in the prior 24 hours under three
+# models at once — first-touch, last-touch, linear. The candidate join
+# is user-keyed THEN time-banded (equi-join on user_id with the range
+# predicate as a residual — never a pure range join over the corpus),
+# so its fan-out is each user's own click history inside the window.
+# Linear credit 1/n is exact integer micro-units (1e6 div n, remainder
+# to the last touch so credits sum EXACTLY to 1e6 per purchase — the
+# accounting property auditors actually check); first/last selection is
+# a min/max over the candidate set with full-tuple tie-breaks. Output
+# is per click-day × model totals (bounded), all integers.
+
+ATTR_WINDOW_H = 24
+
+
+@register(
+    "q165_multitouch_attribution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    p AS (SELECT user_id, t AS pt, vm FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, t AS ct, vm AS cvm FROM ev WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.user_id, p.pt, p.vm, c.ct, c.cvm
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.ct <= p.pt AND c.ct > p.pt - INTERVAL {ATTR_WINDOW_H} HOUR
+    ),
+    ranked AS (
+      SELECT *,
+             count(*) OVER (PARTITION BY user_id, pt, vm) AS n_touch,
+             row_number() OVER (PARTITION BY user_id, pt, vm
+                                ORDER BY ct, cvm) AS rk_first,
+             row_number() OVER (PARTITION BY user_id, pt, vm
+                                ORDER BY ct DESC, cvm DESC) AS rk_last
+      FROM cand
+    ),
+    credits AS (
+      SELECT CAST(ct AS DATE) AS click_day,
+             CASE WHEN rk_first = 1 THEN 1000000 ELSE 0 END AS first_micros,
+             CASE WHEN rk_last = 1 THEN 1000000 ELSE 0 END AS last_micros,
+             1000000 // n_touch
+               + CASE WHEN rk_last = 1 THEN 1000000 % n_touch ELSE 0 END
+               AS linear_micros
+      FROM ranked
+    )
+    SELECT strftime(click_day, '%Y-%m-%d') AS click_day,
+           CAST(sum(first_micros) AS BIGINT) AS first_touch_micros,
+           CAST(sum(last_micros) AS BIGINT) AS last_touch_micros,
+           CAST(sum(linear_micros) AS BIGINT) AS linear_micros,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM credits GROUP BY click_day
+    """,
+    doc="multi-touch attribution: user-keyed 24h candidate join, first/"
+    "last/linear credit in exact micro-units (remainder to last touch "
+    "so each purchase's credit sums to exactly 1e6)",
+    tags=("analytics", "W3", "J1"),
+)
+def q165_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("t").alias("pt"), "vm"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("t").alias("ct"), F.col("vm").alias("cvm")
+    )
+    cand = p.join(
+        c,
+        (F.col("c_uid") == F.col("user_id"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - F.expr(f"interval {ATTR_WINDOW_H} hours")),
+    ).select("user_id", "pt", "vm", "ct", "cvm")
+    w_n = Window.partitionBy("user_id", "pt", "vm")
+    w_first = w_n.orderBy(F.asc("ct"), F.asc("cvm"))
+    w_last = w_n.orderBy(F.desc("ct"), F.desc("cvm"))
+    ranked = cand.select(
+        "*",
+        F.count(F.lit(1)).over(w_n).alias("n_touch"),
+        F.row_number().over(w_first).alias("rk_first"),
+        F.row_number().over(w_last).alias("rk_last"),
+    )
+    credits = ranked.select(
+        F.col("ct").cast("date").alias("click_day"),
+        F.when(F.col("rk_first") == 1, 1000000).otherwise(0).alias("first_micros"),
+        F.when(F.col("rk_last") == 1, 1000000).otherwise(0).alias("last_micros"),
+        (
+            F.expr("1000000 div n_touch")
+            + F.when(F.col("rk_last") == 1, F.expr("1000000 % n_touch")).otherwise(0)
+        ).alias("linear_micros"),
+    )
+    return credits.groupBy("click_day").agg(
+        F.sum("first_micros").cast("bigint").alias("first_touch_micros"),
+        F.sum("last_micros").cast("bigint").alias("last_touch_micros"),
+        F.sum("linear_micros").cast("bigint").alias("linear_micros"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+    ).select(
+        F.date_format("click_day", "yyyy-MM-dd").alias("click_day"),
+        "first_touch_micros", "last_touch_micros", "linear_micros", "n_touches",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — cohort LTV curves: users cohorted by first-activity day; each
+# cohort's purchase value accumulates over days-since-signup. The heavy
+# pass is two partial-agg shuffles (first-day per user, then per
+# (cohort, age) value mass); the cumulative LTV window runs over the
+# bounded (cohort × age) grid — days², metadata-sized at any event
+# volume. Per-user average rides along as exact micro-units per user.
+
+@register(
+    "q166_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(floor(value * 1000) AS BIGINT) AS vm
+      FROM events
+    ),
+    signup AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+    csize AS (SELECT cohort, count(*) AS n_users FROM signup GROUP BY cohort),
+    mass AS (
+      SELECT s.cohort, date_diff('day', s.cohort, e.day) AS age,
+             sum(CASE WHEN e.event_type = 'purchase' THEN e.vm ELSE 0 END) AS v
+      FROM ev e JOIN signup s USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(m.cohort, '%Y-%m-%d') AS cohort,
+           CAST(m.age AS BIGINT) AS age_days,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(sum(m.v) OVER (PARTITION BY m.cohort ORDER BY m.age
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_value_millis,
+           CAST(sum(m.v) OVER (PARTITION BY m.cohort ORDER BY m.age
+                               ROWS UNBOUNDED PRECEDING) * 1000 // c.n_users
+                AS BIGINT) AS ltv_micros_per_user
+    FROM mass m JOIN csize c USING (cohort)
+    """,
+    doc="cohort LTV curves: first-day cohorts, cumulative purchase value "
+    "over days-since-signup; cumulative window over the bounded "
+    "(cohort x age) grid, per-user LTV in integer micro-units",
+    tags=("analytics", "W3", "A4"),
+)
+def q166_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+    )
+    signup = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    csize = signup.groupBy("cohort").agg(F.count(F.lit(1)).alias("n_users"))
+    mass = (
+        ev.join(signup, "user_id")
+        .groupBy("cohort", F.datediff("day", "cohort").alias("age"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("vm")).otherwise(0)
+            ).alias("v")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        mass.join(F.broadcast(csize), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("bigint").alias("age_days"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.sum("v").over(w).cast("bigint").alias("cum_value_millis"),
+            F.expr(
+                "cast((sum(v) over (partition by cohort order by age "
+                "rows between unbounded preceding and current row)) * 1000 "
+                "div n_users as bigint)"
+            ).alias("ltv_micros_per_user"),
+        )
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            "age_days",
+            "n_users",
+            "cum_value_millis",
+            "ltv_micros_per_user",
+        )
+    )
