@@ -130,3 +130,42 @@ def test_bucketed_join_has_no_join_exchange(spark):
     # join: no Exchange may appear below the SortMergeJoin node
     join_pos = plan.index("SortMergeJoin")
     assert "Exchange" not in plan[join_pos:], plan[join_pos:][:500]
+
+
+def test_multitouch_linear_credit_conserves_exactly(spark):
+    """q165's accounting property: summed linear credit must equal
+    exactly 1e6 micro-units per purchase that had >= 1 click touch —
+    the integer-remainder-to-last-touch design makes this EXACT, not
+    approximate."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_examples_spark.plans.registry import all_specs
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    out = all_specs()["q165_multitouch_attribution"].fn(spark, sf)
+    got = out.agg(
+        F.sum("linear_micros").alias("lin"),
+        F.sum("first_touch_micros").alias("fst"),
+        F.sum("last_touch_micros").alias("lst"),
+    ).first()
+
+    ev = [
+        (r.user_id, r.event_type, r.t)
+        for r in load_tables(spark, sf, ["events"])["events"]
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("t"))
+        .collect()
+    ]
+    clicks = [(u, t) for u, e, t in ev if e == "click"]
+    n_attributed = sum(
+        1
+        for u, e, t in ev
+        if e == "purchase"
+        and any(cu == u and ct <= t and ct > t - dt.timedelta(hours=24)
+                for cu, ct in clicks)
+    )
+    assert got.lin == 1_000_000 * n_attributed
+    assert got.fst == 1_000_000 * n_attributed
+    assert got.lst == 1_000_000 * n_attributed
