@@ -3481,3 +3481,81 @@ def q166_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_micros_per_user",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — event-rate anomaly flags: each (event_type, hour) bucket
+# compared against its own trailing 24-hour mean — the ops-monitoring
+# gate that pages before a partner integration silently floods or goes
+# dark. Counting happens once on the raw scan (one partial-agg shuffle
+# to the bounded (type × hour) grid); the trailing mean is a 24-row
+# window over that grid, and the 2x threshold compares integers
+# cross-multiplied (cnt * trailing_n > 2 * trailing_sum) so no division
+# ever happens — exact at any scale, and the grid is metadata-sized.
+
+ANOM_TRAIL_H = 24
+
+
+@register(
+    "q167_rate_anomaly",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, h, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN {ANOM_TRAIL_H} PRECEDING AND 1 PRECEDING)
+               AS trail_sum,
+             count(*) OVER (PARTITION BY event_type ORDER BY h
+                            ROWS BETWEEN {ANOM_TRAIL_H} PRECEDING AND 1 PRECEDING)
+               AS trail_n
+      FROM b
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(coalesce(trail_sum, 0) AS BIGINT) AS trail_sum,
+           CAST(trail_n AS BIGINT) AS trail_n,
+           (trail_n > 0 AND cnt * trail_n > 2 * trail_sum) AS spike,
+           (trail_n > 0 AND 2 * cnt * trail_n < trail_sum) AS drop
+    FROM w
+    """,
+    doc="hourly event-rate anomaly flags vs trailing-24h mean: bounded "
+    "(type x hour) grid, cross-multiplied integer threshold (no "
+    "division), 24-row trailing windows over the grid only",
+    tags=("analytics", "W3", "quality"),
+)
+def q167_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-ANOM_TRAIL_H, -1)
+    )
+    g = b.select(
+        "event_type",
+        "h",
+        "cnt",
+        F.sum("cnt").over(w).alias("trail_sum"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+    return g.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("cnt").cast("bigint"),
+        F.coalesce("trail_sum", F.lit(0)).cast("bigint").alias("trail_sum"),
+        F.col("trail_n").cast("bigint").alias("trail_n"),
+        (
+            (F.col("trail_n") > 0)
+            & (F.col("cnt") * F.col("trail_n") > 2 * F.coalesce("trail_sum", F.lit(0)))
+        ).alias("spike"),
+        (
+            (F.col("trail_n") > 0)
+            & (2 * F.col("cnt") * F.col("trail_n") < F.coalesce("trail_sum", F.lit(0)))
+        ).alias("drop"),
+    )
