@@ -2999,7 +2999,7 @@ def _duck_row_hash_expr() -> str:
     "fingerprint (count, wrapped hash sum, bit_or/bit_and) reconciles a "
     "repartitioned copy in one map+reduce per side — no sort, no "
     "except-compare",
-    tags=("analytics", "quality", "S1"),
+    tags=("analytics", "quality"),
 )
 def q161_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
@@ -3091,7 +3091,7 @@ def q161_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="percent-of-total + rank within region: windows over 25 pre-"
     "aggregated rows (free at any scale), exact integer cents, share as "
     "integer-division micro-units",
-    tags=("analytics", "A4", "W1"),
+    tags=("analytics", "A4"),
 )
 def q162_region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
@@ -3249,7 +3249,7 @@ def q163_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="partition-level checksum diff: per-day (count, decimal-exact "
     "hash sum) fingerprints full-outer-joined -> matched/diverged/"
     "missing per partition; repair scope = one partition, not the table",
-    tags=("analytics", "quality", "S8"),
+    tags=("analytics", "quality"),
 )
 def q164_partition_fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"].select(

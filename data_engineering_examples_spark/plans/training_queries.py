@@ -111,7 +111,7 @@ def q115_training_order_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=f"exact-{EVAL_K} deterministic eval sample per language "
     "(hash-ranked WindowGroupLimit; fraction-free holdout construction)",
-    tags=("training", "llm", "sampling", "A6"),
+    tags=("training", "llm", "sampling"),
 )
 def q116_eval_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -451,7 +451,7 @@ PPS_W = 512  # draw window: docs with >= W tokens are always kept
     doc="deterministic PPS sampling by token count: hash-draw mod W vs "
     "clamped tokens (inclusion prob min(tok,W)/W), map-only, re-saltable "
     "per epoch, exact integer importance weights",
-    tags=("training", "llm", "sampling", "A6"),
+    tags=("training", "llm", "sampling"),
 )
 def q143_pps_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)

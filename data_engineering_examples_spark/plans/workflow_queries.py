@@ -1026,7 +1026,7 @@ def q130_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="stream-static dimension enrichment: micro-batched event feed "
     "inner-joins the static customer dim (stateless, per-batch broadcast, "
     "no state store); batch==streaming equivalence oracle",
-    tags=("streaming", "T2", "J1"),
+    tags=("streaming", "J1"),
 )
 def q144_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import scratch_dir
