@@ -3559,3 +3559,99 @@ def q167_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (2 * F.col("cnt") * F.col("trail_n") < F.coalesce("trail_sum", F.lit(0)))
         ).alias("drop"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — association rules over daily event baskets (market-basket
+# analysis): which event types co-occur in the same user-day beyond
+# chance? Baskets are (user, day) distinct-type sets; the pair join is
+# basket-keyed so fan-out is C(|types in basket|, 2) ≤ C(5,2) — never a
+# corpus-level pair explosion (the same inverted-index discipline as
+# q23). support / confidence(A→B and B→A) / lift all land as integer
+# micro-units via exact cross-multiplied divisions — counts never pass
+# through a float. The contingency domain is |types|² rows.
+
+@register(
+    "q168_basket_rules",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             event_type
+      FROM events
+    ),
+    nb AS (SELECT count(DISTINCT (user_id, day)) AS n_baskets FROM b),
+    tc AS (SELECT event_type, count(*) AS n FROM b GROUP BY event_type),
+    pc AS (
+      SELECT a.event_type AS type_a, c.event_type AS type_b, count(*) AS n_ab
+      FROM b a JOIN b c
+        ON c.user_id = a.user_id AND c.day = a.day
+       AND a.event_type < c.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b,
+           CAST(p.n_ab * 1000000 // nb.n_baskets AS BIGINT) AS support_micros,
+           CAST(p.n_ab * 1000000 // ta.n AS BIGINT) AS conf_a_to_b_micros,
+           CAST(p.n_ab * 1000000 // tb.n AS BIGINT) AS conf_b_to_a_micros,
+           CAST(p.n_ab * nb.n_baskets * 1000000 // (ta.n * tb.n) AS BIGINT)
+             AS lift_micros
+    FROM pc p
+    JOIN tc ta ON ta.event_type = p.type_a
+    JOIN tc tb ON tb.event_type = p.type_b
+    CROSS JOIN nb
+    """,
+    doc="market-basket rules over (user, day) event baskets: basket-"
+    "keyed pair join (bounded fan-out), support/confidence/lift as "
+    "exact integer micro-units",
+    tags=("analytics", "A4", "J1"),
+)
+def q168_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    b = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day"), "event_type"
+    ).distinct()
+    nb = b.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    tc = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, c = b.alias("a"), b.alias("c")
+    pc = (
+        a.join(
+            c,
+            (F.col("c.user_id") == F.col("a.user_id"))
+            & (F.col("c.day") == F.col("a.day"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("c.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tc.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tc.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pc.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .join(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint"),
+            F.col("n_a").cast("bigint"),
+            F.col("n_b").cast("bigint"),
+            F.expr("n_ab * 1000000 div n_baskets").cast("bigint").alias(
+                "support_micros"
+            ),
+            F.expr("n_ab * 1000000 div n_a").cast("bigint").alias(
+                "conf_a_to_b_micros"
+            ),
+            F.expr("n_ab * 1000000 div n_b").cast("bigint").alias(
+                "conf_b_to_a_micros"
+            ),
+            F.expr("n_ab * n_baskets * 1000000 div (n_a * n_b)")
+            .cast("bigint")
+            .alias("lift_micros"),
+        )
+    )
