@@ -3655,3 +3655,75 @@ def q168_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q169 — inter-arrival time histogram: the burstiness profile of the
+# event stream (bot vs human traffic, session-gap calibration for q59/
+# q120's 30-minute threshold). Per-user consecutive gaps via the same
+# full-tuple-ordered lag as q147; gaps bucket into LOG2 bins computed
+# exactly as bitlength(seconds) via bin() string length — the q135
+# integer-log trick again, so bin edges are powers of two and no float
+# or log() ever runs. Histogram domain ≤ 64 rows; the lag window is
+# user-partitioned.
+
+@register(
+    "q169_interarrival_histogram",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm,
+             CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('second',
+               lag(t) OVER (PARTITION BY user_id ORDER BY t, event_type, vm),
+               t) AS BIGINT) AS gap_s
+      FROM s
+    ),
+    binned AS (
+      SELECT CASE WHEN gap_s <= 0 THEN 0
+                  ELSE length(bin(gap_s)) END AS bucket,
+             gap_s
+      FROM gaps WHERE gap_s IS NOT NULL
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM binned GROUP BY bucket
+    """,
+    doc="inter-arrival gap histogram in exact log2 (bitlength) buckets: "
+    "user-partitioned lag, <= 64-row bounded histogram, no float/log()",
+    tags=("analytics", "W3", "A4"),
+)
+def q169_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.col("ts").cast("timestamp").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_type", "vm")
+    gaps = ev.select(
+        (
+            F.unix_timestamp("t") - F.unix_timestamp(F.lag("t").over(w))
+        ).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    binned = gaps.select(
+        F.when(F.col("gap_s") <= 0, F.lit(0))
+        .otherwise(F.length(F.bin("gap_s")))
+        .alias("bucket"),
+        "gap_s",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+    ).select(
+        F.col("bucket").cast("bigint").alias("log2_bucket"),
+        "n_gaps", "min_gap_s", "max_gap_s", "total_gap_s",
+    )
