@@ -3727,3 +3727,255 @@ def q169_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("log2_bucket"),
         "n_gaps", "min_gap_s", "max_gap_s", "total_gap_s",
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — Benford first-digit audit: the classic anomaly screen for
+# financial columns (fabricated numbers rarely follow Benford's law).
+# The observed side is exact integer counting (first significant digit
+# of floor(o_totalprice)); the EXPECTED side is log10(1 + 1/d), which
+# is NOT cross-engine-reproducible as a float computation — so the
+# expected shares are a fixed literal table in integer micro-units,
+# identical text in both engines.  The divergence stat is the integer
+# chi-square numerator Σ (obs_u - exp_u)² div exp_u over per-digit
+# micro-unit shares.  One map + one 9-row aggregate; scan-bandwidth
+# bound at any scale.
+
+# log10(1 + 1/d) in micro-units, d = 1..9 (rounded to integer micros —
+# a shared CONSTANT, not a computed float).
+BENFORD_MICROS = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910,
+    5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(f"({d}, {m})" for d, m in BENFORD_MICROS.items())
+
+
+@register(
+    "q172_benford_audit",
+    oracle=f"""
+    WITH obs AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             count(*) AS n
+      FROM orders
+      WHERE o_totalprice >= 1.0
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
+    exp AS (SELECT * FROM (VALUES {_benford_values_sql()}) AS t(digit, exp_micros))
+    SELECT e.digit, COALESCE(CAST(o.n AS BIGINT), 0) AS n_orders,
+           CAST(COALESCE(o.n, 0) * 1000000 // t.total AS BIGINT) AS obs_micros,
+           CAST(e.exp_micros AS BIGINT) AS exp_micros,
+           CAST((COALESCE(o.n, 0) * 1000000 // t.total - e.exp_micros)
+                * (COALESCE(o.n, 0) * 1000000 // t.total - e.exp_micros)
+                // e.exp_micros AS BIGINT) AS chi2_term_micros
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot t
+    """,
+    doc="Benford first-digit audit: exact integer digit counts vs a "
+    "literal expected-share table; integer chi-square terms; map + "
+    "9-row aggregate",
+    tags=("analytics", "A4", "F15"),
+)
+def q172_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    obs = (
+        orders.filter(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    exp = spark.createDataFrame(
+        [(d, m) for d, m in BENFORD_MICROS.items()], "digit bigint, exp_micros bigint"
+    )
+    j = (
+        exp.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.expr("coalesce(n, 0) * 1000000 div total").alias("om"),
+            F.col("exp_micros").cast("bigint"),
+        )
+    )
+    return j.select(
+        "digit",
+        "n_orders",
+        F.col("om").cast("bigint").alias("obs_micros"),
+        "exp_micros",
+        F.expr("(om - exp_micros) * (om - exp_micros) div exp_micros")
+        .cast("bigint")
+        .alias("chi2_term_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q174 — lag-7 autocorrelation of daily event volume: the weekly-
+# seasonality detector for traffic series.  Daily counts are exact
+# integers; the lagged pairing is a SELF-JOIN on day = day+7 (no
+# window, no global sort — the day spine is tiny and the join
+# broadcasts); Pearson r comes out of the integer moment sums
+# (n·Σxy − Σx·Σy over sqrt-products), so the only floating point is
+# two correctly-rounded sqrts, one multiply, one divide — identical
+# IEEE operations in both engines.
+
+@register(
+    "q174_lag7_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.n AS x, b.n AS y
+      FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 7 DAY
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs
+    )
+    SELECT n_pairs, sx, sy, sxy, sxx, syy,
+           CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS r_lag7
+    FROM m
+    """,
+    doc="lag-7 autocorrelation of daily event counts: integer moment "
+    "sums via a 7-day self-join on the day spine; floats limited to "
+    "two exact sqrts and one division",
+    tags=("analytics", "W3", "A4"),
+)
+def q174_lag7_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    daily = (
+        ev.select(F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("y"))
+    pairs = a.join(
+        F.broadcast(b), F.col("day_b") == F.date_add(F.col("day_a"), 7)
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (F.col("n_pairs") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n_pairs") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "n_pairs", "sx", "sy", "sxy", "sxx", "syy", (num / den).alias("r_lag7")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176 — incremental JOIN-view maintenance (delta-join algebra): the
+# materialized view V = orders ⋈ lineitem is kept current under inserts
+# to BOTH base tables without recomputing it.  The view delta is the
+# standard trilinear rule  ΔV = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL — each term
+# touches at most one full base table, so maintenance cost scales with
+# the DELTA (×join fan-out), not the view.  q90 maintains an AGGREGATE
+# incrementally; this maintains a JOIN, the other half of IVM.  The
+# oracle recomputes from first principles — full join, keep rows that
+# are NOT old⋈old — so the three-term algebra is verified, not assumed.
+# "New" rows: orders with o_orderkey % 10 = 7, lineitems with
+# l_linenumber % 4 = 2 (independent splits → all three terms non-empty).
+# Output is the per-(term, priority) rollup in exact decimal millis.
+
+@register(
+    "q176_delta_join_view",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority,
+             (o_orderkey % 10 = 7) AS o_new
+      FROM orders
+    ),
+    l AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        * 1000) AS BIGINT) AS rev_millis,
+             (l_linenumber % 4 = 2) AS l_new
+      FROM lineitem
+    ),
+    delta AS (
+      SELECT CASE WHEN o_new AND l_new THEN 'delta_delta'
+                  WHEN o_new THEN 'new_orders'
+                  ELSE 'new_lines' END AS term,
+             o.o_orderpriority, l.rev_millis
+      FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      WHERE o_new OR l_new
+    )
+    SELECT term, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rev_millis) AS BIGINT) AS revenue_millis
+    FROM delta GROUP BY term, o_orderpriority
+    """,
+    doc="incremental JOIN-view maintenance: trilinear delta rule "
+    "(dO*L0 + O0*dL + dO*dL) vs a full-recompute oracle; cost scales "
+    "with the delta, not the view",
+    tags=("analytics", "J1", "A4"),
+)
+def q176_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderkey") % 10 == 7).alias("o_new"),
+    )
+    rev_millis = (
+        (dec("l_extendedprice") * (one() - dec("l_discount", 4)) * F.lit(1000))
+        .cast("bigint")
+    )
+    l = t["lineitem"].select(
+        "l_orderkey",
+        "l_linenumber",
+        rev_millis.alias("rev_millis"),
+        (F.col("l_linenumber") % 4 == 2).alias("l_new"),
+    )
+    o0, do_ = o.filter(~F.col("o_new")), o.filter(F.col("o_new"))
+    l0, dl = l.filter(~F.col("l_new")), l.filter(F.col("l_new"))
+    join_on = F.col("l_orderkey") == F.col("o_orderkey")
+    # the three IVM terms — each join prunes at least one side to the
+    # delta before shuffling; at scale each is delta-sized work.
+    terms = (
+        do_.join(l0, join_on).select(
+            F.lit("new_orders").alias("term"), "o_orderpriority", "rev_millis"
+        )
+        .unionByName(
+            o0.join(dl, join_on).select(
+                F.lit("new_lines").alias("term"), "o_orderpriority", "rev_millis"
+            )
+        )
+        .unionByName(
+            do_.join(dl, join_on).select(
+                F.lit("delta_delta").alias("term"), "o_orderpriority", "rev_millis"
+            )
+        )
+    )
+    return terms.groupBy("term", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("rev_millis").cast("bigint").alias("revenue_millis"),
+    )

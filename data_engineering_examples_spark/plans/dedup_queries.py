@@ -881,3 +881,66 @@ def q158_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_novel").cast("bigint"),
         (F.col("n_novel").cast("double") / F.col("n_shingles")).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q171 — fuzzy vocabulary matching (blocked Levenshtein join): the
+# entity-resolution primitive behind catalog reconciliation and
+# misspelling detection.  The scalable shape is the point: NEVER fuzzy-
+# join rows — collapse to the DISTINCT-value vocabulary first (64 names
+# here; bounded by the attribute's domain, not the table), fuzzy-join
+# the vocabulary under a length-band block (edit distance ≤ k implies
+# length difference ≤ k, so the block is lossless), then attach member
+# counts from the corpus-sized aggregate.  Corpus work is one groupBy;
+# the O(V²) self-join is over the broadcast-sized vocabulary.
+# Levenshtein is exact integer edit distance in both engines.
+
+FUZZY_MAX_DIST = 3
+
+
+@register(
+    "q171_fuzzy_name_match",
+    oracle=f"""
+    WITH counts AS (
+      SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           CAST(a.n_parts AS BIGINT) AS n_parts_a,
+           CAST(b.n_parts AS BIGINT) AS n_parts_b
+    FROM counts a JOIN counts b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+     AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    doc=f"blocked fuzzy vocabulary join: distinct-name collapse -> "
+    f"length-band block -> levenshtein <= {FUZZY_MAX_DIST}; O(V^2) only "
+    "over the bounded vocabulary, corpus work is one groupBy",
+    tags=("dedup", "J1", "A4"),
+)
+def q171_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_tables(spark, sf_dir, ["part"])["part"]
+    counts = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
+    a = counts.select(
+        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+    )
+    b = counts.select(
+        F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    )
+    # vocabulary is bounded-domain → broadcast the build side; the length
+    # band prunes candidates before the levenshtein evaluates.
+    joined = a.join(
+        F.broadcast(b),
+        (F.col("name_a") < F.col("name_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
+        )
+        & (F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST),
+    )
+    return joined.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        F.col("n_parts_a").cast("bigint"),
+        F.col("n_parts_b").cast("bigint"),
+    )

@@ -1104,3 +1104,192 @@ def q145_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("top_count").cast("bigint").alias("top_count"),
         (F.col("top_count").cast("double") / F.col("n_vecs")).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — IVF-PQ asymmetric-distance search: the SERVING path of the
+# index whose two halves q50 (coarse IVF lists) and q101 (PQ codes)
+# train.  A probe (a) ranks the coarse centroids and visits nprobe=2
+# lists, (b) builds a tiny lookup table of probe-subvector→codeword
+# distances (N_PROBES × N_SUBSPACES × K rows — broadcast), and (c)
+# scores every candidate WITHOUT touching its raw vector: ADC distance
+# = Σ_subspace lut[probe, subspace, code(candidate, subspace)].  At
+# 100 TB this is the whole point of PQ — candidate scoring joins an
+# 8-row-per-vector CODE table against a broadcast LUT (integer adds),
+# never the 64-dim float vectors.  Everything is quantized to integer
+# micro-units with exact DECIMAL argmins (q94's determinism scheme), so
+# assignment, codes, LUT, and the final ranking are bit-identical in
+# both engines.
+
+
+def _duck_ivfpq_oracle() -> str:
+    cent_list = ", ".join(str(c) for c in CENT_IDS)
+    sq = ("CAST(x.xq - c.cs AS DECIMAL(19,0)) "
+          "* CAST(x.xq - c.cs AS DECIMAL(19,0))")
+    sqc = ("CAST(s.xq - c.cq AS DECIMAL(19,0)) "
+           "* CAST(s.xq - c.cq AS DECIMAL(19,0))")
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    coarse AS (SELECT vec_id AS cent_id, dim, xq AS cs FROM xq
+               WHERE vec_id IN ({cent_list})),
+    cdist AS (
+      SELECT x.vec_id, c.cent_id, sum({sq}) AS dist
+      FROM xq x JOIN coarse c USING (dim) GROUP BY 1, 2
+    ),
+    assign AS (SELECT vec_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cent_id) AS rn
+      FROM cdist) WHERE rn = 1),
+    plists AS (SELECT vec_id AS probe_id, cent_id FROM (
+      SELECT vec_id, cent_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cent_id) AS rn
+      FROM cdist WHERE vec_id < {N_PROBES}) WHERE rn <= {N_PROBE_LISTS}),
+    sub AS (SELECT vec_id, dim // {SUB_DIM} AS subspace, dim, xq FROM xq),
+    cb AS (SELECT subspace, vec_id AS code, dim, xq AS cq
+           FROM sub WHERE vec_id IN ({cent_list})),
+    code_d AS (
+      SELECT s.vec_id, s.subspace, c.code, sum({sqc}) AS dist
+      FROM sub s JOIN cb c ON c.subspace = s.subspace AND c.dim = s.dim
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (SELECT vec_id, subspace, code FROM (
+      SELECT vec_id, subspace, code,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist, code) AS rn
+      FROM code_d) WHERE rn = 1),
+    lut AS (
+      SELECT s.vec_id AS probe_id, s.subspace, c.code, sum({sqc}) AS lut_dist
+      FROM sub s JOIN cb c ON c.subspace = s.subspace AND c.dim = s.dim
+      WHERE s.vec_id < {N_PROBES}
+      GROUP BY 1, 2, 3
+    ),
+    cand AS (
+      SELECT p.probe_id, a.vec_id AS neighbor_id
+      FROM plists p JOIN assign a USING (cent_id)
+      WHERE a.vec_id <> p.probe_id
+    ),
+    adc AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             CAST(sum(l.lut_dist) AS BIGINT) AS adc_dist
+      FROM cand
+      JOIN codes k ON k.vec_id = cand.neighbor_id
+      JOIN lut l ON l.probe_id = cand.probe_id
+               AND l.subspace = k.subspace AND l.code = k.code
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY adc_dist, neighbor_id) AS INT)
+             AS rank
+    FROM adc QUALIFY rank <= {TOP_K}
+    """
+
+
+@register(
+    "q175_ivfpq_adc_topk",
+    oracle=_duck_ivfpq_oracle(),
+    doc="IVF-PQ asymmetric-distance top-k: nprobe=2 coarse lists, "
+    "broadcast probe->codeword LUT, candidates scored from 8 code rows "
+    "each (never their raw vectors); exact-integer argmins throughout",
+    tags=("similarity", "llm"),
+)
+def q175_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    xq = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        )
+        .localCheckpoint()  # feeds coarse assign, codes, and the LUT
+    )
+    coarse = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
+        F.col("vec_id").alias("cent_id"), "dim", F.col("xq").alias("cs")
+    )
+    cdiff = (F.col("xq") - F.col("cs")).cast("decimal(19,0)")
+    cdist = (
+        xq.join(F.broadcast(coarse), "dim")
+        .groupBy("vec_id", "cent_id")
+        .agg(F.sum(cdiff * cdiff).alias("dist"))
+    )
+    assign = (
+        cdist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cent_id")).alias("m"))
+        .select("vec_id", F.col("m.cent_id").alias("cent_id"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    plists = (
+        cdist.filter(F.col("vec_id") < N_PROBES)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE_LISTS)
+        .select(F.col("vec_id").alias("probe_id"), "cent_id")
+    )
+    sub = xq.select(
+        "vec_id",
+        (F.col("dim") / SUB_DIM).cast("int").alias("subspace"),
+        "dim",
+        "xq",
+    )
+    cb = sub.filter(F.col("vec_id").isin(CENT_IDS)).select(
+        F.col("subspace").alias("c_subspace"),
+        F.col("vec_id").alias("code"),
+        F.col("dim").alias("c_dim"),
+        F.col("xq").alias("cq"),
+    )
+    sdiff = (F.col("xq") - F.col("cq")).cast("decimal(19,0)")
+    on_cb = (F.col("subspace") == F.col("c_subspace")) & (
+        F.col("dim") == F.col("c_dim")
+    )
+    code_d = (
+        sub.join(F.broadcast(cb), on_cb)
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(sdiff * sdiff).alias("dist"))
+    )
+    codes = (
+        code_d.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "subspace",
+            F.col("m.code").alias("code"),
+        )
+    )
+    lut = (
+        sub.filter(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), on_cb)
+        .groupBy(
+            F.col("vec_id").alias("probe_id"), F.col("subspace"), F.col("code")
+        )
+        .agg(F.sum(sdiff * sdiff).alias("lut_dist"))
+    )
+    # (probe, neighbor) is already unique: each neighbor sits in exactly
+    # one coarse list — no DISTINCT needed (and none in the oracle).
+    cand = (
+        F.broadcast(plists)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(lut), ["probe_id", "subspace", "code"])
+        .groupBy("probe_id", "neighbor_id")
+        .agg(F.sum("lut_dist").cast("bigint").alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "neighbor_id")
+    return adc.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= TOP_K
+    )

@@ -797,3 +797,135 @@ def q108_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("lift"), F.asc("bigram")).limit(PMI_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q170 — distributed BPE merge-step: the first iteration of byte-pair-
+# encoding tokenizer training (count adjacent symbol pairs across the
+# corpus, weighted by word frequency; the argmax pair becomes the next
+# merge).  The canonical distributed formulation: collapse the corpus to
+# a WORD FREQUENCY table first (vocabulary-sized, not corpus-sized),
+# then explode each distinct word's adjacent character pairs ONCE and
+# weight by its count — pair-extraction work is O(vocab × word_len),
+# independent of corpus row count.  All counts integer; top-k via
+# TakeOrderedAndProject with a full deterministic tie-break.
+
+
+BPE_TOP = 20
+
+
+@register(
+    "q170_bpe_merge_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word
+    ),
+    p AS (
+      SELECT substring(word, CAST(i AS INTEGER), 2) AS pair, n
+      FROM wc, unnest(range(1, length(word))) AS t(i)
+      WHERE length(word) >= 2
+    )
+    SELECT pair, CAST(sum(n) AS BIGINT) AS pair_count,
+           CAST(count(*) AS BIGINT) AS n_words
+    FROM p GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT {BPE_TOP}
+    """,
+    doc=f"BPE tokenizer merge-step: top-{BPE_TOP} adjacent char pairs "
+    "weighted by word frequency; pair work is vocab-sized, not "
+    "corpus-sized",
+    tags=("text", "llm", "vocab"),
+)
+def q170_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # corpus → word-frequency table: the only corpus-sized shuffle.
+    wc = (
+        d.select(F.explode(F.split(d.text, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # vocabulary-sized pair explosion: positions exploded, pair built
+    # row-wise with substr so it stays in whole-stage codegen.
+    pos = wc.filter(F.length("word") >= 2).select(
+        "word", "n", F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i")
+    )
+    pairs = pos.select(
+        F.col("word").substr(F.col("i"), F.lit(2)).alias("pair"), "n"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("n").cast("bigint").alias("pair_count"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q173 — per-source token concentration (Herfindahl index): how
+# head-heavy each source's token distribution is — a diversity signal
+# LLM pipelines use next to entropy, but exactly computable in integer
+# arithmetic (entropy needs log(); HHI is Σcᵢ²/N², one rational).  The
+# Spark shape is a two-level aggregate: (source, term) counts — partial
+# agg collapses occurrences map-side — then one bounded |source|-sized
+# rollup.  hhi_micros = Σcᵢ² × 1e6 div N² stays in BIGINT: Σcᵢ² is
+# capped by N·max(cᵢ) and the ×1e6 happens after the division's
+# numerator is reduced per-source.
+
+
+@register(
+    "q173_source_token_hhi",
+    oracle="""
+    WITH tc AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, term, count(*) AS c
+      FROM tc WHERE term <> '' GROUP BY source, term
+    )
+    SELECT source, n_tokens, n_terms, top_term_count,
+           CAST(sum_c2 * 1000000 // (n_tokens * n_tokens) AS BIGINT)
+             AS hhi_micros
+    FROM (
+      SELECT source,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(max(c) AS BIGINT) AS top_term_count,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM counts GROUP BY source
+    )
+    """,
+    doc="per-source token Herfindahl concentration in exact integer "
+    "micro-units: two-level agg (map-side partial on (source, term)), "
+    "bounded |source| rollup, no log()",
+    tags=("text", "llm", "A4"),
+)
+def q173_source_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select("source", F.explode(F.split(d.text, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.max("c").cast("bigint").alias("top_term_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    return per.select(
+        "source",
+        "n_tokens",
+        "n_terms",
+        "top_term_count",
+        F.expr("sum_c2 * 1000000 div (n_tokens * n_tokens)")
+        .cast("bigint")
+        .alias("hhi_micros"),
+    )
