@@ -3979,3 +3979,220 @@ def q176_delta_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("rev_millis").cast("bigint").alias("revenue_millis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q177-q180 — the correlated-subquery OLAP family (TPC-H Q11/Q22/Q20/Q21
+# shapes, adapted to this star schema).  The DuckDB oracles are written
+# as literally CORRELATED subqueries — the semantic gold standard — while
+# the Spark plans are the DECORRELATED forms a 100 TB engine must run:
+# broadcast scalar joins, groupBy-then-join-back, semi/anti self-joins.
+# Every threshold comparison is integer cross-multiplication
+# (a > total×f  ⇔  a_cents×K > total_cents×(K·f)) so no float division
+# ever decides a row's membership.
+
+
+# q177 — global-share threshold (Q11 shape): parts whose revenue exceeds
+# 0.05% of TOTAL revenue. Decorrelation: the scalar total is ONE
+# broadcast row; the per-part aggregate is one shuffle; membership is
+# sum_cents * 2000 > total_cents (0.05% = 1/2000) — exact integers.
+
+@register(
+    "q177_part_value_share",
+    oracle="""
+    WITH lc AS (
+      SELECT l_partkey,
+             CAST(floor(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2))) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem
+    )
+    SELECT l_partkey AS partkey,
+           CAST(sum(rev_cents) AS BIGINT) AS part_rev_cents,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lc
+    GROUP BY l_partkey
+    HAVING sum(rev_cents) * 2000 >
+           (SELECT sum(rev_cents) FROM lc)
+    """,
+    doc="Q11-shape global-share threshold: per-part revenue vs 0.05% of "
+    "the corpus total; broadcast scalar + integer cross-multiply "
+    "(decorrelated HAVING-vs-global-subquery)",
+    tags=("analytics", "A4", "J1"),
+)
+def q177_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    rev_cents = (
+        (dec("l_extendedprice") * (one() - dec("l_discount", 4)) * F.lit(100))
+        .cast("bigint")
+    )
+    lc = li.select(F.col("l_partkey"), rev_cents.alias("rev_cents"))
+    per_part = lc.groupBy("l_partkey").agg(
+        F.sum("rev_cents").cast("bigint").alias("part_rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+    total = per_part.agg(
+        F.sum("part_rev_cents").cast("bigint").alias("total_cents")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_rev_cents") * 2000 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"), "part_rev_cents", "n_lines"
+        )
+    )
+
+
+# q178 — above-average + no-orders (Q22 shape): customers with account
+# balance above the average POSITIVE balance who have never ordered,
+# rolled up by nation. Decorrelation: the avg-subquery becomes one
+# broadcast (sum, count) row with membership bal_cents·n > sum_cents
+# (exact — no division); NOT EXISTS becomes a left-anti join.
+
+@register(
+    "q178_dormant_rich_customers",
+    oracle="""
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_custs,
+           CAST(sum(CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) * 100)
+                         AS BIGINT)) AS BIGINT) AS total_bal_cents
+    FROM customer c
+    WHERE CAST(floor(CAST(c_acctbal AS DECIMAL(12,2)) * 100) AS BIGINT)
+            * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          > (SELECT sum(CAST(floor(CAST(c2.c_acctbal AS DECIMAL(12,2)) * 100)
+                             AS BIGINT))
+             FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="Q22-shape: above-average-balance customers with no orders, by "
+    "nation; avg-subquery -> broadcast (sum,n) + integer cross-multiply, "
+    "NOT EXISTS -> left-anti join",
+    tags=("analytics", "A4", "P7"),
+)
+def q178_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    cust = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        (dec("c_acctbal") * F.lit(100)).cast("bigint").alias("bal_cents"),
+        (F.col("c_acctbal") > 0.0).alias("positive"),
+    )
+    thresh = cust.filter("positive").agg(
+        F.sum("bal_cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+    )
+    dormant = rich.join(
+        t["orders"].select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return dormant.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+        F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+    )
+
+
+# q179 — per-group dominance (Q20 shape): (supplier, part) pairs that
+# shipped MORE THAN HALF of that part's total quantity. The correlated
+# "qty > 0.5 × (SELECT sum … WHERE same part)" decorrelates into the
+# per-part total (one shuffle) joined back on partkey; the ½ threshold
+# is 2·pair_units > part_units in integers (quantities are integral).
+
+@register(
+    "q179_dominant_part_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS pair_units
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey AS suppkey, l_partkey AS partkey, pair_units,
+           (SELECT CAST(sum(CAST(floor(l2.l_quantity) AS BIGINT)) AS BIGINT)
+            FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey) AS part_units
+    FROM sp
+    WHERE pair_units * 2 >
+          (SELECT sum(CAST(floor(l2.l_quantity) AS BIGINT))
+           FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey)
+    """,
+    doc="Q20-shape per-group dominance: (supplier, part) pairs shipping "
+    ">half the part's units; correlated sum decorrelated to "
+    "groupBy(part) + join-back, integer 2x cross-multiply",
+    tags=("analytics", "A4", "J1"),
+)
+def q179_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_suppkey",
+        "l_partkey",
+        F.floor("l_quantity").cast("bigint").alias("units"),
+    )
+    pair = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("units").cast("bigint").alias("pair_units")
+    )
+    part = li.groupBy("l_partkey").agg(
+        F.sum("units").cast("bigint").alias("part_units")
+    )
+    return (
+        pair.join(part, "l_partkey")
+        .filter(F.col("pair_units") * 2 > F.col("part_units"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+            "pair_units",
+            "part_units",
+        )
+    )
+
+
+# q180 — sole-supplier orders (Q21 shape): for each supplier, how many
+# multi-line orders they supplied ALONE. The EXISTS(same order, same
+# supplier, other line) / NOT EXISTS(same order, OTHER supplier) pair
+# decorrelates into one per-order aggregate (n_lines, n_suppliers,
+# min_supplier) — a single shuffle on orderkey, no self-join at all —
+# followed by a supplier-keyed count. The oracle keeps the literal
+# correlated EXISTS/NOT EXISTS formulation.
+
+@register(
+    "q180_sole_supplier_orders",
+    oracle="""
+    WITH sole AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      WHERE EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l.l_orderkey
+                      AND l2.l_linenumber <> l.l_linenumber)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l.l_orderkey
+                          AND l3.l_suppkey <> l.l_suppkey)
+    )
+    SELECT l_suppkey AS suppkey,
+           CAST(count(*) AS BIGINT) AS n_sole_orders
+    FROM sole GROUP BY l_suppkey
+    """,
+    doc="Q21-shape sole-supplier orders: EXISTS/NOT-EXISTS pair "
+    "decorrelated to ONE per-order aggregate (n_lines, n_suppliers) — "
+    "no self-join; supplier rollup after",
+    tags=("analytics", "A4", "A3"),
+)
+def q180_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"].select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    # "exists another line with a DIFFERENT linenumber" == the order has
+    # >= 2 distinct linenumbers (synthetic data has duplicate
+    # linenumbers, so count(*) >= 2 would over-admit).
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_linenumber").alias("n_linenos"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min("l_suppkey").alias("the_supplier"),
+    )
+    sole = per_order.filter(
+        (F.col("n_linenos") >= 2) & (F.col("n_suppliers") == 1)
+    )
+    return sole.groupBy(F.col("the_supplier").alias("suppkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sole_orders")
+    )
