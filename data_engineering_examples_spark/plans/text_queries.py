@@ -929,3 +929,108 @@ def q173_source_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hhi_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — sparse TF-vector cosine pair mining via the inverted index:
+# exact document-document cosine over term-frequency vectors, the
+# lexical complement to q49's dense-embedding near-dup.  The posting
+# join is df-capped (terms appearing in more than DF_CAP docs are
+# dropped from PAIR GENERATION — the q23 hot-shingle rule: ubiquitous
+# terms produce quadratic pair blowup and near-zero discrimination),
+# while norms are computed over the FULL vector so the cosine is the
+# true capped-numerator bound.  All numerators and squared norms are
+# exact integers; the only floats are two correctly-rounded sqrts and
+# one division per surviving pair.
+
+SPARSE_DF_CAP = 64
+SPARSE_TOP = 50
+
+
+@register(
+    "q181_sparse_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ss FROM tf GROUP BY doc_id
+    ),
+    keep AS (
+      SELECT term FROM tf GROUP BY term
+      HAVING count(*) BETWEEN 2 AND {SPARSE_DF_CAP}
+    ),
+    num AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot,
+             CAST(count(*) AS BIGINT) AS shared_terms
+      FROM tf a
+      JOIN tf b ON b.term = a.term AND a.doc_id < b.doc_id
+      JOIN keep k ON k.term = a.term
+      GROUP BY 1, 2
+    )
+    SELECT n.doc_a, n.doc_b, n.dot, n.shared_terms,
+           CAST(n.dot AS DOUBLE)
+             / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE)))
+             AS cosine
+    FROM num n
+    JOIN norms na ON na.doc_id = n.doc_a
+    JOIN norms nb ON nb.doc_id = n.doc_b
+    ORDER BY cosine DESC, doc_a, doc_b LIMIT {SPARSE_TOP}
+    """,
+    doc=f"sparse tf-vector cosine pairs via df-capped (<= {SPARSE_DF_CAP}) "
+    "inverted-index join; integer dot/norms, full-vector normalization, "
+    f"top-{SPARSE_TOP}",
+    tags=("text", "llm", "dedup"),
+)
+def q181_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("doc_id", F.explode(F.split(d.text, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint()  # feeds norms, the df filter, and both join sides
+    )
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ss")
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= SPARSE_DF_CAP))
+        .select("term")
+    )
+    posting = tf.join(keep, "term")
+    a = posting.select(
+        "term", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = posting.select(
+        "term", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    num = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"),
+            F.count(F.lit(1)).cast("bigint").alias("shared_terms"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("ss_a").cast("double")) * F.sqrt(F.col("ss_b").cast("double"))
+    )
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", "shared_terms", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+        .limit(SPARSE_TOP)
+    )
