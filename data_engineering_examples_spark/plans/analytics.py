@@ -4097,11 +4097,14 @@ def q178_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q179 — per-group dominance (Q20 shape): (supplier, part) pairs that
-# shipped MORE THAN HALF of that part's total quantity. The correlated
-# "qty > 0.5 × (SELECT sum … WHERE same part)" decorrelates into the
-# per-part total (one shuffle) joined back on partkey; the ½ threshold
-# is 2·pair_units > part_units in integers (quantities are integral).
+# q179 — per-group dominance (Q20 shape): (supplier, part) pairs whose
+# unit share of the part exceeds TWICE the fair share 1/n_suppliers —
+# i.e. suppliers over-concentrating a part's flow. The correlated
+# "qty × (SELECT count(DISTINCT supp) … same part) > 2 × (SELECT sum …
+# same part)" pair decorrelates into ONE per-part aggregate
+# (part_units, n_suppliers) joined back on partkey; the threshold is
+# pure integer cross-multiplication. (A fixed >50% cut is degenerate
+# here — parts average ~10 suppliers, so no share reaches it.)
 
 @register(
     "q179_dominant_part_suppliers",
@@ -4113,15 +4116,19 @@ def q178_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey AS suppkey, l_partkey AS partkey, pair_units,
            (SELECT CAST(sum(CAST(floor(l2.l_quantity) AS BIGINT)) AS BIGINT)
-            FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey) AS part_units
+            FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey) AS part_units,
+           (SELECT CAST(count(DISTINCT l2.l_suppkey) AS BIGINT)
+            FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey) AS n_suppliers
     FROM sp
-    WHERE pair_units * 2 >
-          (SELECT sum(CAST(floor(l2.l_quantity) AS BIGINT))
-           FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey)
+    WHERE pair_units *
+          (SELECT count(DISTINCT l2.l_suppkey)
+           FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey) >
+          2 * (SELECT sum(CAST(floor(l2.l_quantity) AS BIGINT))
+               FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey)
     """,
-    doc="Q20-shape per-group dominance: (supplier, part) pairs shipping "
-    ">half the part's units; correlated sum decorrelated to "
-    "groupBy(part) + join-back, integer 2x cross-multiply",
+    doc="Q20-shape per-group dominance: (supplier, part) pairs with unit "
+    "share > 2x the fair share 1/n_suppliers; three correlated subqueries "
+    "decorrelated to ONE groupBy(part) + join-back, integer cross-multiply",
     tags=("analytics", "A4", "J1"),
 )
 def q179_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4134,16 +4141,20 @@ def q179_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("units").cast("bigint").alias("pair_units")
     )
     part = li.groupBy("l_partkey").agg(
-        F.sum("units").cast("bigint").alias("part_units")
+        F.sum("units").cast("bigint").alias("part_units"),
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers"),
     )
     return (
         pair.join(part, "l_partkey")
-        .filter(F.col("pair_units") * 2 > F.col("part_units"))
+        .filter(
+            F.col("pair_units") * F.col("n_suppliers") > 2 * F.col("part_units")
+        )
         .select(
             F.col("l_suppkey").alias("suppkey"),
             F.col("l_partkey").alias("partkey"),
             "pair_units",
             "part_units",
+            "n_suppliers",
         )
     )
 

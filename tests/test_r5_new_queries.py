@@ -1,0 +1,162 @@
+"""Behavioral tests for the round-5 additions (q170-q181): structural
+and algebraic properties the value-hash oracle compare can't see —
+IVM algebra closure, ADC candidate provenance, fuzzy-join blocking
+soundness, Benford share accounting, autocorrelation recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+from data_engineering_examples_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_delta_join_view_algebra_closes(spark):
+    """old view + the three delta terms must equal the full new view
+    (counts AND revenue) — the IVM identity itself, not just the delta."""
+    t = load_tables(spark, SF, ["orders", "lineitem"])
+    o = t["orders"].select(
+        "o_orderkey", (F.col("o_orderkey") % 10 == 7).alias("o_new")
+    )
+    l = t["lineitem"].select("l_orderkey", "l_linenumber",
+                             (F.col("l_linenumber") % 4 == 2).alias("l_new"))
+    full = o.join(l, F.col("l_orderkey") == F.col("o_orderkey")).count()
+    old = (
+        o.filter(~F.col("o_new"))
+        .join(l.filter(~F.col("l_new")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    delta = all_specs()["q176_delta_join_view"].fn(spark, SF)
+    delta_rows = delta.agg(F.sum("n_rows")).collect()[0][0]
+    assert old + delta_rows == full
+
+
+def test_ivfpq_candidates_come_from_probe_lists(spark):
+    """every scored neighbor's coarse list must be one of its probe's
+    nprobe lists, ranks are dense 1..k, distances non-decreasing."""
+    res = all_specs()["q175_ivfpq_adc_topk"].fn(spark, SF).collect()
+    by_probe: dict = {}
+    for r in res:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for probe, rows in by_probe.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r.adc_dist for r in rows]
+        assert dists == sorted(dists), f"probe {probe} distances not sorted"
+        assert all(r.neighbor_id != probe for r in rows)
+
+
+def test_fuzzy_match_block_is_sound_and_canonical(spark):
+    from data_engineering_examples_spark.plans.dedup_queries import FUZZY_MAX_DIST
+
+    rows = all_specs()["q171_fuzzy_name_match"].fn(spark, SF).collect()
+    assert rows, "expected at least one fuzzy pair in the part vocabulary"
+    for r in rows:
+        assert r.name_a < r.name_b  # canonical orientation, no mirror dups
+        assert 0 < r.edit_dist <= FUZZY_MAX_DIST
+        assert abs(len(r.name_a) - len(r.name_b)) <= FUZZY_MAX_DIST
+
+
+def test_benford_shares_account_to_one(spark):
+    rows = all_specs()["q172_benford_audit"].fn(spark, SF).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    total_micros = sum(r.obs_micros for r in rows)
+    # integer-floor division loses at most 1 micro per digit
+    assert 1_000_000 - 9 <= total_micros <= 1_000_000
+    exp = sum(r.exp_micros for r in rows)
+    assert abs(exp - 1_000_000) <= 2  # the literal Benford table itself
+
+
+def test_lag7_autocorr_matches_recompute(spark):
+    row = all_specs()["q174_lag7_autocorr"].fn(spark, SF).collect()[0]
+    assert -1.0 <= row.r_lag7 <= 1.0
+    daily = {
+        r.day: r.n
+        for r in load_tables(spark, SF, ["events"])["events"]
+        .select(F.col("ts").cast("timestamp").cast("date").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import datetime
+
+    xs, ys = [], []
+    for day, n in daily.items():
+        nxt = daily.get(day + datetime.timedelta(days=7))
+        if nxt is not None:
+            xs.append(n)
+            ys.append(nxt)
+    n = len(xs)
+    assert n == row.n_pairs
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = math.sqrt(n * sum(x * x for x in xs) - sum(xs) ** 2) * math.sqrt(
+        n * sum(y * y for y in ys) - sum(ys) ** 2
+    )
+    assert abs(row.r_lag7 - num / den) < 1e-12
+
+
+def test_sole_supplier_orders_spotcheck(spark):
+    """for each reported supplier, independently recount their sole
+    orders from the raw lineitem table."""
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_linenumber").alias("nl"),
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.min("l_suppkey").alias("s"),
+    )
+    expect = {
+        r.s: r.n
+        for r in per_order.filter("nl >= 2 and ns = 1")
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        r.suppkey: r.n_sole_orders
+        for r in all_specs()["q180_sole_supplier_orders"].fn(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_top_pair_recount(spark):
+    """recount the winning pair's weighted frequency in pure Python."""
+    rows = all_specs()["q170_bpe_merge_pairs"].fn(spark, SF).collect()
+    assert rows and rows[0].pair_count >= rows[-1].pair_count
+    top = rows[0]
+    docs = load_tables(spark, SF, ["documents"])["documents"].select("text").collect()
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    expect = sum(
+        n for w, n in wc.items() for i in range(len(w) - 1) if w[i : i + 2] == top.pair
+    )
+    assert top.pair_count == expect
+
+
+def test_sparse_cosine_pairs_bounds(spark):
+    rows = all_specs()["q181_sparse_cosine_pairs"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 < r.cosine <= 1.0 + 1e-12
+        assert r.shared_terms >= 1 and r.dot >= r.shared_terms
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_dominant_suppliers_exceed_fair_share(spark):
+    rows = all_specs()["q179_dominant_part_suppliers"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        # share strictly above 2x the fair share 1/n_suppliers
+        assert r.pair_units * r.n_suppliers > 2 * r.part_units
+        assert r.pair_units <= r.part_units
