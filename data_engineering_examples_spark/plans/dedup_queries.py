@@ -922,20 +922,30 @@ def q171_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_tables(spark, sf_dir, ["part"])["part"]
     counts = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("n_parts"))
     a = counts.select(
-        F.col("p_name").alias("name_a"), F.col("n_parts").alias("n_parts_a")
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        F.length("p_name").alias("blk"),
     )
+    # the length band is realized as an EQUI-join key, not a theta
+    # predicate: the probe side emits one row per length offset in
+    # [-k, +k], so candidates meet through a hash join on the length
+    # bucket (each pair meets exactly once, at offset len_a - len_b) and
+    # the O(V²) nested loop never materializes even if the vocabulary
+    # regenerates as high-cardinality.  levenshtein <= k then decides.
     b = counts.select(
         F.col("p_name").alias("name_b"), F.col("n_parts").alias("n_parts_b")
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.length("name_b") - FUZZY_MAX_DIST,
+                F.length("name_b") + FUZZY_MAX_DIST,
+            )
+        ).alias("blk"),
     )
-    # vocabulary is bounded-domain → broadcast the build side; the length
-    # band prunes candidates before the levenshtein evaluates.
-    joined = a.join(
-        F.broadcast(b),
+    joined = a.join(F.broadcast(b), "blk").filter(
         (F.col("name_a") < F.col("name_b"))
-        & (
-            F.abs(F.length("name_a") - F.length("name_b")) <= FUZZY_MAX_DIST
-        )
-        & (F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST),
+        & (F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
     )
     return joined.select(
         "name_a",
