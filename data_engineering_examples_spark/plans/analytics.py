@@ -4207,3 +4207,142 @@ def q180_sole_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sole.groupBy(F.col("the_supplier").alias("suppkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sole_orders")
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — join-key skew profiler: the diagnostic that decides WHEN the
+# repo's skew operators (q54 salted join, q113 two-stage agg) are
+# needed.  Per-key row counts collapse into a log2 (bitlength)
+# histogram — the q169 integer-log trick, so the profile is ≤ 64 rows
+# and exactly reproducible — and each bucket carries the hottest key's
+# row count plus the SALT FACTOR ceil(max_rows / TARGET) a salted
+# repartition would need to cap per-task fan-in at TARGET rows.  Two
+# shuffles total: keys (partial-agg collapsed map-side), then the
+# bounded histogram.
+
+SKEW_TARGET_ROWS = 1000  # per-task fan-in budget the salt must restore
+
+
+@register(
+    "q182_key_skew_profile",
+    oracle=f"""
+    WITH per_key AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(length(bin(n)) AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           CAST((max(n) + {SKEW_TARGET_ROWS} - 1) // {SKEW_TARGET_ROWS}
+                AS BIGINT) AS salt_factor
+    FROM per_key GROUP BY 1
+    """,
+    doc="join-key skew profiler: per-key counts -> exact log2 histogram "
+    f"(<= 64 rows) with per-bucket hottest key and the salt factor that "
+    f"restores a {SKEW_TARGET_ROWS}-row per-task budget",
+    tags=("analytics", "A4", "skew"),
+)
+def q182_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_key.groupBy(F.length(F.bin("n")).cast("bigint").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+            F.max("n").cast("bigint").alias("max_key_rows"),
+        )
+        .select(
+            "log2_bucket",
+            "n_keys",
+            "total_rows",
+            "max_key_rows",
+            F.expr(
+                f"(max_key_rows + {SKEW_TARGET_ROWS} - 1) div {SKEW_TARGET_ROWS}"
+            )
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — time-weighted average value (TWAP) per user: the correct
+# average for IRREGULARLY sampled series (plain avg over-weights bursts
+# — exactly what q169 shows this stream has).  Trapezoidal integration
+# in pure integers: each consecutive-event segment contributes
+# gap_seconds × (vm_i + vm_{i-1}) to DOUBLE the integral, so the only
+# floats are one exact halving and one division at the very end.  The
+# lag window partitions BY USER (the q147/q169 full-tuple ordering —
+# never a global sort); the rollup is one user-keyed aggregate.
+
+@register(
+    "q183_user_twap",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm,
+             CAST(ts AS TIMESTAMP) AS t
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(date_diff('second',
+               lag(t) OVER (PARTITION BY user_id ORDER BY t, event_type, vm),
+               t) AS BIGINT) AS gap_s,
+             vm + lag(vm) OVER (PARTITION BY user_id
+                                ORDER BY t, event_type, vm) AS vm2
+      FROM s
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(gap_s) AS BIGINT) AS total_seconds,
+           CAST(sum(gap_s * vm2) AS BIGINT) AS integral_2x_millis,
+           CAST(sum(gap_s * vm2) AS DOUBLE) / (2 * sum(gap_s)) AS twap_millis
+    FROM seg
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(gap_s) > 0
+    """,
+    doc="time-weighted average (trapezoid) per user over irregular "
+    "events: integer segment integrals via user-partitioned lag; floats "
+    "only in the final halving+division",
+    tags=("analytics", "W3", "A4"),
+)
+def q183_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.col("ts").cast("timestamp").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_type", "vm")
+    seg = ev.select(
+        "user_id",
+        (F.unix_timestamp("t") - F.unix_timestamp(F.lag("t").over(w))).alias(
+            "gap_s"
+        ),
+        (F.col("vm") + F.lag("vm").over(w)).alias("vm2"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("gap_s").cast("bigint").alias("total_seconds"),
+            F.sum(F.col("gap_s") * F.col("vm2")).cast("bigint").alias(
+                "integral_2x_millis"
+            ),
+        )
+        .filter(F.col("total_seconds") > 0)
+        .select(
+            "user_id",
+            "n_segments",
+            "total_seconds",
+            "integral_2x_millis",
+            (
+                F.col("integral_2x_millis").cast("double")
+                / (F.lit(2) * F.col("total_seconds"))
+            ).alias("twap_millis"),
+        )
+    )

@@ -160,3 +160,58 @@ def test_dominant_suppliers_exceed_fair_share(spark):
         # share strictly above 2x the fair share 1/n_suppliers
         assert r.pair_units * r.n_suppliers > 2 * r.part_units
         assert r.pair_units <= r.part_units
+
+
+def test_skew_profile_accounts_for_every_row(spark):
+    rows = all_specs()["q182_key_skew_profile"].fn(spark, SF).collect()
+    li = load_tables(spark, SF, ["lineitem"])["lineitem"]
+    assert sum(r.total_rows for r in rows) == li.count()
+    for r in rows:
+        # bitlength bucket b holds counts in [2^(b-1), 2^b)
+        assert 2 ** (r.log2_bucket - 1) <= r.max_key_rows < 2 ** r.log2_bucket
+        assert r.salt_factor == -(-r.max_key_rows // 1000)  # ceil
+
+
+def test_twap_is_bounded_and_recomputable(spark):
+    res = {
+        r.user_id: r
+        for r in all_specs()["q183_user_twap"].fn(spark, SF).collect()
+    }
+    assert res
+    ev = (
+        load_tables(spark, SF, ["events"])["events"]
+        .select(
+            "user_id",
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+            F.col("ts").cast("timestamp").alias("t"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r.user_id].append((r.t, r.event_type, r.vm))
+    checked = 0
+    for uid, rows in by_user.items():
+        if uid not in res:
+            continue
+        rows.sort()
+        # both engines truncate each TIMESTAMP to whole seconds before
+        # differencing (unix_timestamp / date_diff'second') — mirror that
+        segs = [
+            (int(b[0].timestamp()) - int(a[0].timestamp()), a[2] + b[2])
+            for a, b in zip(rows, rows[1:])
+        ]
+        total_s = sum(g for g, _ in segs)
+        integral_2x = sum(g * v for g, v in segs)
+        got = res[uid]
+        assert got.total_seconds == total_s
+        assert got.integral_2x_millis == integral_2x
+        vms = [v for _, _, v in rows]
+        assert min(vms) - 1 <= got.twap_millis <= max(vms) + 1
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked > 0
