@@ -762,3 +762,71 @@ def q150_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     swap_write(spark.read.parquet(staging), live)
     return spark.read.parquet(live)
+
+
+# ---------------------------------------------------------------------------
+# q184 — TRUD archive ingest via the Spark 4 PYTHON DATA SOURCE API
+# (``sources/ods_datasource.py``): the reference's HTTP-ZIP acquisition
+# leg (``dags/ODSImport.py:77-100``) re-expressed as a first-class
+# ``spark.read.format("ods_zip")`` table instead of a driver-side unzip
+# loop.  The archive (staged here from the epraccur fixture, split into
+# TWO members to exercise the planner) yields one input partition per
+# CSV member — parallel member decode — and the query's postcode-prefix
+# + phone-present predicates are PUSHED into the Python reader
+# (``pushFilters``), dropping rows during decode, before the
+# Python→JVM Arrow hop.  The oracle reads the identical CSV directly.
+
+@register(
+    "q184_ods_zip_datasource",
+    oracle=f"""
+    SELECT national_grouping,
+           CAST(count(*) AS BIGINT) AS n_orgs,
+           CAST(count(DISTINCT postcode) AS BIGINT) AS n_postcodes,
+           CAST(count(DISTINCT prac_ods) AS BIGINT) AS n_practices
+    FROM {_DUCK_EPRACCUR}
+    WHERE phone_number IS NOT NULL AND postcode LIKE 'SW%'
+    GROUP BY national_grouping
+    """,
+    doc="ODS ZIP archive as a Python DataSource: per-member input "
+    "partitions, EqualTo/IsNotNull/StartsWith pushed into the reader; "
+    "S1 acquisition leg as a real Spark table",
+    tags=("etl", "S1", "A4"),
+)
+def q184_ods_zip_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import zipfile
+
+    from ..scratch import scratch_dir
+    from ..sources import ods_datasource
+
+    ods_datasource.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+    base = scratch_dir("q184_ods_zip")
+    archive = os.path.join(base, "epraccur.zip")
+    if not os.path.exists(archive):
+        lines = open(_EP_CSV).read().splitlines(keepends=True)
+        half = len(lines) // 2
+        tmp = archive + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            z.writestr("epraccur_part1.csv", "".join(lines[:half]))
+            z.writestr("epraccur_part2.csv", "".join(lines[half:]))
+        os.replace(tmp, archive)
+
+    df = (
+        spark.read.format("ods_zip")
+        .option("pushdown", "true")
+        .load(archive)
+    )
+    return (
+        df.filter(
+            F.col("phone_number").isNotNull()
+            & F.col("postcode").startswith("SW")
+        )
+        .groupBy("national_grouping")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orgs"),
+            F.countDistinct("postcode").cast("bigint").alias("n_postcodes"),
+            F.countDistinct("prac_ods").cast("bigint").alias("n_practices"),
+        )
+    )

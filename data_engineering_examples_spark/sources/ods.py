@@ -15,7 +15,11 @@ Re-expresses the reference's ODS import extract/transform surface
   driver-side (or upstream-orchestrated) download-and-unpack into a
   staging path; it is inherently a single small-file fetch, not a
   distributed concern, and everything FROM the staged CSV onward is the
-  part that must scale and is what this module implements.
+  part that must scale and is what this module implements.  The
+  ARCHIVE-to-rows leg itself is now also first-class: see
+  ``ods_datasource.py`` (Spark 4 Python DataSource ``ods_zip`` — one
+  input partition per ZIP member, filter pushdown into the decoder;
+  registry query q184).
 * ``with_organisation_json`` — ``dags/ODSImport.py:160-230``
   (``convertOrganisationFHIR``): constant identifier/type blocks,
   conditional address/telecom/partOf, ``active=False`` when Closed.

@@ -1,0 +1,151 @@
+"""Spark 4 Python DataSource for the ODS TRUD ZIP archives (SURVEY §2 S1).
+
+The reference acquires NHS ODS master data as a ZIP of headerless
+positional CSVs (HTTP GET + ``zipfile.ZipFile`` + member extract,
+``dags/ODSImport.py:77-100``) and then parses fixed positions.  This
+module makes the ARCHIVE itself a first-class Spark table via the
+Python DataSource API (``pyspark.sql.datasource``, Spark 4):
+
+* ``partitions()`` plans ONE input partition per CSV member, so a
+  monthly TRUD drop with many member files (epraccur, epracarc,
+  regional splits) ingests in parallel across executors instead of
+  through a single driver-side unzip loop.
+* ``pushFilters()`` accepts ``EqualTo`` / ``IsNotNull`` /
+  ``StringStartsWith`` conjuncts on any column and applies them DURING
+  member decode — rows are dropped before they ever cross the
+  Python→JVM Arrow boundary, the moral equivalent of parquet predicate
+  pushdown for this format.  Everything else is returned to Spark
+  unhandled (per the API contract).
+* Empty CSV fields are surfaced as NULL, matching what
+  ``spark.read.csv`` (and the reference's pandas ``read_csv`` +
+  ``isna`` guards) produce, so the downstream ``read_epraccur``
+  semantics in ``ods.py`` are unchanged.
+
+Scope note (same as ``ods.py``): the HTTP fetch stays a driver-side /
+upstream concern; the archive path handed to this source must be on
+storage all executors can read (object store / shared FS in a real
+deployment, local disk under ``local[*]``).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import zipfile
+from typing import Iterator, List, Sequence, Tuple
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+    IsNotNull,
+    StringStartsWith,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .ods import EPRACCUR_COLS
+
+FORMAT_NAME = "ods_zip"
+
+
+class OdsZipDataSource(DataSource):
+    """``spark.read.format("ods_zip").schema(...).load("<archive.zip>")``.
+
+    Options: ``path`` (the archive), ``member_suffix`` (which members
+    are data files, default ``.csv``).  Default schema is the epraccur
+    positional layout; pass an explicit schema for other ODS files.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return StructType([StructField(c, StringType()) for c in EPRACCUR_COLS])
+
+    def reader(self, schema: StructType) -> "OdsZipReader":
+        # pushFilters is opt-in (option("pushdown", "true")): merely
+        # IMPLEMENTING it trips Spark's [DATA_SOURCE_PUSHDOWN_DISABLED]
+        # assertion when spark.sql.python.filterPushdown.enabled is
+        # false, so a plain session must get the plain reader.
+        if self.options.get("pushdown", "false").lower() == "true":
+            return OdsZipPushdownReader(schema, dict(self.options))
+        return OdsZipReader(schema, dict(self.options))
+
+
+class OdsZipReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("ods_zip: a zip archive path is required")
+        self.path = path
+        self.member_suffix = options.get("member_suffix", ".csv")
+        self.cols: List[str] = [f.name for f in schema.fields]
+        self.pushed: List[Filter] = []
+
+    def _row_passes(self, row: Sequence) -> bool:
+        for f in self.pushed:
+            v = row[self.cols.index(f.attribute[0])]
+            if isinstance(f, IsNotNull):
+                if v is None:
+                    return False
+            elif isinstance(f, EqualTo):
+                if v != f.value:
+                    return False
+            elif isinstance(f, StringStartsWith):
+                if v is None or not v.startswith(f.value):
+                    return False
+        return True
+
+    # -- partition planning -------------------------------------------------
+    def partitions(self) -> List[InputPartition]:
+        with zipfile.ZipFile(self.path) as z:
+            members = [
+                n for n in sorted(z.namelist()) if n.endswith(self.member_suffix)
+            ]
+        if not members:
+            raise ValueError(
+                f"ods_zip: no '*{self.member_suffix}' members in {self.path}"
+            )
+        return [InputPartition(m) for m in members]
+
+    # -- per-partition decode (runs on executors) ---------------------------
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        n = len(self.cols)
+        with zipfile.ZipFile(self.path) as z:
+            with z.open(partition.value) as member:
+                text = io.TextIOWrapper(member, encoding="utf-8", newline="")
+                for rec in csv.reader(text):
+                    if not rec:
+                        continue
+                    # pad/truncate to the positional layout; '' -> NULL
+                    # (spark.read.csv semantics, ODSImport.py isna guards)
+                    row = tuple(
+                        (rec[i] if i < len(rec) and rec[i] != "" else None)
+                        for i in range(n)
+                    )
+                    if self._row_passes(row):
+                        yield row
+
+
+class OdsZipPushdownReader(OdsZipReader):
+    """The pushdown-capable variant (requires
+    ``spark.sql.python.filterPushdown.enabled=true``): accepted
+    conjuncts are applied during member decode, dropping rows before
+    they cross the Python→JVM Arrow boundary."""
+
+    def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if isinstance(f, (EqualTo, IsNotNull, StringStartsWith)) and (
+                len(f.attribute) == 1 and f.attribute[0] in self.cols
+            ):
+                self.pushed.append(f)  # applied in read(); Spark may skip re-check
+            else:
+                yield f  # unsupported — Spark evaluates it post-scan
+
+
+def register(spark) -> None:
+    """Idempotently register the format with a live session."""
+    spark.dataSource.register(OdsZipDataSource)

@@ -215,3 +215,48 @@ def test_twap_is_bounded_and_recomputable(spark):
         if checked >= 25:
             break
     assert checked > 0
+
+
+def test_ods_zip_datasource_partitions_and_pushdown(spark):
+    """one input partition per archive member; pushdown and post-scan
+    filtering agree row-for-row; a session without the pushdown conf
+    still reads through the plain reader."""
+    import os
+    import zipfile
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_examples_spark.scratch import scratch_dir
+    from data_engineering_examples_spark.sources import ods_datasource
+    from data_engineering_examples_spark.sources.fhir import FIXTURES_DIR
+
+    ods_datasource.register(spark)
+    base = scratch_dir("test_ods_zip")
+    archive = os.path.join(base, "epraccur3.zip")
+    lines = open(f"{FIXTURES_DIR}/epraccur.csv").read().splitlines(keepends=True)
+    third = len(lines) // 3
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("m1.csv", "".join(lines[:third]))
+        z.writestr("m2.csv", "".join(lines[third : 2 * third]))
+        z.writestr("m3.csv", "".join(lines[2 * third :]))
+
+    plain = spark.read.format("ods_zip").load(archive)
+    assert plain.rdd.getNumPartitions() == 3
+    assert plain.count() == len(lines)
+
+    cond = F.col("postcode").startswith("SW") & F.col("phone_number").isNotNull()
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    pushed = (
+        spark.read.format("ods_zip")
+        .option("pushdown", "true")
+        .load(archive)
+        .filter(cond)
+    )
+    # fully pushed: no FilterExec node survives ("RuntimeFilters: []" is
+    # part of the BatchScan line, not a filter node)
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "Filter (" not in plan and "*(1) Filter" not in plan
+    assert pushed.count() == plain.filter(cond).count()
+    a = sorted(r.ods for r in pushed.select("ods").collect())
+    b = sorted(r.ods for r in plain.filter(cond).select("ods").collect())
+    assert a == b
