@@ -260,3 +260,53 @@ def test_ods_zip_datasource_partitions_and_pushdown(spark):
     a = sorted(r.ods for r in pushed.select("ods").collect())
     b = sorted(r.ods for r in plain.filter(cond).select("ods").collect())
     assert a == b
+
+
+def test_tws_processor_logic_with_stubbed_state():
+    """transformWithState can't run end-to-end here (Spark's TWS python
+    client needs protobuf, absent in this sandbox) — exercise the
+    processor's running-aggregate logic against a stubbed ValueState."""
+    import pandas as pd
+
+    from data_engineering_examples_spark.streaming.tws import UserAggProcessor
+
+    class StubState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubState()
+
+        def getValueState(self, name, schema):
+            assert name == "agg"
+            return self.state
+
+    p = UserAggProcessor()
+    h = StubHandle()
+    p.init(h)
+    # batch 1: three events
+    out1 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"vm": [5, 9, 1]})]), None)
+    )
+    assert len(out1) == 1
+    assert out1[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "max_value_millis": 9,
+    }
+    # batch 2: running totals carry over through state
+    out2 = list(
+        p.handleInputRows((7,), iter([pd.DataFrame({"vm": [4, 7]})]), None)
+    )
+    assert out2[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 5, "max_value_millis": 9,
+    }
+    assert h.state.v == (5, 9)
