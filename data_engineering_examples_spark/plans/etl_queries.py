@@ -830,3 +830,77 @@ def q184_ods_zip_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("prac_ods").cast("bigint").alias("n_practices"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — the TRUD archive FEED as a custom Python STREAMING source
+# (``OdsZipStreamReader``): monthly ZIP drops become micro-batches with
+# checkpointable offsets ({"processed": n} over the name-sorted archive
+# list), one input partition per (archive, member).  Incremental-ingest
+# semantics — a restart resumes AFTER already-committed drops — are
+# asserted by a pytest restart scenario; this query drains a two-drop
+# feed with availableNow and rolls the union up by national grouping,
+# which the oracle recomputes from the identical CSV rows.
+
+@register(
+    "q185_ods_zip_stream",
+    oracle=f"""
+    SELECT national_grouping,
+           CAST(count(*) AS BIGINT) AS n_orgs,
+           CAST(count(DISTINCT postcode) AS BIGINT) AS n_postcodes
+    FROM {_DUCK_EPRACCUR}
+    GROUP BY national_grouping
+    """,
+    doc="streaming ZIP-archive feed via a Python DataSourceStreamReader: "
+    "archive-count offsets, per-member partitions, availableNow drain "
+    "(S1 + T1 modern form)",
+    tags=("etl", "S1", "streaming", "T1"),
+)
+def q185_ods_zip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import zipfile
+
+    from ..scratch import scratch_dir
+    from ..sources import ods_datasource
+
+    ods_datasource.register(spark)
+    base = scratch_dir("q185_ods_feed")
+    feed, out, ck = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
+    if not _os.path.isdir(feed):
+        lines = open(_EP_CSV).read().splitlines(keepends=True)
+        half, quarter = len(lines) // 2, len(lines) // 4
+        tmp = feed + ".tmp"
+        _os.makedirs(tmp)
+        with zipfile.ZipFile(f"{tmp}/drop_2025_07.zip", "w") as z:
+            z.writestr("m1.csv", "".join(lines[:quarter]))
+            z.writestr("m2.csv", "".join(lines[quarter:half]))
+        with zipfile.ZipFile(f"{tmp}/drop_2025_08.zip", "w") as z:
+            z.writestr("m1.csv", "".join(lines[half : half + quarter]))
+            z.writestr("m2.csv", "".join(lines[half + quarter :]))
+        _os.replace(tmp, feed)
+
+    # fresh drain per run: the query's contract is "the feed so far"
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    q = (
+        spark.readStream.format("ods_zip")
+        .load(feed)
+        .writeStream.foreachBatch(
+            lambda df, _bid: df.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("national_grouping")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orgs"),
+            F.countDistinct("postcode").cast("bigint").alias("n_postcodes"),
+        )
+    )

@@ -37,6 +37,7 @@ from typing import Iterator, List, Sequence, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     InputPartition,
@@ -73,6 +74,9 @@ class OdsZipDataSource(DataSource):
         if self.options.get("pushdown", "false").lower() == "true":
             return OdsZipPushdownReader(schema, dict(self.options))
         return OdsZipReader(schema, dict(self.options))
+
+    def streamReader(self, schema: StructType) -> "OdsZipStreamReader":
+        return OdsZipStreamReader(schema, dict(self.options))
 
 
 class OdsZipReader(DataSourceReader):
@@ -149,3 +153,68 @@ class OdsZipPushdownReader(OdsZipReader):
 def register(spark) -> None:
     """Idempotently register the format with a live session."""
     spark.dataSource.register(OdsZipDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form: a ZIP-archive FEED (the monthly TRUD drop cadence) as
+# a checkpointable Structured Streaming source.  The offset is simply
+# {"processed": <n archives>} over the name-sorted archive list — new
+# drops append to the order, so an offset prefix is stable across
+# restarts; partitions(start, end) plans one InputPartition per
+# (archive, member) so each micro-batch decodes its drop's members in
+# parallel.  commit() is a no-op (offsets fully describe progress);
+# Spark's checkpoint persists them.
+
+class OdsZipStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict):
+        feed = options.get("path")
+        if not feed:
+            raise ValueError("ods_zip stream: a feed directory is required")
+        self.feed = feed
+        self.member_suffix = options.get("member_suffix", ".csv")
+        self.cols: List[str] = [f.name for f in schema.fields]
+
+    def _archives(self) -> List[str]:
+        import os
+
+        return sorted(
+            f for f in os.listdir(self.feed) if f.endswith(".zip")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"processed": 0}
+
+    def latestOffset(self) -> dict:
+        return {"processed": len(self._archives())}
+
+    def partitions(self, start: dict, end: dict) -> List[InputPartition]:
+        import os
+
+        parts: List[InputPartition] = []
+        for name in self._archives()[start["processed"] : end["processed"]]:
+            path = os.path.join(self.feed, name)
+            with zipfile.ZipFile(path) as z:
+                for m in sorted(z.namelist()):
+                    if m.endswith(self.member_suffix):
+                        parts.append(InputPartition((path, m)))
+        return parts
+
+    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+        path, member_name = partition.value
+        n = len(self.cols)
+        with zipfile.ZipFile(path) as z:
+            with z.open(member_name) as member:
+                text = io.TextIOWrapper(member, encoding="utf-8", newline="")
+                for rec in csv.reader(text):
+                    if not rec:
+                        continue
+                    yield tuple(
+                        (rec[i] if i < len(rec) and rec[i] != "" else None)
+                        for i in range(n)
+                    )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are self-describing; the checkpoint owns them
+
+    def stop(self) -> None:
+        pass

@@ -310,3 +310,50 @@ def test_tws_processor_logic_with_stubbed_state():
         "user_id": 7, "n_events": 5, "max_value_millis": 9,
     }
     assert h.state.v == (5, 9)
+
+
+def test_ods_zip_stream_resumes_from_offset(spark):
+    """checkpointed archive-count offsets: drain drop 1, add drop 2,
+    resume — the second drain must ingest ONLY the new archive."""
+    import os
+    import shutil
+    import zipfile
+
+    from data_engineering_examples_spark.scratch import scratch_dir
+    from data_engineering_examples_spark.sources import ods_datasource
+    from data_engineering_examples_spark.sources.fhir import FIXTURES_DIR
+
+    ods_datasource.register(spark)
+    base = scratch_dir("test_ods_zip_stream")
+    feed, out, ck = f"{base}/feed", f"{base}/out", f"{base}/ck"
+    for d in (feed, out, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(feed)
+    lines = open(f"{FIXTURES_DIR}/epraccur.csv").read().splitlines(keepends=True)
+    half = len(lines) // 2
+
+    def drain():
+        q = (
+            spark.readStream.format("ods_zip")
+            .load(feed)
+            .writeStream.foreachBatch(
+                lambda df, _b: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with zipfile.ZipFile(f"{feed}/drop_a.zip", "w") as z:
+        z.writestr("m1.csv", "".join(lines[:half]))
+    drain()
+    assert spark.read.parquet(out).count() == half
+
+    with zipfile.ZipFile(f"{feed}/drop_b.zip", "w") as z:
+        z.writestr("m1.csv", "".join(lines[half:]))
+    drain()
+    df = spark.read.parquet(out)
+    # full feed ingested, drop_a NOT re-read on resume
+    assert df.count() == len(lines)
+    assert df.select("ods").distinct().count() == len(lines)
