@@ -904,3 +904,59 @@ def q185_ods_zip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("postcode").cast("bigint").alias("n_postcodes"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q186 — archive WRITE round-trip through the Python DataSource's
+# two-phase commit (``OdsZipWriter``): tasks stage per-partition CSV
+# parts, the driver-side commit() zips them and atomically publishes —
+# a reader can never observe a partial archive, and a failed job leaves
+# the previous archive untouched (asserted by the abort pytest).  The
+# query writes the epraccur rows out through the writer, reads the
+# archive back with the batch reader, and rolls up by postcode area;
+# the oracle computes the same rollup straight from the source CSV, so
+# any row lost or damaged in the write→zip→read cycle breaks the hash.
+
+@register(
+    "q186_ods_zip_roundtrip",
+    oracle=f"""
+    SELECT split_part(postcode, ' ', 1) AS postcode_area,
+           CAST(count(*) AS BIGINT) AS n_orgs,
+           CAST(count(DISTINCT national_grouping) AS BIGINT) AS n_groupings
+    FROM {_DUCK_EPRACCUR}
+    WHERE postcode IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="write->zip->read round-trip via the Python DataSource writer's "
+    "two-phase commit (staged parts, atomic publish); rollup by "
+    "postcode area must hash-match the source CSV",
+    tags=("etl", "S1", "S6", "A4"),
+)
+def q186_ods_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..scratch import scratch_dir
+    from ..sources import ods_datasource
+
+    ods_datasource.register(spark)
+    base = scratch_dir("q186_ods_roundtrip")
+    archive = _os.path.join(base, "epraccur_out.zip")
+
+    src = read_epraccur(spark, _EP_CSV)
+    # 4 partitions -> 4 archive members, exercising parallel member
+    # assembly in commit() and parallel member decode on re-read
+    src.repartition(4).write.format("ods_zip").mode("overwrite").save(archive)
+
+    back = spark.read.format("ods_zip").load(archive)
+    return (
+        back.filter(F.col("postcode").isNotNull())
+        .groupBy(
+            F.substring_index("postcode", " ", 1).alias("postcode_area")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orgs"),
+            F.countDistinct("national_grouping").cast("bigint").alias(
+                "n_groupings"
+            ),
+        )
+    )

@@ -78,6 +78,9 @@ class OdsZipDataSource(DataSource):
     def streamReader(self, schema: StructType) -> "OdsZipStreamReader":
         return OdsZipStreamReader(schema, dict(self.options))
 
+    def writer(self, schema: StructType, overwrite: bool) -> "OdsZipWriter":
+        return OdsZipWriter(schema, dict(self.options), overwrite)
+
 
 class OdsZipReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -218,3 +221,72 @@ class OdsZipStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Writer: the outbound half of the archive round-trip, with the API's
+# TWO-PHASE COMMIT contract.  Each task serializes its partition to a
+# staged positional-CSV part file and returns a WriterCommitMessage;
+# only the driver-side commit() — which runs iff every task succeeded —
+# assembles the parts into the final ZIP and os.replace()s it into
+# place, so readers never observe a partial archive.  abort() discards
+# the staging directory.  One part file per input partition keeps the
+# archive's member structure parallel-readable by OdsZipReader, closing
+# the round trip.  NULL fields serialize as '' (the inverse of the
+# reader's '' -> NULL mapping).
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class OdsZipWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        if not overwrite:
+            raise ValueError(
+                "ods_zip: only mode('overwrite') is supported — archives "
+                "are immutable drops, not append targets"
+            )
+        path = options.get("path")
+        if not path:
+            raise ValueError("ods_zip: a target archive path is required")
+        self.path = path
+        self.staging = path + ".staging"
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _PartFile:  # executes on executors
+        import os
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(part, "w", encoding="utf-8", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return _PartFile(path=part, n_rows=n)
+
+    def commit(self, messages) -> None:  # driver, all tasks succeeded
+        import os
+        import shutil
+
+        tmp = self.path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for i, m in enumerate(sorted(messages, key=lambda m: m.path)):
+                if m.n_rows:
+                    z.write(m.path, arcname=f"member_{i:05d}.csv")
+        os.replace(tmp, self.path)  # atomic publish
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:  # driver, some task failed
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)

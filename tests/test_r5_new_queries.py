@@ -357,3 +357,47 @@ def test_ods_zip_stream_resumes_from_offset(spark):
     # full feed ingested, drop_a NOT re-read on resume
     assert df.count() == len(lines)
     assert df.select("ods").distinct().count() == len(lines)
+
+
+def test_ods_zip_writer_two_phase_commit_atomicity(spark):
+    """a failed write job must leave the previously-published archive
+    byte-identical and clean up its staging directory."""
+    import os
+    import shutil
+
+    import pytest
+
+    from data_engineering_examples_spark.scratch import scratch_dir
+    from data_engineering_examples_spark.sources import ods_datasource
+    from data_engineering_examples_spark.sources.fhir import FIXTURES_DIR
+    from data_engineering_examples_spark.sources.ods import read_epraccur
+
+    ods_datasource.register(spark)
+    base = scratch_dir("test_ods_zip_writer")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    archive = f"{base}/out.zip"
+
+    src = read_epraccur(spark, f"{FIXTURES_DIR}/epraccur.csv")
+    src.repartition(2).write.format("ods_zip").mode("overwrite").save(archive)
+    published = open(archive, "rb").read()
+
+    # a poisoned second job: one task throws mid-write
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    @F.udf(StringType())
+    def poison(v):
+        raise RuntimeError("boom")
+
+    bad = src.withColumn("ods", poison("ods"))
+    with pytest.raises(Exception):
+        bad.repartition(2).write.format("ods_zip").mode("overwrite").save(archive)
+
+    assert open(archive, "rb").read() == published  # old archive intact
+    assert not os.path.exists(archive + ".staging")  # abort cleaned up
+    assert not os.path.exists(archive + ".tmp")
+
+    # append is an explicit error, not silent corruption
+    with pytest.raises(Exception):
+        src.write.format("ods_zip").mode("append").save(archive)
