@@ -4346,3 +4346,139 @@ def q183_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap_millis"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q187 — declarative data-quality expectations (the Deequ/"expectations
+# suite" pattern): a fixed contract of constraints — key uniqueness,
+# referential integrity, domain membership, value bounds, completeness
+# — evaluated as ONE conditional aggregate per table plus one anti-join
+# for the RI probe, never a pass per rule.  Each row is a verdict:
+# (constraint, checked_rows, violations, pass).  At 100 TB this is the
+# pre-publish gate in front of q150's write-audit-publish promotion;
+# every check is exact integer counting, the aggregate work is
+# map-side, and the only shuffle is the RI anti-join on the key.
+
+EVENT_TYPE_DOMAIN = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "q187_quality_expectations",
+    oracle=f"""
+    SELECT 'customer_key_unique' AS constraint,
+           CAST(count(*) AS BIGINT) AS checked_rows,
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS violations,
+           count(*) = count(DISTINCT c_custkey) AS pass
+    FROM customer
+    UNION ALL
+    SELECT 'orders_custkey_ri',
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) = 0
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_quantity_bounds',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity IS NULL
+                          OR l_quantity < 1 OR l_quantity > 50
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN l_quantity IS NULL
+                     OR l_quantity < 1 OR l_quantity > 50
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_totalprice_complete',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'events_type_in_domain',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN NOT list_contains({EVENT_TYPE_DOMAIN!r},
+                                                event_type)
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN NOT list_contains({EVENT_TYPE_DOMAIN!r}, event_type)
+                    THEN 1 ELSE 0 END) = 0
+    FROM events
+    """,
+    doc="declarative expectations suite: uniqueness, referential "
+    "integrity, bounds, completeness, domain membership — one "
+    "conditional aggregate per table + one RI anti-join, verdict rows",
+    tags=("analytics", "A4", "P7", "governance"),
+)
+def q187_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem", "events"])
+
+    def verdict(name, checked, violations):
+        return F.struct(
+            F.lit(name).alias("constraint"),
+            checked.cast("bigint").alias("checked_rows"),
+            violations.cast("bigint").alias("violations"),
+            (violations == 0).alias("pass"),
+        )
+
+    cust = t["customer"].agg(
+        verdict(
+            "customer_key_unique",
+            F.count(F.lit(1)),
+            F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+        ).alias("v")
+    )
+    # RI as ONE left-join aggregate (checked = all orders, violations =
+    # unmatched) — no separate count() action, no second pass
+    orphans = (
+        t["orders"]
+        .join(
+            # distinct build side: a duplicated dim key must not fan
+            # out the probe and inflate checked_rows
+            t["customer"]
+            .select(F.col("c_custkey").alias("o_custkey"))
+            .distinct()
+            .withColumn("__hit", F.lit(1)),
+            "o_custkey",
+            "left",
+        )
+        .agg(
+            verdict(
+                "orders_custkey_ri",
+                F.count(F.lit(1)),
+                F.sum(F.col("__hit").isNull().cast("int")),
+            ).alias("v")
+        )
+    )
+    bad_qty = (
+        F.col("l_quantity").isNull()
+        | (F.col("l_quantity") < 1)
+        | (F.col("l_quantity") > 50)
+    )
+    qty = t["lineitem"].agg(
+        verdict(
+            "lineitem_quantity_bounds",
+            F.count(F.lit(1)),
+            F.sum(bad_qty.cast("int")),
+        ).alias("v")
+    )
+    price = t["orders"].agg(
+        verdict(
+            "orders_totalprice_complete",
+            F.count(F.lit(1)),
+            F.sum(F.col("o_totalprice").isNull().cast("int")),
+        ).alias("v")
+    )
+    dom = t["events"].agg(
+        verdict(
+            "events_type_in_domain",
+            F.count(F.lit(1)),
+            F.sum((~F.col("event_type").isin(EVENT_TYPE_DOMAIN)).cast("int")),
+        ).alias("v")
+    )
+    return (
+        cust.unionByName(orphans)
+        .unionByName(qty)
+        .unionByName(price)
+        .unionByName(dom)
+        .select("v.constraint", "v.checked_rows", "v.violations", "v.pass")
+    )
