@@ -436,10 +436,11 @@ def q89_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seeding, ancestry is resolved purely by self-joins, exactly as it
 # would be over arbitrary parent data. r rounds resolve chains of 2^r
 # links (ids ≤ 999 ⇒ depth ≤ 3; 3 rounds cover 8), each round one
-# key-partitioned self-join — O(log depth) shuffles, the only
-# scale-correct closure shape (naive iteration is O(depth), and a
-# recursive CTE is exactly what Spark lacks). The DuckDB oracle IS the
-# recursive CTE, so convergence is verified, not assumed.
+# key-partitioned self-join — O(log depth) shuffles, the closure shape
+# that stays scale-correct on DEEP graphs (naive iteration — including
+# Spark 4's native WITH RECURSIVE, which q188 exercises — is O(depth)
+# rounds). The DuckDB oracle IS the recursive CTE, so convergence is
+# verified, not assumed.
 
 
 @register(
@@ -959,4 +960,52 @@ def q186_ods_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_groupings"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — the full ancestry closure via Spark 4's NATIVE recursive CTE
+# (``WITH RECURSIVE`` landed in Spark 4.0): every (org, ancestor, hops)
+# pair of the parent chain, written declaratively and executed by the
+# engine's iterative-union operator.  The twin of q128, which computes
+# root resolution by pointer doubling: native recursion runs O(depth)
+# rounds (fine for org rollups — depth ≤ 4 by construction here, and
+# single digits in real ODS hierarchies), while q128's doubling stays
+# the O(log depth) path for deep chains.  Both engines run the SAME
+# recursion text, so the oracle checks Spark's recursive execution
+# end-to-end, not just a rewrite of it.
+
+@register(
+    "q188_recursive_ancestry",
+    oracle=f"""
+    WITH RECURSIVE chain AS (
+      SELECT CAST(_id AS BIGINT) AS id, CAST(_id AS BIGINT) AS anc,
+             CAST(0 AS BIGINT) AS hops
+      FROM read_parquet('{FX}/organizations.parquet')
+      UNION ALL
+      SELECT id, anc // 10, hops + 1 FROM chain WHERE anc >= 10
+    )
+    SELECT id, anc, hops FROM chain
+    """,
+    doc="ancestry closure via Spark 4 native WITH RECURSIVE (iterative "
+    "union, O(depth) rounds); q128's pointer doubling remains the "
+    "O(log depth) deep-chain path; identical recursion text both engines",
+    tags=("etl", "iterative", "J1"),
+)
+def q188_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fhir import load_fhir_tables
+
+    load_fhir_tables(spark, ["organizations"])["organizations"].select(
+        F.col("_id").cast("long").alias("id")
+    ).createOrReplaceTempView("q188_orgs")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT id, id AS anc, CAST(0 AS BIGINT) AS hops
+          FROM q188_orgs
+          UNION ALL
+          SELECT id, anc div 10, hops + 1 FROM chain WHERE anc >= 10
+        )
+        SELECT id, anc, hops FROM chain
+        """
     )
