@@ -4482,3 +4482,106 @@ def q187_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dom)
         .select("v.constraint", "v.checked_rows", "v.violations", "v.pass")
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — the Spark 4 SQL PIPE syntax (`|>`) through the text entry
+# point: the q01 pricing-summary semantics written as a linear dataflow
+# (FROM |> WHERE |> EXTEND |> AGGREGATE … GROUP BY |> ORDER BY) instead
+# of inside-out SELECT nesting.  Same Catalyst plan as the DataFrame
+# form — the pipe operators are pure parser surface — so this pins the
+# engine's newest SQL dialect against a standard-SQL oracle.  Exact
+# DECIMAL accumulation behind final double casts, as everywhere.
+
+@register(
+    "q189_pipe_syntax_pricing",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="Spark 4 SQL pipe syntax (|> WHERE / EXTEND / AGGREGATE) via "
+    "spark.sql text: q01 semantics as a linear dataflow, standard-SQL "
+    "oracle",
+    tags=("analytics", "S2", "A4"),
+)
+def q189_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql_text import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                  CAST(l_discount AS DECIMAL(4,2)) AS disc
+        |> AGGREGATE
+             CAST(sum(qty) AS DOUBLE) AS sum_qty,
+             CAST(sum(price) AS DOUBLE) AS sum_base,
+             CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+             CAST(count(*) AS BIGINT) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — correlated LATERAL subquery through the text entry point: for
+# each nation, its highest-value order (full row context, not just the
+# max), written as the SQL-standard LATERAL form users port from
+# Postgres/DuckDB.  Catalyst DECORRELATES the per-nation dependent
+# subquery into a join over a ranked aggregate — the plan a hand
+# decorrelation (q56's max+join-back) would build — so this pins both
+# the dialect surface AND the decorrelation. Deterministic: the top
+# order per nation is unique by (o_totalprice DESC, o_orderkey).
+
+@register(
+    "q190_lateral_top_order",
+    oracle="""
+    SELECT n.n_name, t.o_orderkey AS top_orderkey,
+           t.o_totalprice AS top_totalprice,
+           CAST(t.o_custkey AS BIGINT) AS top_custkey
+    FROM nation n,
+    LATERAL (
+      SELECT o.o_orderkey, o.o_totalprice, o.o_custkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY o.o_totalprice DESC, o.o_orderkey
+      LIMIT 1
+    ) t
+    """,
+    doc="SQL-standard LATERAL correlated top-1-per-nation via spark.sql "
+    "text; Catalyst decorrelates to a ranked join (the q56 shape)",
+    tags=("analytics", "S2", "J1", "W1"),
+)
+def q190_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql_text import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey AS top_orderkey,
+               t.o_totalprice AS top_totalprice,
+               CAST(t.o_custkey AS BIGINT) AS top_custkey
+        FROM nation n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice, o.o_custkey
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 1
+        ) t
+        """
+    )
