@@ -4585,3 +4585,172 @@ def q190_lateral_top_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — A/B experiment readout with deterministic hash assignment: the
+# md5-derived user bucket (the dedup modules' cross-engine integer
+# idiom) splits users 50/50 into arms at ASSIGNMENT time — stable under
+# reprocessing, no stored assignment table — and the readout is exact
+# integer accounting: exposures (users with any 'view'), conversions
+# (exposed users with a later 'purchase'), per-arm rate and the lift
+# delta in micro-units (floored integer division; no float decides
+# anything).  One pass over events into a per-user profile, one
+# |arms|-row rollup; the "later" constraint uses min-timestamps, not a
+# join.
+
+@register(
+    "q191_ab_experiment_lift",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+                  AS BIGINT) % 2 AS arm,
+             min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    flags AS (
+      SELECT arm,
+             CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS exposed,
+             CASE WHEN first_view IS NOT NULL AND first_purchase IS NOT NULL
+                   AND first_purchase > first_view THEN 1 ELSE 0 END AS converted
+      FROM per_user
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(exposed) AS BIGINT) AS n_exposed,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           CAST(sum(converted) * 1000000 // sum(exposed) AS BIGINT)
+             AS conv_rate_micros
+    FROM flags GROUP BY arm
+    """,
+    doc="A/B readout with deterministic md5 hash assignment: stable "
+    "50/50 arms, exposure->conversion ordering via min-timestamps (no "
+    "self-join), exact integer micro-unit rates",
+    tags=("analytics", "A4", "W3", "experiment"),
+)
+def q191_ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts").cast("timestamp"))
+        ).alias("first_view"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("timestamp")
+            )
+        ).alias("first_purchase"),
+    )
+    flags = per_user.select(
+        "arm",
+        F.col("first_view").isNotNull().cast("int").alias("exposed"),
+        (
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_view"))
+        )
+        .cast("int")
+        .alias("converted"),
+    )
+    return (
+        flags.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("exposed").cast("bigint").alias("n_exposed"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+        .select(
+            F.col("arm").cast("bigint"),
+            "n_users",
+            "n_exposed",
+            "n_converted",
+            F.expr("n_converted * 1000000 div n_exposed")
+            .cast("bigint")
+            .alias("conv_rate_micros"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — funnel time-to-convert histogram: the latency distribution
+# between a user's first 'view' and their first LATER 'purchase', in
+# the q169 exact log2 (bitlength) buckets.  Completes the funnel
+# triptych — q91 counts stage reach, q191 reads out conversion rates,
+# this one shows HOW LONG conversion takes — and stays all-integer:
+# per-user min-timestamps (one aggregate, no self-join), whole-second
+# deltas, bitlength bins, a ≤64-row histogram.
+
+@register(
+    "q192_funnel_latency_histogram",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_view,
+             min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+               AS first_purchase
+      FROM events GROUP BY 1
+    ),
+    delays AS (
+      SELECT date_diff('second', first_view, first_purchase) AS delay_s
+      FROM per_user
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view
+    )
+    SELECT CAST(CASE WHEN delay_s <= 0 THEN 0
+                     ELSE length(bin(delay_s)) END AS BIGINT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(delay_s) AS BIGINT) AS min_delay_s,
+           CAST(max(delay_s) AS BIGINT) AS max_delay_s
+    FROM delays GROUP BY 1
+    """,
+    doc="funnel time-to-convert (first view -> first later purchase) in "
+    "exact log2 buckets: one per-user aggregate, no self-join, <=64-row "
+    "histogram",
+    tags=("analytics", "W3", "A4", "experiment"),
+)
+def q192_funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts").cast("timestamp"))
+        ).alias("first_view"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("timestamp")
+            )
+        ).alias("first_purchase"),
+    )
+    delays = per_user.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase") - F.unix_timestamp("first_view")
+        ).alias("delay_s")
+    )
+    return (
+        delays.select(
+            F.when(F.col("delay_s") <= 0, F.lit(0))
+            .otherwise(F.length(F.bin("delay_s")))
+            .cast("bigint")
+            .alias("log2_bucket"),
+            "delay_s",
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("delay_s").cast("bigint").alias("min_delay_s"),
+            F.max("delay_s").cast("bigint").alias("max_delay_s"),
+        )
+    )
