@@ -4754,3 +4754,142 @@ def q192_funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("delay_s").cast("bigint").alias("max_delay_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q193 — small-files audit: the operational telemetry that justifies
+# q114's compaction — read a fragmented landing zone back WITH
+# ``input_file_name()`` and report the rows-per-file histogram.  The
+# layout is made SQL-predictable on purpose: an explicit
+# ``repartition(64)`` is round-robin, so every file carries floor(n/64)
+# or ceil(n/64) rows — the oracle derives the exact histogram from the
+# row count alone, independently of which physical file got which rows.
+# At scale this query is the health check a table-maintenance service
+# runs before scheduling compaction; per-file counting rides the normal
+# scan (input_file_name is free metadata, no extra pass).
+
+Q193_FILES = 64
+
+
+@register(
+    "q193_small_files_audit",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM events),
+    hist AS (
+      SELECT n // {Q193_FILES} AS rows_per_file,
+             {Q193_FILES} - (n % {Q193_FILES}) AS n_files
+      FROM n
+      UNION ALL
+      SELECT n // {Q193_FILES} + 1, n % {Q193_FILES} FROM n
+      WHERE n % {Q193_FILES} > 0
+    )
+    SELECT CAST(rows_per_file AS BIGINT) AS rows_per_file,
+           CAST(n_files AS BIGINT) AS n_files
+    FROM hist
+    """,
+    doc="small-files audit via input_file_name(): rows-per-file "
+    "histogram of a round-robin 64-file landing zone; oracle derives "
+    "the exact histogram from the row count",
+    tags=("analytics", "A4", "layout"),
+)
+def q193_small_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..scratch import scratch_dir
+
+    base = scratch_dir("q193_files")
+    landing = f"{base}/events_landing"
+    if not _os.path.isdir(landing):
+        ev = load_tables(spark, sf_dir, ["events"])["events"]
+        tmp = landing + ".tmp"
+        ev.repartition(Q193_FILES).write.parquet(tmp)
+        _os.replace(tmp, landing)
+    per_file = (
+        spark.read.parquet(landing)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("rows_per_file"))
+    )
+    return per_file.groupBy("rows_per_file").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files")
+    ).select(F.col("rows_per_file").cast("bigint"), "n_files")
+
+
+# ---------------------------------------------------------------------------
+# q194 — NHS-number mod-11 check-digit audit (the reference's U9
+# validation domain: its identifiers are NHS ODS/GMP codes and NHS
+# numbers).  Candidate 10-digit numbers are synthesized
+# deterministically from patient ids (the fixture carries none), then
+# validated with the REAL algorithm: weights 10..2 over digits 1-9,
+# remainder r = sum mod 11, check digit 11-r (11->0, 10->unissuable).
+# Digit extraction is pure integer div/mod — no strings — so both
+# engines run bit-identical arithmetic.  Map-only + one 1-row rollup.
+
+def _q194_oracle() -> str:
+    from ..sources.fhir import FIXTURES_DIR
+
+    digit_sum = " + ".join(
+        f"((nhs // {10 ** (10 - k)}) % 10) * {11 - k}" for k in range(1, 10)
+    )
+    return f"""
+    WITH cand AS (
+      SELECT 1000000000 + (CAST(_id AS BIGINT) * 2654435761) % 8999999999 AS nhs
+      FROM read_parquet('{FIXTURES_DIR}/patients.parquet')
+    ),
+    scored AS (
+      SELECT nhs, nhs % 10 AS given,
+             11 - (({digit_sum}) % 11) AS check_raw
+      FROM cand
+    ),
+    verdicts AS (
+      SELECT CASE WHEN check_raw = 10 THEN 'unissuable'
+                  WHEN (CASE WHEN check_raw = 11 THEN 0 ELSE check_raw END)
+                       = given THEN 'valid'
+                  ELSE 'bad_check_digit' END AS verdict
+      FROM scored
+    )
+    SELECT verdict, CAST(count(*) AS BIGINT) AS n
+    FROM verdicts GROUP BY verdict
+    """
+
+
+@register(
+    "q194_nhs_checksum_audit",
+    oracle=_q194_oracle(),
+    doc="NHS-number mod-11 check-digit audit: weights 10..2, r=sum%11, "
+    "11->0 / 10->unissuable; pure integer div/mod digit extraction, "
+    "map-only + 3-row rollup",
+    tags=("analytics", "A4", "U9", "governance"),
+)
+def q194_nhs_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.fhir import load_fhir_tables
+
+    pats = load_fhir_tables(spark, ["patients"])["patients"].select(
+        F.col("_id").cast("bigint").alias("pid")
+    )
+    nhs = (F.lit(1000000000) + (F.col("pid") * F.lit(2654435761)) % F.lit(8999999999)).alias("nhs")
+    cand = pats.select(nhs)
+    digit_sum = None
+    for k in range(1, 10):
+        # exact integer div — a double divide-then-cast could misround
+        term = (F.expr(f"nhs div {10 ** (10 - k)}") % 10) * F.lit(11 - k)
+        digit_sum = term if digit_sum is None else digit_sum + term
+    scored = cand.select(
+        "nhs",
+        (F.col("nhs") % 10).alias("given"),
+        (F.lit(11) - (digit_sum % 11)).alias("check_raw"),
+    )
+    verdict = (
+        F.when(F.col("check_raw") == 10, F.lit("unissuable"))
+        .when(
+            F.when(F.col("check_raw") == 11, F.lit(0)).otherwise(F.col("check_raw"))
+            == F.col("given"),
+            F.lit("valid"),
+        )
+        .otherwise(F.lit("bad_check_digit"))
+    )
+    return (
+        scored.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
