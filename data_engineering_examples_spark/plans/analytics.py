@@ -4893,3 +4893,156 @@ def q194_nhs_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("verdict")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — interval-union coverage: each event opens a 5-minute exposure
+# window; per user, the TOTAL COVERED SECONDS after merging overlaps —
+# the ad-exposure / uptime primitive where plain sum(duration)
+# double-counts bursts.  The merge is the sort-free-of-global-order
+# islands algebra: a window starts a new island iff it begins after the
+# running max of prior ends (user-partitioned cumulative max — never a
+# global sort), islands then aggregate to [min_start, max_end] spans.
+# Everything is whole-second integers; output is per-user coverage plus
+# the island count (burstiness).
+
+EXPOSURE_S = 300
+
+
+@register(
+    "q195_interval_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS vm,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s0,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+               + {EXPOSURE_S} AS s1
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s0, s1,
+             CASE WHEN s0 > coalesce(max(s1) OVER (
+                    PARTITION BY user_id ORDER BY s0, event_type, vm
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s0, s1,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s0, new_island DESC
+               ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT user_id, island,
+             min(s0) AS a, max(s1) AS b
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(b - a) AS BIGINT) AS covered_seconds
+    FROM spans GROUP BY user_id
+    """,
+    doc=f"interval-union coverage per user ({EXPOSURE_S}s exposure "
+    "windows): islands via user-partitioned running-max of ends, merged "
+    "spans summed exactly — no double counting, no global sort",
+    tags=("analytics", "W3", "A4"),
+)
+def q195_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"].select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("s0"),
+    )
+    iv = ev.withColumn("s1", F.col("s0") + EXPOSURE_S)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s0", "event_type", "vm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s0",
+        "s1",
+        (
+            F.col("s0") > F.coalesce(F.max("s1").over(w_prev), F.lit(-1))
+        )
+        .cast("int")
+        .alias("new_island"),
+    )
+    # island ids: cumulative sum ordered by (s0, new_island DESC) — ties
+    # on s0 put island-openers first, matching the oracle exactly
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("s0"), F.col("new_island").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("s0").alias("a"), F.max("s1").alias("b")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum(F.col("b") - F.col("a")).cast("bigint").alias("covered_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — longest consecutive-day streak per user (the DAU-streak /
+# badge primitive): distinct active days collapse into runs with the
+# classic day − dense_rank trick — consecutive days share a constant
+# difference, so the "anchor" IS the run id; no iteration, no self
+# join.  Windows are user-partitioned over DISTINCT DAYS (bounded by
+# the calendar, not the event volume); output is the bounded histogram
+# of longest-streak lengths across users.
+
+@register(
+    "q196_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, anchor, count(*) AS len FROM runs GROUP BY 1, 2
+    ),
+    longest AS (
+      SELECT user_id, max(len) AS longest_streak FROM streaks GROUP BY 1
+    )
+    SELECT CAST(longest_streak AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM longest GROUP BY 1
+    """,
+    doc="longest consecutive-day streak per user via the day - "
+    "row_number anchor trick (one pass, no iteration); bounded "
+    "streak-length histogram",
+    tags=("analytics", "W3", "A4"),
+)
+def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    days = ev.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = days.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    longest = streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak")
+    )
+    return longest.groupBy(
+        F.col("longest_streak").cast("bigint").alias("longest_streak")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
