@@ -5046,3 +5046,117 @@ def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return longest.groupBy(
         F.col("longest_streak").cast("bigint").alias("longest_streak")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# q197 — decile cumulative-gains curve (the targeting-model eval
+# primitive: "the top-scored 10% of users hold X% of conversions").
+# The global ranking a naive ntile() needs is NOT materialized: decile
+# BOUNDARIES come from the q96 exact-quantile machinery (count-per-
+# value + cumulative over DISTINCT scores — the window runs over the
+# value domain, not the users), then broadcast back as 9 thresholds;
+# bucket assignment is a map-side comparison.  Ties share a bucket by
+# value (deciles are value-defined, so both engines agree exactly);
+# the final cumulative is a 10-row window.  Integer micro-unit shares.
+
+@register(
+    "q197_decile_gains",
+    oracle="""
+    WITH score AS (
+      SELECT user_id,
+             CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS s,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY user_id
+    ),
+    counts AS (SELECT s, count(*) AS c FROM score GROUP BY s),
+    cum AS (
+      SELECT s, sum(c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cum_c,
+             (SELECT count(*) FROM score) AS n
+      FROM counts
+    ),
+    bounds AS (
+      SELECT k, min(s) AS thresh
+      FROM cum, unnest(range(1, 10)) AS t(k)
+      WHERE cum_c * 10 >= k * n
+      GROUP BY k
+    ),
+    bucketed AS (
+      SELECT sc.user_id, sc.s, sc.conv,
+             1 + (SELECT count(*) FROM bounds b WHERE sc.s < b.thresh)
+               AS decile
+      FROM score sc
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(conv) AS BIGINT) AS n_converters
+      FROM bucketed GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_users, n_converters,
+           CAST(sum(n_converters) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) * 1000000
+                // (SELECT sum(n_converters) FROM per) AS BIGINT)
+             AS cum_conv_share_micros
+    FROM per
+    """,
+    doc="decile cumulative-gains curve: exact value-quantile boundaries "
+    "(windows over DISTINCT scores, never user-ranked), broadcast "
+    "thresholds, 10-row cumulative; integer micro-unit shares",
+    tags=("analytics", "A4", "W3", "experiment"),
+)
+def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    score = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("conv"),
+    )
+    counts = score.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    n_total = score.agg(F.count(F.lit(1)).alias("n"))
+    w_cum = (
+        Window.orderBy(F.col("s").desc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    # window over DISTINCT score values (bounded domain), not users —
+    # the repo's sanctioned unpartitioned-window decomposition
+    cum = counts.withColumn("cum_c", F.sum("c").over(w_cum)).crossJoin(
+        F.broadcast(n_total)
+    )
+    ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    bounds = (
+        cum.join(F.broadcast(ks), F.col("cum_c") * 10 >= F.col("k") * F.col("n"))
+        .groupBy("k")
+        .agg(F.min("s").alias("thresh"))
+    )
+    thresh_arr = bounds.agg(
+        F.collect_list("thresh").alias("ts")
+    )
+    bucketed = score.crossJoin(F.broadcast(thresh_arr)).select(
+        "user_id",
+        "conv",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("ts"), lambda t: F.col("s") < t))
+        ).alias("decile"),
+    )
+    per = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("conv").cast("bigint").alias("n_converters"),
+    )
+    total_conv = per.agg(F.sum("n_converters").alias("tc"))
+    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(total_conv))
+        .withColumn("cum_conv", F.sum("n_converters").over(w10))
+        .select(
+            F.col("decile").cast("bigint"),
+            "n_users",
+            "n_converters",
+            F.expr("cum_conv * 1000000 div tc")
+            .cast("bigint")
+            .alias("cum_conv_share_micros"),
+        )
+    )
