@@ -401,3 +401,68 @@ def test_ods_zip_writer_two_phase_commit_atomicity(spark):
     # append is an explicit error, not silent corruption
     with pytest.raises(Exception):
         src.write.format("ods_zip").mode("append").save(archive)
+
+
+def test_decile_gains_curve_shape(spark):
+    rows = sorted(
+        all_specs()["q197_decile_gains"].fn(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_conv_share_micros for r in rows]
+    assert shares == sorted(shares)  # cumulative share is monotone
+    assert shares[-1] == 1_000_000  # full coverage at the last decile
+    li = load_tables(spark, SF, ["events"])["events"]
+    assert sum(r.n_users for r in rows) == (
+        li.select("user_id").distinct().count()
+    )
+
+
+def test_interval_coverage_bounds(spark):
+    from data_engineering_examples_spark.plans.analytics import EXPOSURE_S
+
+    res = all_specs()["q195_interval_coverage"].fn(spark, SF).collect()
+    counts = {
+        r.user_id: r.n
+        for r in load_tables(spark, SF, ["events"])["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert len(res) == len(counts)
+    for r in res:
+        # merged coverage is bounded by the unmerged sum and below by
+        # one window; islands can't outnumber events
+        assert EXPOSURE_S <= r.covered_seconds <= counts[r.user_id] * EXPOSURE_S
+        assert 1 <= r.n_islands <= counts[r.user_id]
+
+
+def test_streak_histogram_recount(spark):
+    import datetime
+
+    rows = all_specs()["q196_activity_streaks"].fn(spark, SF).collect()
+    days = (
+        load_tables(spark, SF, ["events"])["events"]
+        .select("user_id", F.col("ts").cast("timestamp").cast("date").alias("d"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for r in days:
+        per[r.user_id].add(r.d)
+    hist = defaultdict(int)
+    for uid, ds in per.items():
+        best = cur = 1
+        prev = None
+        for d in sorted(ds):
+            if prev is not None and d == prev + datetime.timedelta(days=1):
+                cur += 1
+            elif prev is not None:
+                cur = 1
+            best = max(best, cur)
+            prev = d
+        hist[best] += 1
+    got = {r.longest_streak: r.n_users for r in rows}
+    assert got == dict(hist)
