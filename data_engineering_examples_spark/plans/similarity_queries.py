@@ -1293,3 +1293,100 @@ def q175_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — inter-label centroid separation: how far apart the embedding
+# classes sit — the class-separability audit run after (re)training an
+# encoder, complementing q107's batch-drift monitor and q145's purity
+# audit.  Label centroids are rationals cs/n kept UNDIVIDED in integer
+# micro-units; the pairwise squared separation compares them exactly as
+# Σ_d (n_b·cs_a − n_a·cs_b)² in DECIMAL arithmetic (q107's displacement
+# scheme), normalized by (n_a·n_b·SCALE)² once, in double, at the very
+# end.  Work: one per-(label, dim) aggregate — |labels|·DIM rows — then
+# a broadcast-sized pairwise join over the bounded label set.
+
+@register(
+    "q198_label_separation",
+    oracle=f"""
+    WITH xq AS (
+      SELECT label,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, CAST(sum(xq) AS BIGINT) AS cs,
+             CAST(count(*) AS BIGINT) AS n
+      FROM xq GROUP BY label, dim
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             a.n AS n_a, b.n AS n_b,
+             sum(CAST(b.n * a.cs - a.n * b.cs AS DECIMAL(19,0))
+                 * CAST(b.n * a.cs - a.n * b.cs AS DECIMAL(19,0))) AS num
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST(label_a AS BIGINT) AS label_a,
+           CAST(label_b AS BIGINT) AS label_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(num AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * n_b * {KMEANS_SCALE})
+             / (CAST(n_a AS DOUBLE) * n_b * {KMEANS_SCALE})
+             AS sq_separation
+    FROM pairs
+    """,
+    doc="inter-label centroid separation: undivided integer centroids, "
+    "exact DECIMAL pairwise distance over the bounded label set; one "
+    "per-(label,dim) aggregate + broadcast pairwise join",
+    tags=("similarity", "llm", "A4"),
+)
+def q198_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    xq = emb.select("label", F.posexplode("embedding").alias("dim", "x")).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    cent = xq.groupBy("label", "dim").agg(
+        F.sum("xq").cast("bigint").alias("cs"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("cs").alias("cs_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("cs").alias("cs_b"),
+        F.col("n").alias("n_b"),
+    )
+    diff = (F.col("n_b") * F.col("cs_a") - F.col("n_a") * F.col("cs_b")).cast(
+        "decimal(19,0)"
+    )
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(F.sum(diff * diff).alias("num"))
+    )
+    norm = F.col("n_a").cast("double") * F.col("n_b") * F.lit(KMEANS_SCALE)
+    return pairs.select(
+        F.col("label_a").cast("bigint"),
+        F.col("label_b").cast("bigint"),
+        F.col("n_a").cast("bigint"),
+        F.col("n_b").cast("bigint"),
+        (F.col("num").cast("double") / norm / norm).alias("sq_separation"),
+    )
