@@ -5160,3 +5160,72 @@ def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_conv_share_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q199 — functional-dependency audit (the data-profiling primitive
+# behind key discovery and denormalization checks): for each CLAIMED
+# dependency X → Y, count the X-values that map to more than one
+# distinct Y — zero violations means the FD holds exactly.  Each claim
+# is one two-level aggregate (distinct (X, Y) collapses map-side, then
+# a count-per-X); claims over the same table share the scan.  Exact
+# integer verdicts, |claims|-row output.
+
+@register(
+    "q199_fd_audit",
+    oracle="""
+    WITH pn AS (
+      SELECT p_name AS x, count(DISTINCT p_brand) AS dy,
+             count(DISTINCT p_type) AS dt
+      FROM part GROUP BY p_name
+    ),
+    os AS (
+      SELECT o_custkey AS x, count(DISTINCT o_orderpriority) AS dy
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT 'p_name->p_brand' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM pn
+    UNION ALL
+    SELECT 'p_name->p_type', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN dt > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN dt > 1 THEN 1 ELSE 0 END) = 0
+    FROM pn
+    UNION ALL
+    SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) = 0
+    FROM os
+    """,
+    doc="functional-dependency audit: per claimed X->Y, count LHS "
+    "values with >1 distinct RHS (0 == FD holds); shared scans, "
+    "two-level aggregates, |claims|-row verdict",
+    tags=("analytics", "A4", "governance"),
+)
+def q199_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part", "orders"])
+    pn = t["part"].groupBy("p_name").agg(
+        F.countDistinct("p_brand").alias("dy"),
+        F.countDistinct("p_type").alias("dt"),
+    )
+    os_ = t["orders"].groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("dy")
+    )
+
+    def verdict(df, name, col):
+        viol = F.sum((F.col(col) > 1).cast("int"))
+        return df.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            viol.cast("bigint").alias("n_violating"),
+            (viol == 0).alias("holds"),
+        )
+
+    return (
+        verdict(pn, "p_name->p_brand", "dy")
+        .unionByName(verdict(pn, "p_name->p_type", "dt"))
+        .unionByName(verdict(os_, "o_custkey->o_orderpriority", "dy"))
+    )

@@ -1450,3 +1450,129 @@ def q152_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share"),
         F.floor(F.lit(MIX_BUDGET) * share).cast("bigint").alias("quota"),
     )
+
+
+from .text_queries import STOPWORDS  # noqa: E402  (q200 oracle text)
+
+
+# ---------------------------------------------------------------------------
+# q200 — corpus release manifest: the one-page verdict a data-release
+# process signs — row inventory, order-insensitive content checksum,
+# quality-gate pass share, exact-duplicate rate, source and language
+# fan-out — each computed in a single pass over ``documents`` and
+# emitted as (metric, value) rows in exact integers (shares in
+# micro-units).  Composes the q22 hash, q29 gates, and q161's xor
+# checksum discipline into the artifact that actually ships with a
+# training-corpus release.  At 100 TB: two scans (raw + normalized-
+# hash distinct), everything map-side combined.
+
+@register(
+    "q200_release_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({STOPWORDS!r}, w))) AS n_stop,
+             sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+               AS norm_hash
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_distinct,
+             CAST(bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || ':' || norm_hash), 1, 15))::UBIGINT AS BIGINT))
+               AS BIGINT) AS checksum,
+             CAST(sum(CASE WHEN n_tokens BETWEEN 10 AND 200
+                            AND CAST(n_stop AS DOUBLE) / n_tokens < 0.5
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM base
+    )
+    SELECT metric, CAST(value AS BIGINT) AS value FROM (
+      SELECT 'n_docs' AS metric, n_docs AS value FROM agg
+      UNION ALL SELECT 'n_tokens', n_tokens FROM agg
+      UNION ALL SELECT 'n_chars', n_chars FROM agg
+      UNION ALL SELECT 'n_langs', n_langs FROM agg
+      UNION ALL SELECT 'n_sources', n_sources FROM agg
+      UNION ALL SELECT 'content_checksum', checksum FROM agg
+      UNION ALL SELECT 'dup_rate_micros',
+        (n_docs - n_distinct) * 1000000 // n_docs FROM agg
+      UNION ALL SELECT 'quality_keep_micros',
+        n_keep * 1000000 // n_docs FROM agg
+    )
+    """,
+    doc="corpus release manifest: inventory, xor content checksum, "
+    "quality-keep and exact-dup shares in integer micro-units — one "
+    "(metric, value) verdict table, map-side combined",
+    tags=("corpus", "llm", "governance"),
+)
+def q200_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import STOPWORDS as _SW
+
+    d = load_tables(spark, sf_dir, ["documents"])["documents"]
+    tokens = F.split(F.col("text"), " ")
+    norm_hash = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(tokens).alias("n_tokens"),
+        F.size(F.filter(tokens, lambda w: w.isin(_SW))).alias("n_stop"),
+        norm_hash.alias("norm_hash"),
+    )
+    keep = (
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 200)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens") < 0.5)
+    )
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), "norm_hash")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("norm_hash").cast("bigint").alias("n_distinct"),
+        F.bit_xor(row_hash).cast("bigint").alias("checksum"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+    )
+    rows = F.array(
+        F.struct(F.lit("n_docs").alias("metric"), F.col("n_docs").alias("value")),
+        F.struct(F.lit("n_tokens").alias("metric"), F.col("n_tokens").alias("value")),
+        F.struct(F.lit("n_chars").alias("metric"), F.col("n_chars").alias("value")),
+        F.struct(F.lit("n_langs").alias("metric"), F.col("n_langs").alias("value")),
+        F.struct(
+            F.lit("n_sources").alias("metric"), F.col("n_sources").alias("value")
+        ),
+        F.struct(
+            F.lit("content_checksum").alias("metric"),
+            F.col("checksum").alias("value"),
+        ),
+        F.struct(
+            F.lit("dup_rate_micros").alias("metric"),
+            F.expr("(n_docs - n_distinct) * 1000000 div n_docs").alias("value"),
+        ),
+        F.struct(
+            F.lit("quality_keep_micros").alias("metric"),
+            F.expr("n_keep * 1000000 div n_docs").alias("value"),
+        ),
+    )
+    return agg.select(F.inline(rows)).select(
+        "metric", F.col("value").cast("bigint")
+    )
