@@ -7,7 +7,11 @@ the component minimum shrinks doubly-exponentially — O(log d) rounds for
 diameter d, each round two key-partitioned shuffles (neighbor-min join +
 jump join). The edge set is checkpointed by the CALLER (it usually comes
 out of an expensive candidate-generation pipeline); the label frame is
-checkpointed here per round to keep the plan from deepening.
+materialized here per round to keep the plan from deepening — through
+the durable ``scratch.materialize`` seam, so on a real cluster each
+round's labels sit on storage that survives executor loss (an O(log d)
+iterative job that loses all progress on one lost executor is not a
+cluster algorithm).
 
 Used by q72 (dedup clusters over exact+LSH edges) and q131 (patient
 record-linkage clusters); correctness of the round counts is verified by
@@ -19,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..scratch import materialize
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, rounds: int
@@ -29,13 +35,14 @@ def connected_components(
     node id. ``rounds`` must cover log2(component diameter); callers
     pair this with an oracle that computes the full closure so an
     insufficient round count fails loudly."""
-    bidir = (
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint()
+    bidir = materialize(
+        edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ),
+        "cc_edges",
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
-    for _ in range(rounds):
+    for rnd in range(rounds):
         neighbour_min = (
             bidir.join(labels, bidir.v == labels.id)
             .groupBy("u")
@@ -49,9 +56,10 @@ def connected_components(
         parents = labels.select(
             F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
-        labels = (
-            labels.join(parents, labels.label == parents.pid)
-            .select("id", F.col("plabel").alias("label"))
-            .localCheckpoint()
+        labels = materialize(
+            labels.join(parents, labels.label == parents.pid).select(
+                "id", F.col("plabel").alias("label")
+            ),
+            f"cc_labels_r{rnd}",
         )
     return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))

@@ -537,14 +537,16 @@ def q88_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange reuse only dedupes identical exchanges, and the offset
     # branch re-aggregates before its first one). Same query-scoped
     # checkpoint pattern as q23's shingle substrate.
-    counts = (
+    from ..scratch import materialize
+
+    counts = materialize(
         per_doc.groupBy("term")
         .agg(
             F.sum("tf").alias("n_occurrences"),
             F.count(F.lit(1)).alias("doc_freq"),
         )
-        .filter(F.col("n_occurrences") >= VOCAB_MIN_COUNT)
-        .localCheckpoint()
+        .filter(F.col("n_occurrences") >= VOCAB_MIN_COUNT),
+        "q88_vocab_counts",
     )
     w_in = Window.partitionBy("n_occurrences").orderBy(F.asc("term"))
     within = counts.withColumn("r_in", F.row_number().over(w_in))

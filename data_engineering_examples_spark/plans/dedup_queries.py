@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scratch import materialize
 from ..sources.tables import load_tables, scale_out
 from .registry import register
 
@@ -208,13 +209,13 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain (measured: 4 copies of a 2-exchange pipeline). This is the
     # "substrate materialized once, bucketed by shingle" pattern from the
     # module docstring, expressed as a checkpoint at query scope.
-    sh = (
+    sh = materialize(
         _hashed_shingles(spark, sf_dir)
         .withColumnRenamed("sh", "shingle")
         .withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .drop("df")
-        .localCheckpoint()
+        .drop("df"),
+        "q23_shingles",
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
@@ -503,9 +504,9 @@ def q63_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so convergence is O(log diameter) rounds, not O(diameter);
 # CC_ROUNDS = 4 covers diameters into the tens of thousands. Each round
 # is two shuffles (neighbour min on u, label lookup on label); rounds
-# are localCheckpoint()ed so the plan stays flat instead of doubling
-# per iteration (on a cluster, use a reliable checkpoint dir — this is
-# the GraphFrames/GraphX CC pattern re-expressed on DataFrames).
+# are materialized through scratch.materialize() so the plan stays flat
+# instead of doubling per iteration, on storage that survives executor
+# loss (the GraphFrames/GraphX CC pattern re-expressed on DataFrames).
 # Deterministic: min over a semilattice, order-independent. The oracle
 # is the full transitive closure via DuckDB's recursive CTE, so the
 # fixed round count is verified sufficient, not assumed.
@@ -644,9 +645,10 @@ def q95_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final degree join all derive from it, and each un-checkpointed
     # consumer would re-run the whole MinHash pipeline (measured: 3
     # upstream replays, ~2s of the query's 4s at sf0.1)
-    bidir = e.union(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    bidir = materialize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        "q95_pr_edges",
+    )
     deg = bidir.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     adj = bidir.join(deg, "u")
 
@@ -714,10 +716,11 @@ def q95_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q123_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one LSH pass, reused four times below — checkpoint, don't recompute
-    edges = (
-        q24_minhash_lsh_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
+    edges = materialize(
+        q24_minhash_lsh_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ),
+        "q123_lsh_edges",
     )
     deg = (
         edges.select(F.col("a").alias("v"))

@@ -475,20 +475,21 @@ def q128_org_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") >= 10, F.expr("id div 10")).otherwise(F.col("id")).alias("anc"),
         F.when(F.col("id") >= 10, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("steps"),
     )
-    for _ in range(3):  # 2^3 = 8 >= max depth (ids <= 999 => depth <= 3)
+    from ..scratch import materialize
+
+    for rnd in range(3):  # 2^3 = 8 >= max depth (ids <= 999 => depth <= 3)
         nxt = j.select(
             F.col("id").alias("m_id"),
             F.col("anc").alias("m_anc"),
             F.col("steps").alias("m_steps"),
         )
-        j = (
-            j.join(nxt, j.anc == F.col("m_id"))
-            .select(
+        j = materialize(
+            j.join(nxt, j.anc == F.col("m_id")).select(
                 "id",
                 F.col("m_anc").alias("anc"),
                 (F.col("steps") + F.col("m_steps")).alias("steps"),
-            )
-            .localCheckpoint()
+            ),
+            f"q128_closure_r{rnd}",
         )
     return j.select("id", F.col("anc").alias("root_id"), F.col("steps").alias("depth"))
 

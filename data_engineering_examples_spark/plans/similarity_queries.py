@@ -30,6 +30,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..scratch import materialize
 from ..sources.tables import load_tables, scale_out
 from .registry import register
 
@@ -552,15 +553,16 @@ def q94_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (re-deriving it per pass re-pays explode+floor ×5 — same pattern
     # as q23's shingle substrate)
     xq = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-            .cast("bigint")
-            .alias("xq"),
+        materialize(
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+                "vec_id",
+                F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+                .cast("bigint")
+                .alias("xq"),
+            ),
+            "q94_kmeans_xq",
         )
-        .localCheckpoint()
     )
 
     def assign(cent: DataFrame) -> DataFrame:
@@ -675,16 +677,17 @@ def _duck_pq_oracle() -> str:
 def q101_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     sub = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "vec_id",
-            (F.col("dim").cast("int") / SUB_DIM).cast("int").alias("subspace"),
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-            .cast("bigint")
-            .alias("xq"),
+        materialize(
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+                "vec_id",
+                (F.col("dim").cast("int") / SUB_DIM).cast("int").alias("subspace"),
+                F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+                .cast("bigint")
+                .alias("xq"),
+            ),
+            "q101_pq_sub",  # feeds both the codebook and the fact side
         )
-        .localCheckpoint()  # feeds both the codebook and the fact side
     )
     cb = sub.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("subspace").alias("c_subspace"),
@@ -885,15 +888,16 @@ def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q107_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     xq = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-            .cast("bigint")
-            .alias("xq"),
+        materialize(
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+                "vec_id",
+                F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+                .cast("bigint")
+                .alias("xq"),
+            ),
+            "q107_drift_xq",  # feeds seeds, assignment, and both batch aggs
         )
-        .localCheckpoint()  # feeds seeds, assignment, and both batch aggs
     )
     seeds = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("vec_id").alias("cluster"), "dim", F.col("xq").alias("cs")
@@ -1206,15 +1210,16 @@ def _duck_ivfpq_oracle() -> str:
 def q175_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     xq = (
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
-        .select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-            .cast("bigint")
-            .alias("xq"),
+        materialize(
+            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+                "vec_id",
+                F.col("dim").cast("int").alias("dim"),
+                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+                .cast("bigint")
+                .alias("xq"),
+            ),
+            "q175_ivfpq_xq",  # feeds coarse assign, codes, and the LUT
         )
-        .localCheckpoint()  # feeds coarse assign, codes, and the LUT
     )
     coarse = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), "dim", F.col("xq").alias("cs")

@@ -186,17 +186,19 @@ def _duck_kmv(table: str, key: str, k: int) -> str:
     tags=("sketch", "llm", "J1"),
 )
 def q156_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
     t = load_tables(spark, sf_dir, ["orders", "customer"])
-    ka = _kmv_minmerge(t["orders"], "o_custkey", KMV_K).localCheckpoint()
-    kb = _kmv_minmerge(t["customer"], "c_custkey", KMV_K).localCheckpoint()
+    ka = materialize(_kmv_minmerge(t["orders"], "o_custkey", KMV_K), "q156_kmv_a")
+    kb = materialize(_kmv_minmerge(t["customer"], "c_custkey", KMV_K), "q156_kmv_b")
 
     w = Window.partitionBy(F.lit(1)).orderBy("h")  # ≤ 2k rows
-    merged = (
+    merged = materialize(
         ka.unionByName(kb).distinct()
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= KMV_K)
-        .select("h")
-        .localCheckpoint()
+        .select("h"),
+        "q156_kmv_merged",
     )
     mk = merged.agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("h_k"))
     ki = (

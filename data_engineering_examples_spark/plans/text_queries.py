@@ -989,13 +989,15 @@ SPARSE_TOP = 50
     tags=("text", "llm", "dedup"),
 )
 def q181_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
     d = _docs(spark, sf_dir)
-    tf = (
+    tf = materialize(
         d.select("doc_id", F.explode(F.split(d.text, " ")).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint()  # feeds norms, the df filter, and both join sides
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
+        "q181_tf",  # feeds norms, the df filter, and both join sides
     )
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("ss")

@@ -567,13 +567,18 @@ def q86_external_send_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = _md5_int(F.concat_ws("", F.lit("route:"), F.col("encounter_identifier")))
     # materialize once: three per-endpoint sink passes must not re-run
     # the message-assembly UDF per pass
-    routed = payloads.withColumn(
-        "endpoint",
-        F.element_at(
-            F.array(F.lit("emis"), F.lit("gpconnect"), F.lit("tpp")),
-            (h % 3 + 1).cast("int"),
+    from ..scratch import materialize
+
+    routed = materialize(
+        payloads.withColumn(
+            "endpoint",
+            F.element_at(
+                F.array(F.lit("emis"), F.lit("gpconnect"), F.lit("tpp")),
+                (h % 3 + 1).cast("int"),
+            ),
         ),
-    ).localCheckpoint()
+        "q86_routed_payloads",
+    )
 
     def transport_factory():
         # deterministic stand-in for an HTTP session: rejects payloads

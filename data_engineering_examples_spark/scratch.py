@@ -36,6 +36,11 @@ import tempfile
 
 _ROOT: str | None = None
 
+#: Env switch for :func:`materialize`.  ``parquet`` (default) is the
+#: durable, cluster-correct implementation; ``local`` is the
+#: single-machine bench fast path (localCheckpoint).
+MATERIALIZE_MODE_ENV = "SPARK_GRAFT_MATERIALIZE"
+
 
 def scratch_root() -> str:
     """Lazily create the per-process scratch root (removed atexit)."""
@@ -53,3 +58,37 @@ def scratch_dir(name: str) -> str:
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(p)
     return p
+
+
+def materialize(df, name: str):
+    """Materialize a shared substrate once and return a re-readable DataFrame.
+
+    Several queries compute an intermediate (LSH band table, KMV sketch,
+    k-means seed assignment, edge list) that feeds MULTIPLE downstream
+    branches; without a cut point Spark recomputes the substrate per
+    branch and the lineage doubles each iteration.  Two implementations
+    sit behind this seam, selected by ``SPARK_GRAFT_MATERIALIZE``:
+
+    - ``parquet`` (default): write the substrate to a per-process scratch
+      directory and read it back.  This is the CLUSTER-CORRECT impl:
+      the materialized blocks live on durable storage, so losing an
+      executor merely re-reads the file split — the job survives.  At
+      real scale the scratch root maps to the job's scratch bucket /
+      HDFS tmp (see module docstring); the lifecycle contract is
+      identical.
+    - ``local``: ``localCheckpoint()``.  Faster on ``local[*]`` (no
+      filesystem round-trip) but NOT fault-tolerant — a lost executor
+      kills the job because the checkpointed blocks have no recompute
+      path — and it pins the substrate in executor storage memory.
+      Only the single-JVM bench opts into this.
+
+    ``name`` must be unique per call site (it keys the scratch path; a
+    repeated invocation of the same query wipes and rewrites the same
+    path, per the module's reuse contract above).
+    """
+    mode = os.environ.get(MATERIALIZE_MODE_ENV, "parquet")
+    if mode == "local":
+        return df.localCheckpoint()
+    path = scratch_dir(os.path.join("materialize", name))
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

@@ -139,6 +139,25 @@ def test_whitelisted_windows_are_still_present(plans):
         assert _unpartitioned_windows(plans[n]), n
 
 
+def test_no_raw_local_checkpoint_outside_materialize_seam():
+    """``localCheckpoint()`` is not fault-tolerant (a lost executor kills
+    the job — no recompute path) and pins blocks in executor memory, so
+    it must never be called directly by an operator or query.  The ONLY
+    call site is ``scratch.materialize()``'s local-bench fast path; every
+    substrate materialization routes through that seam, whose default
+    impl is a durable scratch-parquet write-and-read."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_engineering_examples_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if "localCheckpoint" in code and py.name != "scratch.py":
+                offenders.append(f"{py.name}:{i}")
+    assert offenders == [], offenders
+
+
 def test_no_driver_side_collect_in_package():
     """The only acceptable driver materialization is in tools/tests. A
     ``.collect()`` inside the package means an operator is looping rows
