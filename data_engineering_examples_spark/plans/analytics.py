@@ -5051,13 +5051,23 @@ def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q197 — decile cumulative-gains curve (the targeting-model eval
 # primitive: "the top-scored 10% of users hold X% of conversions").
-# The global ranking a naive ntile() needs is NOT materialized: decile
-# BOUNDARIES come from the q96 exact-quantile machinery (count-per-
-# value + cumulative over DISTINCT scores — the window runs over the
-# value domain, not the users), then broadcast back as 9 thresholds;
-# bucket assignment is a map-side comparison.  Ties share a bucket by
-# value (deciles are value-defined, so both engines agree exactly);
-# the final cumulative is a 10-row window.  Integer micro-unit shares.
+# The global ranking a naive ntile() needs is NOT materialized, and —
+# because per-user sum-scores are near-unique, so the distinct-score
+# domain is ≈ |users| — neither is any unpartitioned window:
+#   1. count-per-distinct-score (map-side combine collapses users);
+#   2. cumulative count via RANGE-sort of the distinct scores +
+#      per-partition offsets (the zipWithIndex decomposition): the
+#      offsets come from a partition-count frame (≤ shuffle-partition
+#      rows, a config bound, not a data bound) folded with a broadcast
+#      theta-join, so no window ever sees more than one range
+#      partition of scores;
+#   3. decile threshold k = max score whose cumulative count reaches
+#      k·n/10 (max, NOT min — min collapses every threshold to the
+#      global minimum, where cum_c = n qualifies every k);
+#   4. thresholds broadcast back, bucket assignment map-side; the
+#      final ≤10-row decile cumulative is a broadcast theta-join fold.
+# Ties share a bucket by value (deciles are value-defined, so both
+# engines agree exactly). Integer micro-unit shares.
 
 @register(
     "q197_decile_gains",
@@ -5075,7 +5085,7 @@ def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM counts
     ),
     bounds AS (
-      SELECT k, min(s) AS thresh
+      SELECT k, max(s) AS thresh
       FROM cum, unnest(range(1, 10)) AS t(k)
       WHERE cum_c * 10 >= k * n
       GROUP BY k
@@ -5099,8 +5109,9 @@ def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per
     """,
     doc="decile cumulative-gains curve: exact value-quantile boundaries "
-    "(windows over DISTINCT scores, never user-ranked), broadcast "
-    "thresholds, 10-row cumulative; integer micro-unit shares",
+    "via range-sorted distinct scores + per-partition offsets (no "
+    "unpartitioned window anywhere), broadcast thresholds, theta-join "
+    "decile cumulative; integer micro-unit shares",
     tags=("analytics", "A4", "W3", "experiment"),
 )
 def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5115,21 +5126,41 @@ def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = score.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     n_total = score.agg(F.count(F.lit(1)).alias("n"))
-    w_cum = (
-        Window.orderBy(F.col("s").desc()).rowsBetween(
-            Window.unboundedPreceding, 0
-        )
+    # cumulative count over distinct scores, DESC, WITHOUT a single-
+    # partition window: range-sort the distinct scores, then global
+    # prefix = per-partition offset + within-partition running sum.
+    # The offset fold is a broadcast theta-join over the per-partition
+    # count frame (rows ≤ shuffle partitions — a config bound); with
+    # unique keys the result is identical wherever the sampled range
+    # boundaries fell (same argument as operators/ml.py:_global_rank).
+    part = counts.repartitionByRange(F.col("s").desc()).sortWithinPartitions(
+        F.col("s").desc()
     )
-    # window over DISTINCT score values (bounded domain), not users —
-    # the repo's sanctioned unpartitioned-window decomposition
-    cum = counts.withColumn("cum_c", F.sum("c").over(w_cum)).crossJoin(
-        F.broadcast(n_total)
+    pid = part.withColumn("__pid", F.spark_partition_id())
+    pc = pid.groupBy("__pid").agg(F.sum("c").alias("__cnt"))
+    prior = pc.select(F.col("__pid").alias("__pid2"), F.col("__cnt").alias("__cnt2"))
+    offsets = (
+        pc.join(F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__offset"))
+    )
+    w_in = Window.partitionBy("__pid").orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        pid.join(F.broadcast(offsets), "__pid")
+        .withColumn("cum_c", F.col("__offset") + F.sum("c").over(w_in))
+        .drop("__pid", "__offset")
+        .crossJoin(F.broadcast(n_total))
     )
     ks = spark.range(1, 10).select(F.col("id").alias("k"))
+    # threshold k = MAX qualifying score (the boundary). min() is the
+    # classic collapse bug: the global minimum score has cum_c = n, so
+    # it qualifies for every k and all nine thresholds coincide.
     bounds = (
         cum.join(F.broadcast(ks), F.col("cum_c") * 10 >= F.col("k") * F.col("n"))
         .groupBy("k")
-        .agg(F.min("s").alias("thresh"))
+        .agg(F.max("s").alias("thresh"))
     )
     thresh_arr = bounds.agg(
         F.collect_list("thresh").alias("ts")
@@ -5147,10 +5178,15 @@ def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("conv").cast("bigint").alias("n_converters"),
     )
     total_conv = per.agg(F.sum("n_converters").alias("tc"))
-    w10 = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    # ≤10-row cumulative: broadcast theta-join fold, not a window
+    prev = per.select(
+        F.col("decile").alias("d2"), F.col("n_converters").alias("nc2")
+    )
     return (
-        per.crossJoin(F.broadcast(total_conv))
-        .withColumn("cum_conv", F.sum("n_converters").over(w10))
+        per.join(F.broadcast(prev), F.col("d2") <= F.col("decile"))
+        .groupBy("decile", "n_users", "n_converters")
+        .agg(F.sum("nc2").alias("cum_conv"))
+        .crossJoin(F.broadcast(total_conv))
         .select(
             F.col("decile").cast("bigint"),
             "n_users",

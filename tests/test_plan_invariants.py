@@ -72,9 +72,9 @@ BOUNDED_DOMAIN_WINDOWS = {
     "q88_vocab_build",
     # window input is one row per DISTINCT quality score (bounded grid)
     "q99_token_curriculum",
-    # windows run over DISTINCT user scores (value domain) and the
-    # 10-row decile table — never over the user set
-    "q197_decile_gains",
+    # q197_decile_gains was delisted in r6: near-unique sum-scores make
+    # the distinct-score domain ≈ |users|, so its cumulative now runs as
+    # range-sort + per-partition offsets with zero unpartitioned windows
     # q96-style cumulative over distinct totalprice values per priority
     # (those are partitioned; listed here only if a plan change ever
     # makes the 10-row final cumulative unpartitioned)
