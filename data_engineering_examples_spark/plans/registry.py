@@ -36,54 +36,61 @@ def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
 
 
 # The external correctness driver hash-checks only the FIRST 50 registry
-# entries, so ordering is coverage policy, not cosmetics.  The priority
-# window below packs every SURVEY §2 operator's oracle-bearing evidence
-# query (ETL merges, workflow, FHIR, dedup/ANN/text/multimodal LLM
-# components) into those 50 slots; the tail holds queries whose §2/LLM
-# evidence duplicates an in-window query (extra OLAP shapes, as-of/range
-# variants) plus the rows-only ones.  Every tail query is still verified
-# locally by tools/check_oracle.py.
+# entries, so ordering is coverage policy, not cosmetics.  ROTATION
+# POLICY (r6): rounds 3-5 accumulated driver-green evidence for 68
+# queries; this round the window keeps one oracle-bearing anchor per
+# SURVEY §2 family (25 slots) and rotates the other 25 slots to queries
+# the driver has NEVER checked — the iterative-graph, storage-layout,
+# streaming, custom-DataSource, IVF-PQ/BPE/SCD2/multimodal-dedup
+# families — so driver evidence covers breadth across rounds rather
+# than re-proving the same rows.  Rotated-out queries keep (a) their
+# r3-r5 driver-green records and (b) local tools/check_oracle.py
+# verification, which runs the FULL registry.
 _PRIORITY: tuple = (
-    # core analytics (S2/S3, J7, W2/A7/F18, F15, P5/P6/P7, A4, window-dedup, P2)
-    "q01_pricing_summary", "q02_revenue_by_nation", "q03_top_orders",
-    "q04_customer_cohort", "q05_priority_panel", "q06_dup_groups",
-    "q07_latest_event_per_user", "q09_customers_with_urgent_orders",
-    # FHIR query surface (J1-J4, J8/J9, F1-F12, P1/P3/P4, A1-A3, U7/S5, T2)
-    "q11_diabetes_cohort", "q12_lipid_panel", "q13_bmi_per_patient",
-    "q14_race_ethnicity", "q15_dup_practitioner_gmp", "q16_org_extract",
-    "q17_obs_unit_piece", "q18_role_key_derivation", "q19_org_ods_regex",
-    "q20_bundle_entry_extract", "q21_duplicate_consultations",
-    # ETL merge sinks (S6/S7/S8, U1/U4/U9, J5/J6, W4)
+    # §2 anchors kept in-window (one per family) -------------------------
+    # core analytics / sources (S2/S3, W2/A7/F18)
+    "q01_pricing_summary", "q03_top_orders",
+    # FHIR query surface (J1/J2, P3/P4, F4/F6-F9, A3; J9/F1)
+    "q11_diabetes_cohort", "q15_dup_practitioner_gmp",
+    "q18_role_key_derivation",
+    # ETL merge sinks (S6/S7/S8, U1/U4/U9, J5/J6)
     "q33_ods_org_changeset", "q34_org_fhir_build",
     "q35_practitioner_dedup_deletes", "q55_role_composite_merge",
-    # workflow (S4/W1, T4/P8)
-    "q36_task_search", "q39_task_branching",
-    # FHIR tail (W3/F16, F19/F20, L3, S5/A5)
-    "q37_vital_signs_series", "q38_cohort_onehot",
-    "q41_patient_silver_from_bronze", "q45_extract_collection",
+    # workflow + streaming state machine (S4/W1, T4/P8, S9/T1-T3)
+    "q36_task_search", "q39_task_branching", "q75_task_stream_state",
+    # FHIR extract/ops (S5/A5), document transforms (U5, U6/F17)
+    "q45_extract_collection", "q46_legacy_qr_batch",
+    "q47_bundle_to_message",
     # egpcur builders + outcome triage (U2/F13, U3/F14, U8)
     "q69_practitioner_fhir_build", "q70_practitioner_role_build",
     "q71_outcome_triage",
-    # sampling / sessions / skew (A6, T5, scale)
-    "q52_stratified_sample", "q59_user_sessions", "q54_salted_join",
-    # document transforms + streaming state machine (U5, U6/F17, S9/T1/T3) —
-    # swapped into the window in r5 so every §2 operator has driver-green
-    # evidence; the slots came from q61/q49/q50, whose §2/LLM component rows
-    # duplicate in-window evidence (q22-q24 dedup, q31/q32 similarity) and
-    # which keep local tools/check_oracle.py verification in the tail.
-    "q46_legacy_qr_batch", "q47_bundle_to_message", "q75_task_stream_state",
-    # LLM dedup components (SimHash q25 and verdict q61 sit just past the
-    # window: their component rows keep local verification)
+    # sampling / sessions (A6, T5)
+    "q52_stratified_sample", "q59_user_sessions",
+    # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
-    # LLM similarity / ANN components (q49 near-dup / q50 IVF in the tail)
-    "q31_cosine_topk", "q32_ann_lsh_topk",
-    # LLM text components (lang-id q30 just past the window; the quality
-    # row keeps q29 in-window)
-    "q26_token_stats", "q27_corpus_stats", "q29_quality_score",
-    "q51_winnow_fingerprint", "q62_repetition_signals",
-    "q67_clean_corpus",
-    # multimodal (caption-pairs q43 just past the window; q42 carries it)
-    "q42_media_stats",
+    "q32_ann_lsh_topk", "q29_quality_score",
+    # first-time driver evidence (25 slots) ------------------------------
+    # iterative graph family
+    "q72_dedup_clusters", "q95_neardup_pagerank", "q123_graph_triangles",
+    "q128_org_hierarchy_closure", "q188_recursive_ancestry",
+    "q146_canonical_docs",
+    # storage-layout family
+    "q111_partition_pruning", "q112_bucketed_join", "q141_zorder_box_scan",
+    "q136_dynamic_partition_overwrite",
+    # structured-streaming family
+    "q120_stream_sessions", "q130_stream_rollup_merge",
+    "q144_stream_static_enrich",
+    # custom Python DataSource + governance
+    "q184_ods_zip_datasource", "q185_ods_zip_stream",
+    "q186_ods_zip_roundtrip", "q187_quality_expectations",
+    # similarity depth (IVF-PQ ADC, label separation, recall gate)
+    "q175_ivfpq_adc_topk", "q198_label_separation", "q201_ann_recall",
+    # text/vocab depth
+    "q170_bpe_merge_pairs", "q181_sparse_cosine_pairs",
+    # ETL depth (SCD2, point-in-time join)
+    "q89_scd2_dimension", "q133_point_in_time_join",
+    # multimodal (binary-payload digest dedup)
+    "q160_media_exact_dedup",
 )
 
 

@@ -1395,3 +1395,84 @@ def q198_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").cast("bigint"),
         (F.col("num").cast("double") / norm / norm).alias("sq_separation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — ANN recall@k audit: how much of the EXACT cosine top-k does
+# each approximate index recover, per probe?  Composes the three
+# registered pipelines — q31 (exact baseline), q32 (LSH-bucketed ANN),
+# q175 (IVF-PQ ADC) — and intersects their (probe, neighbor) top-k
+# sets.  Deterministic by construction: the intersection is an integer
+# count over identical rank-truncated sets, so recall regressions in
+# the index parameters (bands, nprobe, codebooks) become hash-checkable
+# numbers instead of anecdotes.  The oracle nests the three queries'
+# own DuckDB oracles as subqueries — one source of truth per pipeline.
+#
+# Scale shape: the exact side is the documented small-probe-set
+# baseline (N_PROBES·k rows after truncation); the joins below run on
+# ≤ N_PROBES·k rows per side, so the audit itself is free — the cost IS
+# the three audited pipelines.
+
+
+def _ann_recall_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q31 = _REGISTRY["q31_cosine_topk"].oracle
+    q32 = _REGISTRY["q32_ann_lsh_topk"].oracle
+    q175 = _REGISTRY["q175_ivfpq_adc_topk"].oracle
+    return f"""
+    WITH exact_k AS (SELECT probe_id, neighbor_id FROM ({q31}) x),
+    lsh_k AS (SELECT probe_id, neighbor_id FROM ({q32}) y),
+    ivfpq_k AS (SELECT probe_id, neighbor_id FROM ({q175}) z)
+    SELECT e.probe_id,
+           CAST(count(*) AS BIGINT) AS k_exact,
+           CAST(count(l.neighbor_id) AS BIGINT) AS lsh_hits,
+           CAST(count(l.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS lsh_recall_micros,
+           CAST(count(i.neighbor_id) AS BIGINT) AS ivfpq_hits,
+           CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS ivfpq_recall_micros
+    FROM exact_k e
+    LEFT JOIN lsh_k l
+      ON l.probe_id = e.probe_id AND l.neighbor_id = e.neighbor_id
+    LEFT JOIN ivfpq_k i
+      ON i.probe_id = e.probe_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.probe_id
+    """
+
+
+@register(
+    "q201_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc=f"recall@{TOP_K} of LSH-ANN (q32) and IVF-PQ (q175) against the "
+    "exact cosine top-k (q31), per probe; integer hit counts and "
+    "micro-unit recall — the ANN-quality regression gate",
+    tags=("similarity", "llm", "quality"),
+)
+def q201_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q31_cosine_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    lsh = q32_ann_lsh_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("lhit")
+    )
+    ivfpq = q175_ivfpq_adc_topk(spark, sf_dir).select(
+        "probe_id", "neighbor_id", F.lit(1).alias("ihit")
+    )
+    # every side is rank-truncated to N_PROBES·TOP_K rows, so both
+    # probe-side joins broadcast; each exact row matches ≤ 1 row per
+    # index (pair-unique keys — no fan-out)
+    return (
+        exact.join(F.broadcast(lsh), ["probe_id", "neighbor_id"], "left")
+        .join(F.broadcast(ivfpq), ["probe_id", "neighbor_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_exact"),
+            F.count("lhit").cast("bigint").alias("lsh_hits"),
+            F.expr("count(lhit) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("lsh_recall_micros"),
+            F.count("ihit").cast("bigint").alias("ivfpq_hits"),
+            F.expr("count(ihit) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("ivfpq_recall_micros"),
+        )
+    )
