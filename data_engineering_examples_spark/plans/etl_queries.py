@@ -804,16 +804,14 @@ def q184_ods_zip_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ods_datasource.register(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
+    # scratch_dir() wipes per call: the archive is rebuilt unconditionally
     base = scratch_dir("q184_ods_zip")
     archive = os.path.join(base, "epraccur.zip")
-    if not os.path.exists(archive):
-        lines = open(_EP_CSV).read().splitlines(keepends=True)
-        half = len(lines) // 2
-        tmp = archive + ".tmp"
-        with zipfile.ZipFile(tmp, "w") as z:
-            z.writestr("epraccur_part1.csv", "".join(lines[:half]))
-            z.writestr("epraccur_part2.csv", "".join(lines[half:]))
-        os.replace(tmp, archive)
+    lines = open(_EP_CSV).read().splitlines(keepends=True)
+    half = len(lines) // 2
+    with zipfile.ZipFile(archive, "w") as z:
+        z.writestr("epraccur_part1.csv", "".join(lines[:half]))
+        z.writestr("epraccur_part2.csv", "".join(lines[half:]))
 
     df = (
         spark.read.format("ods_zip")
@@ -868,18 +866,17 @@ def q185_ods_zip_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ods_datasource.register(spark)
     base = scratch_dir("q185_ods_feed")
     feed, out, ck = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
-    if not _os.path.isdir(feed):
-        lines = open(_EP_CSV).read().splitlines(keepends=True)
-        half, quarter = len(lines) // 2, len(lines) // 4
-        tmp = feed + ".tmp"
-        _os.makedirs(tmp)
-        with zipfile.ZipFile(f"{tmp}/drop_2025_07.zip", "w") as z:
-            z.writestr("m1.csv", "".join(lines[:quarter]))
-            z.writestr("m2.csv", "".join(lines[quarter:half]))
-        with zipfile.ZipFile(f"{tmp}/drop_2025_08.zip", "w") as z:
-            z.writestr("m1.csv", "".join(lines[half : half + quarter]))
-            z.writestr("m2.csv", "".join(lines[half + quarter :]))
-        _os.replace(tmp, feed)
+    # scratch_dir() wipes per call: the two-drop feed is rebuilt on
+    # every invocation (tiny CSV zips; the drain is the measured work)
+    lines = open(_EP_CSV).read().splitlines(keepends=True)
+    half, quarter = len(lines) // 2, len(lines) // 4
+    _os.makedirs(feed)
+    with zipfile.ZipFile(f"{feed}/drop_2025_07.zip", "w") as z:
+        z.writestr("m1.csv", "".join(lines[:quarter]))
+        z.writestr("m2.csv", "".join(lines[quarter:half]))
+    with zipfile.ZipFile(f"{feed}/drop_2025_08.zip", "w") as z:
+        z.writestr("m1.csv", "".join(lines[half : half + quarter]))
+        z.writestr("m2.csv", "".join(lines[half + quarter :]))
 
     # fresh drain per run: the query's contract is "the feed so far"
     import shutil

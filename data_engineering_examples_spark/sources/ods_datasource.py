@@ -92,9 +92,17 @@ class OdsZipReader(DataSourceReader):
         self.cols: List[str] = [f.name for f in schema.fields]
         self.pushed: List[Filter] = []
 
-    def _row_passes(self, row: Sequence) -> bool:
-        for f in self.pushed:
-            v = row[self.cols.index(f.attribute[0])]
+    def _pushed_ordinals(self) -> List[Tuple[int, Filter]]:
+        """Resolve each pushed filter's column ordinal ONCE per read —
+        the decode loop below runs per row, and a per-row list scan per
+        filter would put O(n_cols) work in the hot path of a source
+        whose whole point is scan-side efficiency."""
+        return [(self.cols.index(f.attribute[0]), f) for f in self.pushed]
+
+    @staticmethod
+    def _row_passes(row: Sequence, pushed_ord: Sequence[Tuple[int, Filter]]) -> bool:
+        for idx, f in pushed_ord:
+            v = row[idx]
             if isinstance(f, IsNotNull):
                 if v is None:
                     return False
@@ -121,6 +129,7 @@ class OdsZipReader(DataSourceReader):
     # -- per-partition decode (runs on executors) ---------------------------
     def read(self, partition: InputPartition) -> Iterator[Tuple]:
         n = len(self.cols)
+        pushed_ord = self._pushed_ordinals()
         with zipfile.ZipFile(self.path) as z:
             with z.open(partition.value) as member:
                 text = io.TextIOWrapper(member, encoding="utf-8", newline="")
@@ -133,7 +142,7 @@ class OdsZipReader(DataSourceReader):
                         (rec[i] if i < len(rec) and rec[i] != "" else None)
                         for i in range(n)
                     )
-                    if self._row_passes(row):
+                    if self._row_passes(row, pushed_ord):
                         yield row
 
 
@@ -247,7 +256,24 @@ class _PartFile(WriterCommitMessage):
 
 
 class OdsZipWriter(DataSourceWriter):
+    """Two-phase archive writer.
+
+    SHARED-FILESYSTEM REQUIREMENT: ``write()`` stages part files on
+    whatever filesystem the executors see at ``path + '.staging-<job>'``
+    and ``commit()`` reads them back on the DRIVER — so driver and
+    executors must share that filesystem (local[*], NFS, a mounted
+    object store). On a cluster with executor-local disks this writer
+    needs a shared staging location instead; the READER has the same
+    scope note at the module level.
+
+    The staging directory carries a per-job UUID so two concurrent jobs
+    targeting the same archive — or a retry racing an aborted run —
+    stage disjoint file sets and cannot interleave part files; the
+    archive itself is still last-publish-wins via the atomic rename."""
+
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid as _uuid
+
         if not overwrite:
             raise ValueError(
                 "ods_zip: only mode('overwrite') is supported — archives "
@@ -257,7 +283,9 @@ class OdsZipWriter(DataSourceWriter):
         if not path:
             raise ValueError("ods_zip: a target archive path is required")
         self.path = path
-        self.staging = path + ".staging"
+        # the writer instance is pickled to executors, so every task of
+        # THIS job shares the UUID while a concurrent job gets its own
+        self.staging = f"{path}.staging-{_uuid.uuid4().hex}"
         self.cols = [f.name for f in schema.fields]
 
     def write(self, iterator) -> _PartFile:  # executes on executors

@@ -122,18 +122,30 @@ class TaskStateMachine:
         (live dir missing) — restore the PRE-batch state. The streaming
         checkpoint replays the unacknowledged batch, and replay-over-old
         recomputes the identical transition (the clock is injected);
-        adopting the tmp dir instead would advance the batch twice."""
+        adopting the tmp dir instead would advance the batch twice.
+
+        Runs once per batch entry (and per cold ``state()`` read), NOT
+        per state-frame construction: a crash can only interleave with a
+        swap, and ``process_batch`` swaps exactly once at its end — so
+        the two state reads inside one batch see the same recovered
+        layout, and an object store pays one existence probe (a LIST
+        round-trip on S3/GCS) per batch instead of two."""
         from ..sources.layout import recover_swap
 
         recover_swap(self.state_dir)
 
     def state(self) -> DataFrame:
         self._recover()
+        return self._state_frame()
+
+    def _state_frame(self) -> DataFrame:
+        """Plain read of the (already-recovered) state dir."""
         if os.path.exists(os.path.join(self.state_dir, "_SUCCESS")):
             return self.spark.read.schema(TASK_SCHEMA).parquet(self.state_dir)
         return self.spark.createDataFrame([], TASK_SCHEMA)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self._recover()
         # T2: collapse re-deliveries inside the batch — keep max version
         latest = (
             batch.withColumn(
@@ -149,7 +161,7 @@ class TaskStateMachine:
         # the state row (when present) is the truth a redelivery must NOT
         # overwrite — read-modify-write like the reference's GET-latest-
         # then-PUT (ConsultationNoteWritebackX.py:131-135), but set-based
-        state = self.state().select(
+        state = self._state_frame().select(
             "id", *[F.col(c).alias(f"st_{c}") for c in TASK_SCHEMA.names if c != "id"]
         )
         joined = latest.join(state, "id", "left")
@@ -179,7 +191,7 @@ class TaskStateMachine:
         )
 
         new_state = (
-            self.state()
+            self._state_frame()
             .join(advanced.select("id"), "id", "left_anti")
             .unionByName(advanced)
         )

@@ -395,7 +395,12 @@ def test_ods_zip_writer_two_phase_commit_atomicity(spark):
         bad.repartition(2).write.format("ods_zip").mode("overwrite").save(archive)
 
     assert open(archive, "rb").read() == published  # old archive intact
-    assert not os.path.exists(archive + ".staging")  # abort cleaned up
+    # abort cleaned up the per-job staging dir (staging-<uuid> naming)
+    parent = os.path.dirname(archive)
+    base = os.path.basename(archive)
+    assert [
+        d for d in os.listdir(parent) if d.startswith(base + ".staging")
+    ] == []
     assert not os.path.exists(archive + ".tmp")
 
     # append is an explicit error, not silent corruption
