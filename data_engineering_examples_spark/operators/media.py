@@ -6,16 +6,19 @@ the bytes except inside explicitly Arrow-batched Python stages, and
 everything else (filters on kind/format/dimensions, joins to caption
 text, size accounting) is pure columnar work that prunes and pushes down.
 
-The decode boundary is honest about this container: real image/audio
-decoding libraries are NOT installed, so
+The decode boundary is honest about this container: compressed-format
+decoding libraries (PIL/opencv) are NOT installed, so
 
-* ``decode_image``/``resize_image`` raise ``NotImplementedError`` unless
-  a decoder is injected — the CLEARLY-MARKED stub the brief asks for;
+* ``decode_image``/``resize_image`` carry a REAL stdlib implementation
+  for the two uncompressed formats a pure-Python parser can own —
+  24-bit BI_RGB BMP and binary P6 PPM — and raise
+  ``NotImplementedError`` for anything else unless a decoder is
+  injected (JPEG/PNG et al. need the external library);
 * ``extract_features`` runs a real ``mapInPandas`` pipeline with a
   deterministic byte-histogram featurizer standing in for a model
   embedding — the Arrow batch shape, schema handling, and partitioning
-  are exactly what a real encoder stage uses (swap ``_byte_histogram``
-  for the model call);
+  are exactly what a real encoder stage uses (pass ``featurizer=`` to
+  swap in the model call, including one built on ``decode_image``);
 * ``sample_frames`` emulates video frame sampling by slicing k
   evenly-spaced windows out of the payload — one row in, k rows out,
   the fan-out shape of a real frame extractor.
@@ -27,7 +30,8 @@ joins/aggregations use the slim (media_id, features/meta) projections.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator
+import struct
+from typing import Callable, Iterator, NamedTuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -39,23 +43,121 @@ FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes int, features array<doub
 FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_bytes binary"
 
 
-def decode_image(payload: bytes, decoder: Callable[[bytes], object] | None = None):
-    """STUB: real decode needs an image library not present in this
-    environment. Inject ``decoder`` (e.g. PIL.Image.open wrapped) in a
-    real deployment."""
-    if decoder is None:
+class DecodedImage(NamedTuple):
+    """Row-major RGB pixel buffer (3 bytes/pixel, top-down)."""
+
+    width: int
+    height: int
+    pixels: bytes  # len == width * height * 3
+
+
+def _decode_bmp(payload: bytes) -> DecodedImage:
+    """24-bit uncompressed (BI_RGB) BMP → RGB. Pure stdlib: header
+    offsets per the BITMAPINFOHEADER layout; rows are 4-byte aligned and
+    stored bottom-up (top-down when height is negative), pixels BGR."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "image decode requires an injected decoder; none is available "
-            "in this environment (no PIL/opencv)"
+            f"only 24-bit uncompressed BMP is supported (bpp={bpp}, "
+            f"compression={compression})"
         )
-    return decoder(payload)
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_row = y if top_down else height - 1 - y
+        base = data_off + src_row * row_stride
+        row = payload[base : base + width * 3]
+        if len(row) < width * 3:
+            raise ValueError("truncated BMP pixel data")
+        dst = y * width * 3
+        # BGR -> RGB
+        out[dst : dst + width * 3 : 3] = row[2::3]
+        out[dst + 1 : dst + width * 3 : 3] = row[1::3]
+        out[dst + 2 : dst + width * 3 : 3] = row[0::3]
+    return DecodedImage(width, height, bytes(out))
 
 
-def resize_image(payload: bytes, width: int, height: int, resizer=None):
-    """STUB, same contract as decode_image."""
-    if resizer is None:
-        raise NotImplementedError("image resize requires an injected resizer")
-    return resizer(payload, width, height)
+def _decode_ppm(payload: bytes) -> DecodedImage:
+    """Binary P6 PPM (maxval ≤ 255) → RGB. Header is whitespace-separated
+    tokens with '#' comments; pixel data follows the single whitespace
+    after maxval, already RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    width, height, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    i += 1  # exactly one whitespace byte after maxval
+    need = width * height * 3
+    pixels = payload[i : i + need]
+    if len(pixels) < need:
+        raise ValueError("truncated PPM pixel data")
+    return DecodedImage(width, height, pixels)
+
+
+def decode_image(
+    payload: bytes, decoder: Callable[[bytes], object] | None = None
+) -> object:
+    """Decode an image payload to a :class:`DecodedImage`.
+
+    Executable without any external library for 24-bit BMP and binary
+    PPM (the uncompressed formats a stdlib parser can own outright).
+    Compressed formats (JPEG/PNG/...) still require an injected
+    ``decoder`` (e.g. a PIL.Image.open wrapper) — that seam is the
+    production path and this module's honest limit: no codec library is
+    available in this environment."""
+    if decoder is not None:
+        return decoder(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "built-in decode covers 24-bit BMP and P6 PPM only; inject a "
+        "decoder for compressed formats (no PIL/opencv in this environment)"
+    )
+
+
+def resize_image(
+    payload: bytes, width: int, height: int, resizer=None
+) -> object:
+    """Nearest-neighbor resize over :func:`decode_image`'s RGB buffer —
+    executable stdlib-only for BMP/PPM payloads; inject ``resizer`` for
+    formats (or interpolation kernels) beyond the built-in path."""
+    if resizer is not None:
+        return resizer(payload, width, height)
+    img = decode_image(payload)
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        sy = y * img.height // height
+        src_base = sy * img.width * 3
+        dst_base = y * width * 3
+        for x in range(width):
+            sx = x * img.width // width
+            s = src_base + sx * 3
+            d = dst_base + x * 3
+            out[d : d + 3] = img.pixels[s : s + 3]
+    return DecodedImage(width, height, bytes(out))
 
 
 def _byte_histogram(payload: bytes) -> list[float]:
@@ -70,9 +172,17 @@ def _byte_histogram(payload: bytes) -> list[float]:
     return [c / n for c in counts]
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    featurizer: Callable[[bytes], list[float]] | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column
-    (``mapInPandas``): the real plumbing for a model-encoder stage."""
+    (``mapInPandas``): the real plumbing for a model-encoder stage.
+    ``featurizer`` maps payload bytes → feature vector; the default is
+    the byte histogram, and a decode-backed featurizer (e.g. pixel
+    statistics over :func:`decode_image`) drops straight in — same
+    batch shape, same schema."""
+    fz = featurizer or _byte_histogram
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,7 +191,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(len),
-                    "features": pdf["payload"].map(_byte_histogram),
+                    "features": pdf["payload"].map(fz),
                 }
             )
 

@@ -44,10 +44,87 @@ def test_frame_sampling_fanout(spark):
         assert all(0 < len(f.frame_bytes) <= 64 for f in fr)
 
 
-def test_decode_stubs_raise_without_injected_decoder():
+def test_decode_raises_for_compressed_formats_without_injected_decoder():
+    # compressed formats still need the injected-decoder seam
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
     with pytest.raises(NotImplementedError):
         resize_image(b"\x89PNG...", 64, 64)
     # injected decoder path works (the production contract)
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
+
+
+def _bmp_2x2() -> bytes:
+    """Hand-built 24-bit BMP, 2x2: rows stored bottom-up, BGR, rows
+    padded to 4 bytes (2*3=6 -> stride 8). Top row: red, green;
+    bottom row: blue, white."""
+    import struct
+
+    # pixel rows as stored (bottom-up): bottom first
+    bottom = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"  # blue, white (BGR)
+    top = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"  # red, green (BGR)
+    pixel_data = bottom + top
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pixel_data), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    return header + pixel_data
+
+
+def _ppm_2x1() -> bytes:
+    # 2x1 P6 with a header comment: red then blue
+    return b"P6\n# test\n2 1\n255\n" + bytes([255, 0, 0, 0, 0, 255])
+
+
+def test_builtin_bmp_decode_pixels_and_orientation():
+    img = decode_image(_bmp_2x2())
+    assert (img.width, img.height) == (2, 2)
+    px = img.pixels
+    # row-major top-down RGB: red, green / blue, white
+    assert px[0:3] == bytes([255, 0, 0])
+    assert px[3:6] == bytes([0, 255, 0])
+    assert px[6:9] == bytes([0, 0, 255])
+    assert px[9:12] == bytes([255, 255, 255])
+
+
+def test_builtin_ppm_decode_and_resize():
+    img = decode_image(_ppm_2x1())
+    assert (img.width, img.height) == (2, 1)
+    assert img.pixels == bytes([255, 0, 0, 0, 0, 255])
+    # nearest-neighbor upscale 2x1 -> 4x2: left half red, right half blue
+    up = resize_image(_ppm_2x1(), 4, 2)
+    assert (up.width, up.height) == (4, 2)
+    for y in range(2):
+        row = up.pixels[y * 12 : (y + 1) * 12]
+        assert row[0:6] == bytes([255, 0, 0] * 2)
+        assert row[6:12] == bytes([0, 0, 255] * 2)
+
+
+def test_decode_backed_featurizer_through_arrow_pipeline(spark):
+    """The decode path runs through the REAL mapInPandas stage: BMP/PPM
+    payloads -> decode_image on executors -> per-channel mean features."""
+    from data_engineering_examples_spark.operators.media import N_FEATURES
+
+    rows = [
+        (1, "image", bytearray(_bmp_2x2())),
+        (2, "image", bytearray(_ppm_2x1())),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    def rgb_means(payload: bytes) -> list[float]:
+        img = decode_image(bytes(payload))
+        n = img.width * img.height
+        means = [
+            sum(img.pixels[c::3]) / (255.0 * n) for c in range(3)
+        ]
+        return means + [0.0] * (N_FEATURES - 3)
+
+    out = {
+        r.media_id: r.features
+        for r in extract_features(media, featurizer=rgb_means).collect()
+    }
+    # BMP 2x2 red+green+blue+white: channel sums (255*2, 255*2, 255*2)/4
+    assert all(abs(v - 0.5) < 1e-9 for v in out[1][:3])
+    # PPM red+blue: (255, 0, 255)/2
+    assert abs(out[2][0] - 0.5) < 1e-9
+    assert out[2][1] == 0.0
+    assert abs(out[2][2] - 0.5) < 1e-9
