@@ -5265,3 +5265,58 @@ def q199_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(verdict(pn, "p_name->p_type", "dt"))
         .unionByName(verdict(os_, "o_custkey->o_orderpriority", "dy"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — k-anonymity audit (the privacy-governance primitive behind
+# quasi-identifier release decisions): bucket every customer by the
+# quasi-identifier tuple (nation, market segment, account-balance band),
+# then report the GROUP-SIZE DISTRIBUTION with an at-risk flag for
+# groups smaller than K_ANON — the exact numbers a re-identification
+# review asks for ("how many people are in cells smaller than k?").
+#
+# Scale shape: two keyed aggregates — (QI-tuple) → group size, then
+# (group size) → histogram — both with map-side combine; output is
+# O(distinct group sizes), never O(rows).  Bands use integer floor
+# division so both engines draw identical boundaries.
+
+K_ANON = 5
+Q203_BAND = 1000  # acctbal band width in currency units
+
+
+@register(
+    "q203_k_anonymity_audit",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / {Q203_BAND}) AS BIGINT) AS bal_band,
+             count(*) AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(group_size * count(*) AS BIGINT) AS n_rows,
+           group_size < {K_ANON} AS at_risk
+    FROM qi GROUP BY group_size
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}): quasi-identifier group-size "
+    "histogram with at-risk flags; two map-side-combined aggregates, "
+    "output bounded by distinct group sizes",
+    tags=("analytics", "A4", "governance", "privacy"),
+)
+def q203_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_tables(spark, sf_dir, ["customer"])["customer"]
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / Q203_BAND).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    return qi.groupBy("group_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups")
+    ).select(
+        F.col("group_size").cast("bigint"),
+        "n_groups",
+        (F.col("group_size") * F.col("n_groups")).cast("bigint").alias("n_rows"),
+        (F.col("group_size") < K_ANON).alias("at_risk"),
+    )

@@ -957,3 +957,177 @@ def q171_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_parts_a").cast("bigint"),
         F.col("n_parts_b").cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — blocking quality audit: does the LSH candidate generator (q24)
+# actually RECOVER the true near-duplicate pairs (q23 at jaccard ≥
+# 0.5)?  The dedup-pipeline twin of q201's ANN recall gate: candidate
+# recall (missed true pairs never get deduplicated — silent corpus
+# contamination) and candidate precision (how much of the bucket-join
+# fan-out is wasted verification work), both as exact integer counts +
+# micro-unit ratios.  The oracle nests both queries' own DuckDB oracles
+# — one source of truth per pipeline.
+#
+# Scale shape: the pair frames are the audited pipelines' outputs
+# (bucket-bounded, never O(n²)); the audit itself is one pair-keyed
+# left join + two single-row aggregates folded with a broadcast.
+
+Q205_TRUTH_JACCARD = 0.5
+
+
+def _q205_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q23 = _REGISTRY["q23_ngram_jaccard_pairs"].oracle
+    q24 = _REGISTRY["q24_minhash_lsh_pairs"].oracle
+    return f"""
+    WITH truth AS (
+      SELECT doc_a, doc_b FROM ({q23}) t WHERE jaccard >= {Q205_TRUTH_JACCARD}
+    ),
+    cand AS (SELECT doc_a, doc_b FROM ({q24}) c),
+    hits AS (
+      SELECT count(*) AS n_truth, count(c.doc_a) AS n_hit
+      FROM truth t LEFT JOIN cand c
+        ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    cn AS (SELECT count(*) AS n_candidates FROM cand)
+    SELECT CAST(h.n_truth AS BIGINT) AS n_truth,
+           CAST(cn.n_candidates AS BIGINT) AS n_candidates,
+           CAST(h.n_hit AS BIGINT) AS n_hit,
+           CAST(h.n_truth - h.n_hit AS BIGINT) AS n_missed,
+           CAST(h.n_hit * 1000000 // h.n_truth AS BIGINT) AS recall_micros,
+           CAST(h.n_hit * 1000000 // cn.n_candidates AS BIGINT)
+             AS precision_micros
+    FROM hits h, cn
+    """
+
+
+@register(
+    "q205_blocking_quality",
+    oracle=_q205_oracle(),
+    doc=f"LSH blocking recall/precision vs exact-Jaccard truth pairs "
+    f"(jaccard >= {Q205_TRUTH_JACCARD}); integer hit counts + micro "
+    "ratios — the dedup-pipeline twin of q201's ANN recall gate",
+    tags=("dedup", "llm", "quality"),
+)
+def q205_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = (
+        q23_ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= Q205_TRUTH_JACCARD)
+        .select("doc_a", "doc_b")
+    )
+    cand = q24_minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    hits = truth.join(F.broadcast(cand), ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_truth"), F.count("hit").alias("n_hit")
+    )
+    cn = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return hits.crossJoin(F.broadcast(cn)).select(
+        F.col("n_truth").cast("bigint"),
+        F.col("n_candidates").cast("bigint"),
+        F.col("n_hit").cast("bigint"),
+        (F.col("n_truth") - F.col("n_hit")).cast("bigint").alias("n_missed"),
+        F.expr("n_hit * 1000000 div n_truth").cast("bigint").alias("recall_micros"),
+        F.expr("n_hit * 1000000 div n_candidates")
+        .cast("bigint")
+        .alias("precision_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — position-level substring duplication rate (the Lee et al. 2022
+# "Deduplicating Training Data" audit, distinct from q23's DOC-pair
+# Jaccard): what fraction of each document's character positions sit
+# inside a 16-char gram that also occurs in ANOTHER document?  Doc-pair
+# metrics miss boilerplate that is pasted across many documents without
+# making any single pair similar; position-level duplication catches it
+# and is the number substring-dedup decisions key off.
+#
+# Grams are sampled on a stride-8 grid (2× coverage bound per position)
+# and hashed to 60-bit ints BEFORE the shuffle — the exchange carries 8
+# bytes per gram, and the df aggregate counts DISTINCT docs per gram
+# (within-doc repeats don't fake cross-doc duplication).  Shape:
+# explode → distinct(doc, gram) [map-side combine] → gram-keyed count →
+# join back on gram → doc-keyed agg.  All key-partitioned; no pair
+# join, no window.
+
+Q206_K = 16  # gram length (chars)
+Q206_STRIDE = 8
+
+
+@register(
+    "q206_substring_dup_rate",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(range(1, length(text) - {Q206_K} + 2, {Q206_STRIDE})) AS p
+      FROM documents WHERE length(text) >= {Q206_K}
+    ),
+    g AS (
+      SELECT doc_id,
+             {_duck_md5_int(f"substr(d.text, CAST(pos.p AS INT), {Q206_K})")} AS h
+      FROM pos JOIN documents d USING (doc_id)
+    ),
+    dg AS (SELECT DISTINCT doc_id, h FROM g),
+    df AS (SELECT h, count(*) AS n_docs FROM dg GROUP BY h),
+    per AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             count(*) FILTER (df.n_docs >= 2) AS n_dup_grams
+      FROM g JOIN df ON df.h = g.h
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+           CAST(n_dup_grams * 1000000 // n_grams AS BIGINT) AS dup_micros
+    FROM per
+    """,
+    doc=f"position-level {Q206_K}-char gram duplication rate (stride "
+    f"{Q206_STRIDE}): fraction of sampled positions whose gram occurs in "
+    "another doc; hashed-gram df join, distinct-doc counting — the "
+    "substring-dedup audit doc-pair Jaccard cannot see",
+    tags=("dedup", "llm", "text"),
+)
+def q206_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(
+        load_tables(spark, sf_dir, ["documents"])["documents"].filter(
+            F.length("text") >= Q206_K
+        )
+    )
+    # positions exploded first, gram built row-wise: codegen-resident,
+    # same hot-path shape note as _hashed_shingles
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - Q206_K + 1, F.lit(Q206_STRIDE))
+        ).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.expr(f"substr(text, p, {Q206_K})")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    df_ = (
+        g.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per = (
+        g.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("n_docs") >= 2, 1)).alias("n_dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint"),
+        F.col("n_dup_grams").cast("bigint"),
+        F.expr("n_dup_grams * 1000000 div n_grams").cast("bigint").alias("dup_micros"),
+    )

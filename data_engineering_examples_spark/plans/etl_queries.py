@@ -1007,3 +1007,89 @@ def q188_recursive_ancestry(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id, anc, hops FROM chain
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — CDC log apply (the change-data-capture consumer every lakehouse
+# ingest runs): given an ORDERED event log of insert/update/delete
+# operations per key, reconstruct the final table state.  The log is
+# synthesized deterministically from orders (insert for every key, an
+# update for keys ≡ 0 mod 3, a delete for keys ≡ 0 mod 7; LSN = version
+# ordinal), so both engines derive the identical log without a fixture.
+#
+# Scale shape: ONE hash-partitioned aggregate on the key —
+# max(struct(lsn, op, payload)) picks each key's latest op with no
+# window and no per-key sort; map-side combine collapses the log before
+# the shuffle.  This is how CDC compaction actually runs at 100 TB
+# (same shape as q07's latest-event and q89's SCD2 current-row rules);
+# deletes drop out AFTER the argmax, so a delete followed by nothing
+# stays deleted and out-of-order deliveries fold correctly by LSN.
+# Prices ride as exact integer cents.
+
+@register(
+    "q202_cdc_log_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders
+    ),
+    log AS (
+      SELECT k, CAST(1 AS BIGINT) AS lsn, 'insert' AS op, pc FROM base
+      UNION ALL
+      SELECT k, CAST(2 AS BIGINT), 'update', pc + 100000 FROM base
+      WHERE k % 3 = 0
+      UNION ALL
+      SELECT k, CAST(3 AS BIGINT), 'delete', CAST(NULL AS BIGINT) FROM base
+      WHERE k % 7 = 0
+    ),
+    latest AS (
+      SELECT k,
+             max_by(op, lsn) AS last_op,
+             max_by(pc, lsn) AS last_pc,
+             count(*) AS n_versions
+      FROM log GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS o_orderkey,
+           CAST(last_pc AS BIGINT) AS final_price_cents,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM latest WHERE last_op <> 'delete'
+    """,
+    doc="CDC insert/update/delete log -> final state via one keyed "
+    "argmax-by-LSN aggregate (no window, no per-key sort); deletes "
+    "resolved after the fold so out-of-order deliveries converge",
+    tags=("etl", "cdc", "T2", "A4"),
+)
+def q202_cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"]
+    base = o.select(
+        F.col("o_orderkey").cast("bigint").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
+    log = (
+        base.select("k", F.lit(1).cast("bigint").alias("lsn"),
+                    F.lit("insert").alias("op"), "pc")
+        .unionByName(
+            base.filter(F.col("k") % 3 == 0).select(
+                "k", F.lit(2).cast("bigint").alias("lsn"),
+                F.lit("update").alias("op"),
+                (F.col("pc") + 100000).alias("pc"),
+            )
+        )
+        .unionByName(
+            base.filter(F.col("k") % 7 == 0).select(
+                "k", F.lit(3).cast("bigint").alias("lsn"),
+                F.lit("delete").alias("op"),
+                F.lit(None).cast("bigint").alias("pc"),
+            )
+        )
+    )
+    latest = log.groupBy("k").agg(
+        F.max(F.struct("lsn", "op", "pc")).alias("last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
+    return latest.filter(F.col("last.op") != "delete").select(
+        F.col("k").alias("o_orderkey"),
+        F.col("last.pc").alias("final_price_cents"),
+        "n_versions",
+    )

@@ -1036,3 +1036,71 @@ def q181_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "doc_a", "doc_b")
         .limit(SPARSE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — tokenizer merge application (the encode-side twin of q170's
+# merge LEARNING step): apply a FIXED ordered merge table to the
+# whitespace token stream and account for the compression it buys.
+# Each rule glues one adjacent pair into a single token (' a b ' →
+# ' a_b '), applied as a chain of literal (non-regex) replaces in rule
+# order over the space-padded text — left-to-right, non-overlapping,
+# the same sequential-merge semantics a greedy BPE encoder applies per
+# rule, and byte-identical in both engines because `replace` carries no
+# regex dialect.  Token counts fall out of the split length.
+#
+# Scale shape: map-only string work inside whole-stage codegen — no
+# explode, no shuffle; scales with scan bandwidth like q26/q48.  The
+# merge table is a broadcast-sized constant (real vocabularies ship
+# thousands of rules; the chain stays map-only — rules become a
+# generated expression, not a join).
+
+Q204_MERGES = (
+    ("table", "hash"),
+    ("part", "filter"),
+    ("customer", "join"),
+    ("slow", "key"),
+    ("merge", "group"),
+    ("vector", "small"),
+    ("big", "order"),
+    ("filter", "small"),
+)
+
+
+def _q204_duck_chain() -> str:
+    expr = "' ' || text || ' '"
+    for a, b in Q204_MERGES:
+        expr = f"replace({expr}, ' {a} {b} ', ' {a}_{b} ')"
+    return expr
+
+
+@register(
+    "q204_bpe_apply_merges",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens_before,
+           CAST(len(string_split(trim({_q204_duck_chain()}), ' ')) AS INT)
+             AS n_tokens_after,
+           CAST(len(string_split(text, ' '))
+                - len(string_split(trim({_q204_duck_chain()}), ' ')) AS INT)
+             AS n_merged
+    FROM documents
+    """,
+    doc=f"apply {len(Q204_MERGES)} fixed tokenizer merge rules as a "
+    "literal-replace chain (map-only, codegen); per-doc token counts "
+    "before/after — the encode-side twin of q170's merge learning",
+    tags=("text", "llm", "vocab"),
+)
+def q204_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    merged = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    for a, b in Q204_MERGES:
+        merged = F.replace(merged, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
+    before = F.size(F.split(F.col("text"), " "))
+    after = F.size(F.split(F.trim(merged), " "))
+    return d.select(
+        "doc_id",
+        before.alias("n_tokens_before"),
+        after.alias("n_tokens_after"),
+        (before - after).alias("n_merged"),
+    )
