@@ -36,6 +36,9 @@ from .registry import register
 
 N_PROBES = 10
 TOP_K = 10
+# q31's brute-force path broadcasts the probe set and pays O(P·N) dot
+# products; past this bound the bucketed indexes are the only sane plan
+MAX_BRUTE_PROBES = 1024
 DIM = 64
 N_PLANES = 16
 N_BANDS, BITS_PER_BAND = 4, 4
@@ -111,6 +114,16 @@ def _duck_plane(p: list[float]) -> str:
     tags=("similarity", "llm"),
 )
 def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Executable contract, not a comment: brute force is O(P·N) BY
+    # DESIGN (the recall baseline q32/q175/q201 are judged against) and
+    # is only sane while the probe side broadcasts. Anyone raising
+    # N_PROBES past the broadcast-sized bound must consciously move to
+    # the bucketed paths (q32 LSH / q50 IVF / q175 IVF-PQ) instead.
+    if N_PROBES > MAX_BRUTE_PROBES:
+        raise ValueError(
+            f"brute-force top-k is capped at {MAX_BRUTE_PROBES} probes "
+            f"(got {N_PROBES}); use the LSH/IVF paths for larger probe sets"
+        )
     # the HOF dot products below are interpreted and compute-bound:
     # never inherit a one-row-group scan's single-partition layout
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
