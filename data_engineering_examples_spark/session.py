@@ -42,7 +42,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs driver + all executor threads in ONE JVM: 8g heap
+        # was measured GC-tight under the 200+-query bench (multi-second
+        # pauses landing on random queries); 16g is still modest against
+        # the 128 GiB harness and irrelevant on a real cluster, where
+        # executor memory comes from spark-submit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
