@@ -160,6 +160,80 @@ def resize_image(
     return DecodedImage(width, height, bytes(out))
 
 
+class DecodedAudio(NamedTuple):
+    """Interleaved PCM samples as plain ints (per frame, per channel)."""
+
+    sample_rate: int
+    n_channels: int
+    bits_per_sample: int
+    samples: tuple  # flattened interleaved frames
+
+
+def _decode_wav(payload: bytes) -> DecodedAudio:
+    """RIFF/WAVE with 8- or 16-bit integer PCM → interleaved samples.
+    Pure stdlib: walks the chunk list (fmt may be preceded by LIST/fact
+    etc.), honours chunk word-alignment, rejects compressed formats."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"only 8/16-bit integer PCM WAV is supported "
+            f"(fmt={audio_fmt}, bits={bits})"
+        )
+    if bits == 16:
+        n = len(data) // 2
+        samples = struct.unpack_from(f"<{n}h", data, 0)
+    else:
+        samples = tuple(b - 128 for b in data)  # 8-bit PCM is unsigned
+    return DecodedAudio(rate, n_ch, bits, samples)
+
+
+def decode_audio(
+    payload: bytes, decoder: Callable[[bytes], object] | None = None
+) -> object:
+    """Decode an audio payload — executable stdlib-only for PCM WAV;
+    compressed codecs (MP3/AAC/FLAC/...) require an injected decoder,
+    the same honest seam as :func:`decode_image`."""
+    if decoder is not None:
+        return decoder(payload)
+    if payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    raise NotImplementedError(
+        "built-in decode covers PCM WAV only; inject a decoder for "
+        "compressed codecs (no audio library in this environment)"
+    )
+
+
+def pcm_stats(audio: DecodedAudio) -> list[float]:
+    """Deterministic PCM feature vector: duration, RMS (per full-scale),
+    zero-crossing rate, peak — the classic cheap audio-quality gates,
+    computed with integer sums so results are platform-stable."""
+    s = audio.samples
+    n = len(s)
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    full = float(1 << (audio.bits_per_sample - 1))
+    duration = n / audio.n_channels / audio.sample_rate
+    rms = (sum(v * v for v in s) / n) ** 0.5 / full
+    zc = sum(1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)) / max(1, n - 1)
+    peak = max(abs(v) for v in s) / full
+    return [duration, rms, zc, peak]
+
+
 def _byte_histogram(payload: bytes) -> list[float]:
     """Deterministic stand-in featurizer: 16-bucket byte histogram,
     L1-normalized. Replace with the model encoder in production."""
