@@ -93,6 +93,14 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
     return dfs
 
 
+#: memo for scale_out's partition probe: logical-plan fingerprint →
+#: scan partition count. The probe (df.rdd.getNumPartitions) forces a
+#: plan→RDD conversion costing ~0.1-0.3s; every scale_out caller builds
+#: the same scan per invocation, so the count is stable per (plan,
+#: session) and one probe per shape suffices.
+_SCALE_OUT_PARTS: dict = {}
+
+
 def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Unlock executor parallelism for CPU-heavy map stages over small
     scans: repartition ONLY when the scan yields fewer partitions than
@@ -108,6 +116,11 @@ def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     work it parallelizes."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    key = (id(spark._jsparkSession), df.semanticHash())
+    n = _SCALE_OUT_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCALE_OUT_PARTS[key] = n
+    if n < target:
         return df.repartition(target)
     return df
