@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     Filter,
     InputPartition,
@@ -80,6 +81,9 @@ class OdsZipDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "OdsZipWriter":
         return OdsZipWriter(schema, dict(self.options), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "OdsZipStreamWriter":
+        return OdsZipStreamWriter(schema, dict(self.options), overwrite)
 
 
 class OdsZipReader(DataSourceReader):
@@ -318,3 +322,86 @@ class OdsZipWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.staging, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming form of the writer: each micro-batch publishes ONE archive
+# drop into a feed directory — exactly the layout OdsZipStreamReader
+# consumes (drop_<batch>.zip per drop, one CSV member per task), so a
+# streaming pipeline can round-trip archives end to end.  Tasks stage
+# part CSVs under a per-query staging dir; commit(batchId) assembles
+# them into `.tmp` and os.replace()s the final `drop_<batchId>.zip`
+# into the feed — readers never observe a partial drop, a crashed batch
+# leaves only staging garbage for abort()/the next query to clear, and
+# batch replay (at-least-once restart) republishes the SAME archive
+# name, making the commit idempotent at the feed level.  Same
+# shared-filesystem scope note as OdsZipWriter.
+
+
+class OdsZipStreamWriter(DataSourceStreamWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import uuid as _uuid
+
+        path = options.get("path")
+        if not path:
+            raise ValueError("ods_zip streaming write: a feed directory is required")
+        self.path = path.rstrip("/")
+        self.staging = f"{self.path}/.staging-{_uuid.uuid4().hex}"
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _PartFile:  # executors
+        import os
+        import uuid
+
+        os.makedirs(self.staging, exist_ok=True)
+        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(part, "w", encoding="utf-8", newline="") as fh:
+            w = csv.writer(fh)
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return _PartFile(path=part, n_rows=n)
+
+    def _parts(self, messages) -> List[_PartFile]:
+        return sorted(
+            (m for m in messages if m is not None and m.n_rows),
+            key=lambda m: m.path,
+        )
+
+    def _clear_staged(self, messages) -> None:
+        # NB: Spark may construct a fresh StreamWriter instance for the
+        # driver-side commit/abort, so self.staging can differ from the
+        # dir the executors wrote into — derive cleanup targets from the
+        # messages' own paths.
+        import os
+
+        dirs = set()
+        for m in messages:
+            if m is not None:
+                dirs.add(os.path.dirname(m.path))
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+        for d in dirs:
+            try:
+                os.rmdir(d)  # next batch's write() re-creates its dir
+            except OSError:
+                pass
+
+    def commit(self, messages, batchId: int) -> None:  # driver
+        import os
+
+        parts = self._parts(messages)
+        if parts:
+            os.makedirs(self.path, exist_ok=True)
+            tmp = f"{self.path}/.drop-{batchId}.zip.tmp"
+            with zipfile.ZipFile(tmp, "w") as z:
+                for i, m in enumerate(parts):
+                    z.write(m.path, arcname=f"member_{i:05d}.csv")
+            os.replace(tmp, f"{self.path}/drop_{batchId:06d}.zip")
+        self._clear_staged(messages)
+
+    def abort(self, messages, batchId: int) -> None:  # driver
+        self._clear_staged(messages)

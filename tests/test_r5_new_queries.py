@@ -480,3 +480,69 @@ def test_streak_histogram_recount(spark):
         hist[best] += 1
     got = {r.longest_streak: r.n_users for r in rows}
     assert got == dict(hist)
+
+
+def test_ods_zip_stream_writer_publishes_one_drop_per_batch(spark, tmp_path):
+    """Streaming WRITE side of the custom DataSource: each micro-batch
+    publishes one atomic drop_<batch>.zip into a feed directory — the
+    exact layout OdsZipStreamReader consumes — closing the streaming
+    round trip (stream in -> transform -> stream out -> stream in)."""
+    import os
+
+    from data_engineering_examples_spark.sources import ods_datasource
+    from data_engineering_examples_spark.sources.fhir import FIXTURES_DIR
+    from data_engineering_examples_spark.sources.ods import read_epraccur
+
+    ods_datasource.register(spark)
+    base = str(tmp_path / "swr")
+    src_dir, feed, ck = f"{base}/in", f"{base}/feed", f"{base}/ckpt"
+
+    src = read_epraccur(spark, f"{FIXTURES_DIR}/epraccur.csv")
+    cols = src.columns
+    src.coalesce(1).write.parquet(src_dir)
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(src_dir)
+        .writeStream.format("ods_zip")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start(feed)
+    )
+    q.awaitTermination()
+
+    drops = sorted(d for d in os.listdir(feed) if d.endswith(".zip"))
+    assert drops, os.listdir(feed)
+    assert all(d.startswith("drop_") for d in drops)
+    # no staging garbage or half-written archives survive a clean run
+    assert [d for d in os.listdir(feed) if ".tmp" in d or d.startswith(".staging")] == []
+
+    # read the feed back through the BATCH reader per drop: row parity
+    n_total = 0
+    for d in drops:
+        back = (
+            spark.read.format("ods_zip")
+            .schema(src.schema)
+            .load(f"{feed}/{d}")
+        )
+        n_total += back.count()
+    assert n_total == src.count()
+
+    # and through the STREAM reader (archive-count offsets)
+    out = f"{base}/out"
+    q2 = (
+        spark.readStream.format("ods_zip")
+        .schema(src.schema)
+        .load(feed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == src.count()
+    assert sorted(r.ods for r in got.select("ods").collect()) == sorted(
+        r.ods for r in src.select("ods").collect()
+    )
