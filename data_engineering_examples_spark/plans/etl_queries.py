@@ -1093,3 +1093,83 @@ def q202_cdc_log_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.pc").alias("final_price_cents"),
         "n_versions",
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — STREAMING archive round-trip: the stream-write twin of q186.
+# The epraccur rows flow through a file stream into the ods_zip
+# STREAMING sink (``OdsZipStreamWriter``: one atomic drop_<batch>.zip
+# per micro-batch, staged parts + rename publish), and the resulting
+# feed is drained back through the ods_zip STREAMING source (archive-
+# count offsets).  The rollup over the re-read rows must hash-match the
+# same rollup computed straight from the source CSV — any row lost,
+# duplicated, or damaged across stream-out → archive → stream-in breaks
+# the driver's value hash.  The multi-batch boundary (one drop per
+# micro-batch) is exercised by the pytest round-trip test.
+
+@register(
+    "q207_ods_zip_stream_write",
+    oracle=f"""
+    SELECT national_grouping,
+           CAST(count(*) AS BIGINT) AS n_orgs,
+           CAST(count(DISTINCT split_part(postcode, ' ', 1)) AS BIGINT)
+             AS n_areas
+    FROM {_DUCK_EPRACCUR}
+    WHERE national_grouping IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="streaming write->drop-feed->streaming read round-trip via the "
+    "Python DataSource stream writer (atomic drop per micro-batch); "
+    "rollup by national grouping must hash-match the source CSV",
+    tags=("etl", "S1", "S6", "streaming", "T1"),
+)
+def q207_ods_zip_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..scratch import scratch_dir
+    from ..sources import ods_datasource
+
+    ods_datasource.register(spark)
+    base = scratch_dir("q207_stream_write")
+    src_dir, feed = f"{base}/in", f"{base}/feed"
+
+    src = read_epraccur(spark, _EP_CSV)
+    # one drain each way keeps the registry entry lean; the multi-batch
+    # boundary (one drop per batch, maxFilesPerTrigger=1) is exercised
+    # by the pytest round-trip (tests/test_r5_new_queries.py)
+    src.coalesce(1).write.parquet(src_dir)
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .parquet(src_dir)
+        .writeStream.format("ods_zip")
+        .option("checkpointLocation", f"{base}/ckpt_w")
+        .trigger(availableNow=True)
+        .start(feed)
+    )
+    q.awaitTermination()
+
+    out = f"{base}/back"
+    q2 = (
+        spark.readStream.format("ods_zip")
+        .schema(src.schema)
+        .load(feed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{base}/ckpt_r")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    back = spark.read.schema(src.schema).parquet(out)
+    return (
+        back.filter(F.col("national_grouping").isNotNull())
+        .groupBy("national_grouping")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orgs"),
+            F.countDistinct(
+                F.substring_index("postcode", " ", 1)
+            ).cast("bigint").alias("n_areas"),
+        )
+    )
