@@ -80,8 +80,10 @@ _PRIORITY: tuple = (
     # structured-streaming family
     "q120_stream_sessions", "q130_stream_rollup_merge",
     "q144_stream_static_enrich",
-    # custom Python DataSource + governance
-    "q184_ods_zip_datasource", "q185_ods_zip_stream",
+    # custom Python DataSource + governance (q207 drains the stream
+    # source AND the r6 stream sink; q185's reader-only leg keeps local
+    # verification in the tail)
+    "q184_ods_zip_datasource", "q207_ods_zip_stream_write",
     "q186_ods_zip_roundtrip", "q187_quality_expectations",
     # similarity depth (IVF-PQ ADC, label separation, recall gate)
     "q175_ivfpq_adc_topk", "q198_label_separation", "q201_ann_recall",
