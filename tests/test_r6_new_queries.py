@@ -1,0 +1,119 @@
+"""Behavioral tests for the round-6 additions (q201-q207): structural
+properties the value-hash oracle compare can't see — recall bounds and
+set provenance, CDC delete/version algebra, anonymity accounting,
+merge-chain token conservation, substring-dup bounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+from data_engineering_examples_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ann_recall_bounds_and_exact_baseline(spark):
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        N_PROBES,
+        TOP_K,
+    )
+
+    rows = all_specs()["q201_ann_recall"].fn(spark, SF).collect()
+    assert len(rows) == N_PROBES
+    for r in rows:
+        assert r.k_exact == TOP_K
+        assert 0 <= r.lsh_hits <= r.k_exact
+        assert 0 <= r.ivfpq_hits <= r.k_exact
+        assert r.lsh_recall_micros == r.lsh_hits * 1_000_000 // r.k_exact
+        assert r.ivfpq_recall_micros == r.ivfpq_hits * 1_000_000 // r.k_exact
+
+
+def test_cdc_apply_delete_and_version_algebra(spark):
+    o = load_tables(spark, SF, ["orders"])["orders"]
+    keys = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    res = {r.o_orderkey: r for r in all_specs()["q202_cdc_log_apply"].fn(spark, SF).collect()}
+    for k in keys:
+        if k % 7 == 0:
+            assert k not in res  # deleted keys drop out
+        else:
+            r = res[k]
+            assert r.n_versions == (2 if k % 3 == 0 else 1)
+    # every surviving key is a real source key
+    assert set(res) == {k for k in keys if k % 7 != 0}
+
+
+def test_k_anonymity_accounts_for_every_customer(spark):
+    c = load_tables(spark, SF, ["customer"])["customer"]
+    rows = all_specs()["q203_k_anonymity_audit"].fn(spark, SF).collect()
+    assert sum(r.n_rows for r in rows) == c.count()
+    for r in rows:
+        assert r.n_rows == r.group_size * r.n_groups
+        assert r.at_risk == (r.group_size < 5)
+
+
+def test_bpe_merge_chain_conserves_tokens(spark):
+    from data_engineering_examples_spark.plans.text_queries import Q204_MERGES
+
+    rows = all_specs()["q204_bpe_apply_merges"].fn(spark, SF).collect()
+    assert rows
+    total_merged = sum(r.n_merged for r in rows)
+    assert total_merged > 0, "merge table should fire on the corpus"
+    docs = {r.doc_id: r.text for r in
+            load_tables(spark, SF, ["documents"])["documents"].collect()}
+    for r in rows[:50]:
+        text = docs[r.doc_id]
+        assert r.n_tokens_before == len(text.split(" "))
+        # python replay of the same literal-replace chain
+        s = f" {text} "
+        for a, b in Q204_MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}_{b} ")
+        assert r.n_tokens_after == len(s.strip().split(" "))
+        assert r.n_merged == r.n_tokens_before - r.n_tokens_after
+
+
+def test_blocking_quality_is_internally_consistent(spark):
+    row = all_specs()["q205_blocking_quality"].fn(spark, SF).collect()[0]
+    assert row.n_hit <= row.n_truth
+    assert row.n_hit <= row.n_candidates
+    assert row.n_missed == row.n_truth - row.n_hit
+    assert row.recall_micros == row.n_hit * 1_000_000 // row.n_truth
+    assert row.precision_micros == row.n_hit * 1_000_000 // row.n_candidates
+
+
+def test_substring_dup_rate_matches_python_recompute(spark):
+    """Recompute the whole stride-grid gram pipeline in pure Python
+    (grams as raw strings, df over distinct docs) and compare every
+    doc's (n_grams, n_dup_grams) — independent of md5 and of Spark."""
+    from data_engineering_examples_spark.plans.dedup_queries import (
+        Q206_K,
+        Q206_STRIDE,
+    )
+
+    rows = {r.doc_id: r for r in
+            all_specs()["q206_substring_dup_rate"].fn(spark, SF).collect()}
+    docs = load_tables(spark, SF, ["documents"])["documents"].collect()
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert r.dup_micros == r.n_dup_grams * 1_000_000 // r.n_grams
+
+    grams: dict = {}
+    for d in docs:
+        if len(d.text) >= Q206_K:
+            grams[d.doc_id] = [
+                d.text[p : p + Q206_K]
+                for p in range(0, len(d.text) - Q206_K + 1, Q206_STRIDE)
+            ]
+    df_docs: dict = {}
+    for doc_id, gs in grams.items():
+        for g in set(gs):
+            df_docs.setdefault(g, set()).add(doc_id)
+    assert set(rows) == set(grams)
+    for doc_id, gs in grams.items():
+        n_dup = sum(1 for g in gs if len(df_docs[g]) >= 2)
+        assert rows[doc_id].n_grams == len(gs), doc_id
+        assert rows[doc_id].n_dup_grams == n_dup, doc_id
+    # the corpus's planted near-dup family must register somewhere
+    assert any(r.n_dup_grams > 0 for r in rows.values())
