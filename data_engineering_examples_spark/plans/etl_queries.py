@@ -1173,3 +1173,86 @@ def q207_ods_zip_stream_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_areas"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — dimension time travel over the versioned parquet layout
+# (``sources/versioned.py``): publish the ODS dimension twice (v1 = the
+# raw drop, v2 = the next month's drop simulated by deterministic
+# mutations — renames for ods B%, postcode moves for ods ending '1',
+# closures removed), then answer "what changed between the two drops"
+# with two AS-OF reads + the same full-outer changeset that drives the
+# merge sinks.  Exercises the snapshot layer end to end: version-dir
+# write, atomic pointer publish, as-of read of a SUPERSEDED version
+# after a newer one published.  The oracle recomputes both snapshots
+# straight from the CSV, so a row lost by the versioned store (or a
+# pointer pointing at the wrong snapshot) breaks the action counts.
+#
+# Scale shape: the store adds zero query-time overhead beyond reading
+# the right directory; the diff is the one keyed full-outer join the
+# changeset always was.
+
+@register(
+    "q208_dimension_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT ods, organisation_name AS name, postcode
+      FROM {_DUCK_EPRACCUR} WHERE ods IS NOT NULL
+    ),
+    v2 AS (
+      SELECT ods,
+             CASE WHEN ods LIKE 'B%' THEN upper(name) ELSE name END AS name,
+             CASE WHEN ods LIKE '%1' THEN 'ZZ99 9ZZ' ELSE postcode END
+               AS postcode
+      FROM v1 WHERE NOT ods LIKE 'Y%'
+    ),
+    d AS (
+      SELECT CASE WHEN v1.ods IS NULL THEN 'insert'
+                  WHEN v2.ods IS NULL THEN 'delete'
+                  WHEN v1.name IS DISTINCT FROM v2.name
+                    OR v1.postcode IS DISTINCT FROM v2.postcode THEN 'update'
+                  ELSE 'noop' END AS action
+      FROM v1 FULL OUTER JOIN v2 ON v1.ods = v2.ods
+    )
+    SELECT action, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY action
+    """,
+    doc="as-of diff between two published versions of the ODS dimension "
+    "(versioned parquet store: snapshot write + atomic pointer publish "
+    "+ time-travel read); changeset action counts hash-match a CSV "
+    "recompute of both snapshots",
+    tags=("etl", "S1", "U4", "timetravel"),
+)
+def q208_dimension_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sources.versioned import read_version, write_version
+
+    base = scratch_dir("q208_versioned")
+    table = f"{base}/ods_dim"
+
+    v1_df = (
+        read_epraccur(spark, _EP_CSV)
+        .filter(F.col("ods").isNotNull())
+        .select("ods", F.col("organisation_name").alias("name"), "postcode")
+    )
+    v1 = write_version(v1_df, table)
+    v2_df = (
+        v1_df.filter(~F.col("ods").startswith("Y"))
+        .select(
+            "ods",
+            F.when(F.col("ods").startswith("B"), F.upper("name"))
+            .otherwise(F.col("name"))
+            .alias("name"),
+            F.when(F.col("ods").endswith("1"), F.lit("ZZ99 9ZZ"))
+            .otherwise(F.col("postcode"))
+            .alias("postcode"),
+        )
+    )
+    v2 = write_version(v2_df, table)
+
+    # time travel: read the SUPERSEDED v1 after v2 published, plus latest
+    old = read_version(spark, table, v1)
+    new = read_version(spark, table)  # pointer must resolve to v2
+    assert v2 == v1 + 1
+    cs = changeset(old, new, key="ods", compare_cols=["name", "postcode"])
+    return cs.groupBy("action").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
