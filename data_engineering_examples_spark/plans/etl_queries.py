@@ -1256,3 +1256,70 @@ def q208_dimension_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert v2 == v1 + 1
     cs = changeset(old, new, key="ods", compare_cols=["name", "postcode"])
     return cs.groupBy("action").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# q209 — single-pass ingest metrics via ``DataFrame.observe``: the
+# production pattern for audit counters.  A naive pipeline writes the
+# data, then re-scans it (or the source) to compute row counts / null
+# counts / value mass for the run manifest — at 100 TB that second scan
+# is the cost of the first.  ``observe`` attaches named aggregates to
+# the plan itself: the metrics accumulate ON the ingest's own pass and
+# are read from the observation after the action, zero extra scans.
+# The ingest here is a real parquet write of the cleaned slice; the
+# returned 1-row frame is the run manifest.  The oracle recomputes the
+# same aggregates declaratively, so a metric that drifted from the data
+# actually written breaks the hash.  Exact integer cents for the mass.
+
+@register(
+    "q209_observed_ingest",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (l_returnflag = 'R') AS BIGINT) AS n_returns,
+           CAST(count(*) FILTER (l_shipdate IS NULL) AS BIGINT)
+             AS n_null_shipdate,
+           CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS price_cents
+    FROM lineitem WHERE l_quantity >= 10
+    """,
+    doc="single-pass ingest audit counters via DataFrame.observe: "
+    "metrics accumulate on the write's own scan (no second pass); the "
+    "1-row manifest hash-matches a declarative recompute",
+    tags=("etl", "governance", "A4", "observe"),
+)
+def q209_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from ..scratch import scratch_dir
+
+    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    cleaned = li.filter(F.col("l_quantity") >= 10)
+    obs = Observation("ingest_audit")
+    observed = cleaned.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("bigint")
+        .alias("n_returns"),
+        F.count(F.when(F.col("l_shipdate").isNull(), 1))
+        .cast("bigint")
+        .alias("n_null_shipdate"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    out = scratch_dir("q209_ingest")
+    observed.write.mode("overwrite").parquet(f"{out}/cleaned")
+    m = obs.get  # blocks until the action's metrics arrive
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                m["n_returns"],
+                m["n_null_shipdate"],
+                m["price_cents"],
+            )
+        ],
+        "n_rows bigint, n_returns bigint, n_null_shipdate bigint, "
+        "price_cents bigint",
+    )
