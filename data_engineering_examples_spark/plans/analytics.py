@@ -5320,3 +5320,94 @@ def q203_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("group_size") * F.col("n_groups")).cast("bigint").alias("n_rows"),
         (F.col("group_size") < K_ANON).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — Pareto frontier (skyline): the orders no other order dominates
+# on (higher value, earlier date) — the classic multi-objective
+# shortlist (best-tradeoff suppliers, price/latency frontiers).
+#
+# The naive definition is a quadratic NOT EXISTS self-join; the
+# DISTRIBUTED shape used here is the 2-D skyline reduction:
+#   1. collapse to max-price-per-date M(d) — one keyed aggregate
+#      (the only per-date candidate that can survive);
+#   2. A(d) = max over strictly-earlier dates of M — a cumulative max
+#      over the DISTINCT date domain, run as range-sort +
+#      per-partition prefix max + broadcast theta-join offsets (the
+#      q197 decomposition; no unpartitioned window, no whitelist);
+#   3. an order (d, p) is on the frontier iff p == M(d) and p > A(d);
+#      equal-(d, p) duplicates all survive (neither strictly dominates).
+# Total cost: two keyed aggregates + one broadcast join back to the
+# fact rows — linear in data, parallel everywhere.  The ORACLE keeps
+# the quadratic NOT EXISTS definition on purpose: both engines must
+# agree across two genuinely different algorithms, so a subtle
+# dominance-rule bug in the reduction cannot self-confirm.  Prices
+# compared as exact integer cents.
+
+@register(
+    "q210_pareto_frontier",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders
+    )
+    SELECT p.o_orderkey, CAST(p.o_orderdate AS DATE) AS o_orderdate, p.pc
+    FROM o p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o q
+      WHERE q.o_orderdate <= p.o_orderdate AND q.pc >= p.pc
+        AND (q.o_orderdate < p.o_orderdate OR q.pc > p.pc)
+    )
+    """,
+    doc="2-D Pareto frontier (max value, earliest date) via the linear "
+    "skyline reduction (per-date max + decomposed strict-prior "
+    "cumulative max); oracle is the quadratic NOT EXISTS definition — "
+    "two different algorithms must agree",
+    tags=("analytics", "A4", "skyline"),
+)
+def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ["orders"])["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
+    m = o.groupBy("o_orderdate").agg(F.max("pc").alias("m"))
+    # strict-prior cumulative max over the distinct-date domain,
+    # decomposed: range-sort dates, per-partition prefix max, offsets
+    # from a broadcast fold over the per-partition maxima
+    part = m.repartitionByRange(F.col("o_orderdate")).sortWithinPartitions(
+        "o_orderdate"
+    )
+    pid = part.withColumn("__pid", F.spark_partition_id())
+    pmax = pid.groupBy("__pid").agg(F.max("m").alias("__pm"))
+    prior = pmax.select(F.col("__pid").alias("__pid2"), F.col("__pm").alias("__pm2"))
+    offsets = (
+        pmax.join(F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.max("__pm2").alias("__off"))
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("o_orderdate")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier_dates = (
+        pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "a",
+            F.greatest(
+                F.coalesce(F.max("m").over(w_in), F.lit(-1)),
+                F.coalesce(F.col("__off"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("m") > F.col("a"))
+        .select("o_orderdate", "m")
+    )
+    fd = frontier_dates.select(
+        F.col("o_orderdate").alias("fd_date"), F.col("m").alias("fd_pc")
+    )
+    return o.join(
+        F.broadcast(fd),
+        (F.col("o_orderdate") == F.col("fd_date")) & (F.col("pc") == F.col("fd_pc")),
+    ).select("o_orderkey", "o_orderdate", "pc")
