@@ -1489,3 +1489,106 @@ def q201_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ivfpq_recall_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — IVF index persistence round trip: build the coarse index ONCE
+# (centroid vectors + per-vector list assignment), publish both tables
+# through the versioned parquet store (``sources/versioned.py``), then
+# SERVE the probe queries from the persisted snapshot — the actual
+# production ANN pattern (index build is the expensive batch job; query
+# serving reads the published index, never rebuilds it).  The oracle is
+# q50's oracle VERBATIM: served-from-disk results must be bit-identical
+# to the inline build-and-serve, so any fidelity loss across
+# write→publish→as-of-read (dropped rows, reordered lists, a stale
+# pointer) breaks the hash.
+#
+# Scale shape: serving touches the index tables (assignment: N rows of
+# two ids; centroids: K vectors, broadcast) plus the raw vectors for
+# the exact re-rank of CANDIDATES only — the index build's crossJoin
+# cost is paid at publish time, not per query.
+
+@register(
+    "q211_ivf_index_persistence",
+    # the fidelity gate: the persisted-index serve must match q50's
+    # inline build bit-for-bit, so the oracle IS q50's oracle
+    oracle=_duck_ivf_oracle(),
+    doc="IVF index built once, published via the versioned store, and "
+    "served from the snapshot; results must hash-match q50's inline "
+    "build (index-persistence fidelity gate)",
+    tags=("similarity", "llm", "timetravel"),
+)
+def q211_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sources.versioned import read_version, write_version
+
+    base = scratch_dir("q211_ivf_index")
+
+    # ---- build + publish (the batch index job) ----
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    ranked = (
+        v.crossJoin(cents)
+        .select("vec_id", "e", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    write_version(
+        ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id"),
+        f"{base}/assign",
+    )
+    write_version(
+        cents.select("cent_id", F.col("ce").alias("e")), f"{base}/centroids"
+    )
+
+    # ---- serve from the published snapshot ----
+    assign = read_version(spark, f"{base}/assign")
+    pcents = F.broadcast(
+        read_version(spark, f"{base}/centroids").select(
+            "cent_id", F.col("e").alias("ce")
+        )
+    )
+    probes = v.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("e").alias("pe")
+    )
+    p_cos = _dot(F.col("pe"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_probe = Window.partitionBy("probe_id").orderBy(F.desc("pc"), F.asc("cent_id"))
+    probe_lists = (
+        probes.crossJoin(pcents)
+        .select("probe_id", "cent_id", p_cos.alias("pc"))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= N_PROBE_LISTS)
+        .select("probe_id", "cent_id")
+    )
+    cand = (
+        F.broadcast(probe_lists)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    pv = v.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    cosine = _dot(F.col("pe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )
