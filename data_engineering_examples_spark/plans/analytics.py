@@ -5341,8 +5341,11 @@ def q203_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fact rows — linear in data, parallel everywhere.  The ORACLE keeps
 # the quadratic NOT EXISTS definition on purpose: both engines must
 # agree across two genuinely different algorithms, so a subtle
-# dominance-rule bug in the reduction cannot self-confirm.  Prices
-# compared as exact integer cents.
+# dominance-rule bug in the reduction cannot self-confirm.  (That
+# costs the oracle O(n²) — ~11s at the sf0.01 driver gate, minutes in
+# a full local sf0.1 sweep — a price paid in DuckDB only, once per
+# verification run; the Spark side stays linear.)  Prices compared as
+# exact integer cents.
 
 @register(
     "q210_pareto_frontier",
