@@ -91,4 +91,7 @@ def materialize(df, name: str):
         return df.localCheckpoint()
     path = scratch_dir(os.path.join("materialize", name))
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    # explicit schema: an EMPTY substrate (e.g. a no-edges graph at tiny
+    # SF) writes zero part files, and a schemaless read of that throws
+    # UNABLE_TO_INFER_SCHEMA instead of returning the empty frame
+    return df.sparkSession.read.schema(df.schema).parquet(path)

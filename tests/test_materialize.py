@@ -71,3 +71,13 @@ def test_rerun_overwrites_same_path(spark, monkeypatch):
     assert b.count() == 9
     path = os.path.join(scratch_root(), "materialize", "test_mat_rerun")
     assert os.path.isdir(path)
+
+
+def test_empty_substrate_roundtrips(spark, monkeypatch):
+    # a no-rows substrate (empty edge set, empty sketch) must come back
+    # as an empty frame with the right schema, not UNABLE_TO_INFER_SCHEMA
+    monkeypatch.delenv(MATERIALIZE_MODE_ENV, raising=False)
+    df = spark.range(10).filter("id < 0").select("id", (F.col("id") * 2).alias("v"))
+    out = materialize(df, "test_mat_empty")
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["id", "v"]
