@@ -92,6 +92,23 @@ def _warm_python_and_streaming(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    specs = all_specs()
+    # SPARK_GRAFT_BENCH_ONLY=q01_...,q23_... restricts the run — for
+    # profiling single queries and for the bench-contract test; the
+    # driver never sets it, so the recorded runs always cover the full
+    # registry. Validated BEFORE the JVM boots so a typo fails in
+    # milliseconds, not after ~10s of Spark startup.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in specs]
+        if unknown:
+            sys.exit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in the registry: "
+                f"{unknown}; valid names are the q* keys in "
+                f"data_engineering_examples_spark/plans (see CAPABILITIES.md)"
+            )
+        specs = {n: specs[n] for n in names}
     # Single-JVM bench opts into materialize()'s localCheckpoint fast path
     # (no filesystem round-trip per substrate). Everything else — driver
     # correctness runs, tests, real clusters — gets the durable
@@ -99,15 +116,6 @@ def main() -> None:
     os.environ.setdefault(MATERIALIZE_MODE_ENV, "local")
     spark = get_spark("bench")
 
-    specs = all_specs()
-    # SPARK_GRAFT_BENCH_ONLY=q01_...,q23_... restricts the run — for
-    # profiling single queries and for the bench-contract test; the
-    # driver never sets it, so the recorded runs always cover the full
-    # registry.
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    if only:
-        names = [n.strip() for n in only.split(",") if n.strip()]
-        specs = {n: specs[n] for n in names}
     # warm-up: JVM, codegen, parquet footer caches
     all_specs()["q01_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"

@@ -27,19 +27,27 @@ from ..scratch import materialize
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, rounds: int
+    nodes: DataFrame, edges: DataFrame, rounds: int, scratch_prefix: str = "cc"
 ) -> DataFrame:
     """``nodes``: one column ``id``; ``edges``: columns ``u``, ``v``
     (one direction suffices — both are added here). Returns
     ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
     node id. ``rounds`` must cover log2(component diameter); callers
     pair this with an oracle that computes the full closure so an
-    insufficient round count fails loudly."""
+    insufficient round count fails loudly.
+
+    ``scratch_prefix`` keys this caller's materialized substrates: two
+    DIFFERENT callers in one process (doc dedup, patient linkage) must
+    pass distinct prefixes, else building the second query's plan
+    overwrites the first's still-unread scratch parquet and a deferred
+    collect silently reads the wrong graph's labels. Repeated
+    invocations of the SAME caller intentionally reuse the paths (the
+    scratch module's wipe-per-call space-reuse contract)."""
     bidir = materialize(
         edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ),
-        "cc_edges",
+        f"{scratch_prefix}_edges",
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
     for rnd in range(rounds):
@@ -60,6 +68,6 @@ def connected_components(
             labels.join(parents, labels.label == parents.pid).select(
                 "id", F.col("plabel").alias("label")
             ),
-            f"cc_labels_r{rnd}",
+            f"{scratch_prefix}_labels_r{rnd}",
         )
     return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))

@@ -68,6 +68,8 @@ def _decode_bmp(payload: bytes) -> DecodedImage:
         )
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{height}")
     row_stride = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for y in range(height):
@@ -105,6 +107,8 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
         tokens.append(int(payload[i:j]))
         i = j
     width, height, maxval = tokens
+    if width <= 0 or height <= 0:
+        raise ValueError(f"invalid PPM dimensions {width}x{height}")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     i += 1  # exactly one whitespace byte after maxval
@@ -187,8 +191,17 @@ def _decode_wav(payload: bytes) -> DecodedAudio:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    if len(fmt) < 16:
+        # the pre-PCM 14-byte WAVE_FORMAT chunk has no wBitsPerSample;
+        # only the PCM extension (>= 16 bytes) is decodable here
+        raise NotImplementedError(
+            f"fmt chunk of {len(fmt)} bytes lacks wBitsPerSample; "
+            "only PCM WAVE_FORMAT (16+ bytes) is supported"
+        )
     audio_fmt, n_ch, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
+    if n_ch == 0 or rate == 0:
+        raise ValueError(f"invalid WAV header: {n_ch} channels, {rate} Hz")
     if audio_fmt != 1 or bits not in (8, 16):
         raise NotImplementedError(
             f"only 8/16-bit integer PCM WAV is supported "

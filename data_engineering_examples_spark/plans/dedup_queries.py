@@ -567,7 +567,8 @@ def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     cc = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, CC_ROUNDS
+        docs.select(F.col("doc_id").alias("id")), edges, CC_ROUNDS,
+        scratch_prefix="q72_cc",
     )
     return cc.select(
         F.col("id").alias("doc_id"),
@@ -996,8 +997,11 @@ def _q205_oracle() -> str:
            CAST(cn.n_candidates AS BIGINT) AS n_candidates,
            CAST(h.n_hit AS BIGINT) AS n_hit,
            CAST(h.n_truth - h.n_hit AS BIGINT) AS n_missed,
-           CAST(h.n_hit * 1000000 // h.n_truth AS BIGINT) AS recall_micros,
-           CAST(h.n_hit * 1000000 // cn.n_candidates AS BIGINT)
+           CAST(CASE WHEN h.n_truth = 0 THEN 0
+                     ELSE h.n_hit * 1000000 // h.n_truth END AS BIGINT)
+             AS recall_micros,
+           CAST(CASE WHEN cn.n_candidates = 0 THEN 0
+                     ELSE h.n_hit * 1000000 // cn.n_candidates END AS BIGINT)
              AS precision_micros
     FROM hits h, cn
     """
@@ -1029,8 +1033,15 @@ def q205_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_candidates").cast("bigint"),
         F.col("n_hit").cast("bigint"),
         (F.col("n_truth") - F.col("n_hit")).cast("bigint").alias("n_missed"),
-        F.expr("n_hit * 1000000 div n_truth").cast("bigint").alias("recall_micros"),
-        F.expr("n_hit * 1000000 div n_candidates")
+        # CASE-guarded like the oracle: at zero truth/candidates DuckDB's
+        # `//` raises while Spark's `div` returns NULL — the zero regime
+        # is exactly when this quality gate must still produce a row
+        F.expr("CASE WHEN n_truth = 0 THEN 0 "
+               "ELSE n_hit * 1000000 div n_truth END")
+        .cast("bigint")
+        .alias("recall_micros"),
+        F.expr("CASE WHEN n_candidates = 0 THEN 0 "
+               "ELSE n_hit * 1000000 div n_candidates END")
         .cast("bigint")
         .alias("precision_micros"),
     )

@@ -908,7 +908,9 @@ def q131_patient_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("score") >= LINK_SCORE_MIN)
         .select("u", "v")
     )
-    cc = connected_components(p.select("id"), edges, LINK_CC_ROUNDS)
+    cc = connected_components(
+        p.select("id"), edges, LINK_CC_ROUNDS, scratch_prefix="q131_cc"
+    )
     return cc.select(
         F.col("id").alias("patient_id"),
         "cluster_id",

@@ -116,7 +116,10 @@ def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     work it parallelizes."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    key = (id(spark._jsparkSession), df.semanticHash())
+    # applicationId (not id(session)): object identity can be recycled
+    # after a stopped session is collected, which would resurrect a
+    # stale count for a new session with different configs
+    key = (spark.sparkContext.applicationId, df.semanticHash())
     n = _SCALE_OUT_PARTS.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

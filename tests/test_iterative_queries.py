@@ -201,3 +201,19 @@ def test_embedding_drift_zero_for_mirrored_batches(spark, tmp_path):
     for r in rows:
         assert r.n_a == r.n_b
         assert r.drift_sq == 0.0
+
+
+def test_cc_scratch_isolation_across_callers(spark):
+    """Two different connected_components callers in ONE process must
+    not overwrite each other's materialized label substrates: build
+    BOTH query frames first (the second build eagerly rewrites its own
+    scratch), then collect the FIRST — under shared scratch names this
+    silently returned the second graph's labels (same schema, wrong
+    data)."""
+    df72 = all_specs()["q72_dedup_clusters"].fn(spark, SF_SMOKE)
+    expected = {(r.doc_id, r.cluster_id) for r in df72.collect()}
+
+    df72_deferred = all_specs()["q72_dedup_clusters"].fn(spark, SF_SMOKE)
+    all_specs()["q131_patient_linkage"].fn(spark, SF_SMOKE).count()  # rewrites ITS scratch
+    got = {(r.doc_id, r.cluster_id) for r in df72_deferred.collect()}
+    assert got == expected

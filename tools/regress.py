@@ -46,10 +46,13 @@ def main() -> int:
 
     o_tot = sum(oq[q] for q in common)
     n_tot = sum(nq[q] for q in common)
-    print(
-        f"common {len(common)} queries: {o_tot:.1f}s -> {n_tot:.1f}s "
-        f"({(n_tot / o_tot - 1) * 100:+.1f}%)"
-    )
+    if common and o_tot > 0:
+        print(
+            f"common {len(common)} queries: {o_tot:.1f}s -> {n_tot:.1f}s "
+            f"({(n_tot / o_tot - 1) * 100:+.1f}%)"
+        )
+    else:
+        print(f"common {len(common)} queries (no comparable total)")
     if added:
         print(f"added {len(added)} (+{sum(nq[q] for q in added):.1f}s): "
               + ", ".join(f"{q} {nq[q]:.2f}s" for q in added))
