@@ -117,3 +117,24 @@ def test_substring_dup_rate_matches_python_recompute(spark):
         assert rows[doc_id].n_dup_grams == n_dup, doc_id
     # the corpus's planted near-dup family must register somewhere
     assert any(r.n_dup_grams > 0 for r in rows.values())
+
+
+def test_blocking_quality_zero_regime_still_produces_a_row(spark, tmp_path):
+    """The regime the gate exists to flag — zero truth pairs, zero
+    candidates — must yield a zeros row, not a division error: point the
+    query at a corpus with no near-duplicates (single tiny doc)."""
+    import pandas as pd
+
+    sf = str(tmp_path)
+    pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["one tiny document with no duplicates at all"],
+            "lang": ["en"],
+            "source": ["t"],
+            "n_chars": [44],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    row = all_specs()["q205_blocking_quality"].fn(spark, sf).collect()[0]
+    assert (row.n_truth, row.n_candidates, row.n_hit, row.n_missed) == (0, 0, 0, 0)
+    assert (row.recall_micros, row.precision_micros) == (0, 0)
