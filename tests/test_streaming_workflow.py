@@ -428,3 +428,30 @@ def test_transform_with_state_end_to_end_parity(spark, tmp_path):
         .collect()
     }
     assert out == batch
+
+
+def test_stateful_progress_parity_under_rocksdb_provider(spark):
+    """The production state store: q83's applyInPandasWithState drain
+    must produce identical results under the RocksDB provider (the one
+    a real cluster runs — on-disk state, not executor-heap HDFSBacked)
+    and under the default provider. RocksDB ships in OSS Spark 4, so
+    unlike transformWithState this path needs no extra package."""
+    from data_engineering_examples_spark.plans.registry import all_specs
+    from data_engineering_examples_spark.streaming.tws import ROCKSDB_PROVIDER
+
+    fn = all_specs()["q83_stateful_progress"].fn
+    sf = "/root/testdata/sf0.001"
+
+    default_rows = {tuple(r) for r in fn(spark, sf).collect()}
+    assert default_rows
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        rocks_rows = {tuple(r) for r in fn(spark, sf).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    assert rocks_rows == default_rows
