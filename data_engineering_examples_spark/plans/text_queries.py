@@ -1104,3 +1104,109 @@ def q204_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         after.alias("n_tokens_after"),
         (before - after).alias("n_merged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212 — periodic-repetition audit: the degenerate-loop pathology
+# ("foo bar foo bar foo bar ...") that share-based signals (q62's
+# top-token / top-bigram shares) under-detect when the loop body is
+# long.  For each candidate period p, the token stream is compared
+# against itself shifted by p — match fraction ≈ 1 means the document
+# IS a p-periodic loop.  Reported per doc: the best (smallest-winning)
+# period and its match fraction in integer micro-units.
+#
+# Scale shape: map-only — per-row array zip_with + aggregate inside
+# codegen, no explode, no shuffle; scales with scan bandwidth like
+# q26/q51.  Short docs (n <= p) score 0 for that period.
+
+Q212_PERIODS = (1, 2, 3, 4, 8)
+
+
+def _q212_duck_match(p: int) -> str:
+    return f"""CASE WHEN len(t) > {p} THEN
+        CAST(len(list_filter(range(1, len(t) - {p} + 1),
+                             i -> t[i] = t[i + {p}])) AS BIGINT)
+        ELSE 0 END"""
+
+
+@register(
+    "q212_periodicity_audit",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             {", ".join(f"{_q212_duck_match(p)} AS m{p}" for p in Q212_PERIODS)}
+      FROM tok
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens, u.p AS period,
+             CASE WHEN n_tokens > u.p
+                  THEN u.m * 1000000 // (n_tokens - u.p) ELSE 0 END AS micros
+      FROM m, unnest([{", ".join(f"{{'p': {p}, 'm': m{p}}}" for p in Q212_PERIODS)}])
+             AS _(u)
+    )
+    SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           -- (micros desc, period asc) as one integer key: micros*16
+           -- strictly dominates the <=15 period spread
+           CAST(max_by(period, micros * 16 - period) AS BIGINT) AS best_period,
+           CAST(max(micros) AS BIGINT) AS best_match_micros
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"periodic-repetition audit over periods {Q212_PERIODS}: token "
+    "stream vs itself shifted by p (map-only zip_with, no shuffle); "
+    "best period by match fraction in integer micro-units — the "
+    "copy-paste-loop pathology share-based signals miss",
+    tags=("text", "llm", "quality"),
+)
+def q212_periodicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.split(d.text, " ")
+    n = F.size(t)
+
+    def match_count(p: int):
+        # tokens[0 : n-p] vs tokens[p : n] — count equal positions
+        a = F.slice(t, 1, F.greatest(n - p, F.lit(0)))
+        b = F.slice(t, p + 1, F.greatest(n - p, F.lit(0)))
+        return F.when(
+            n > p,
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x == y).cast("long")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    base = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        *[match_count(p).alias(f"m{p}") for p in Q212_PERIODS],
+    )
+    micros = [
+        F.when(
+            F.col("n_tokens") > p,
+            F.expr(f"m{p} * 1000000 div (n_tokens - {p})"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(f"u{p}")
+        for p in Q212_PERIODS
+    ]
+    scored = base.select("doc_id", "n_tokens", *micros)
+    # best = max micros, ties toward the SMALLEST period (struct max on
+    # (micros, -period) mirrors the oracle's max_by ROW tie-break)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"u{p}").alias("micros"),
+                F.lit(-p).cast("bigint").alias("neg_p"),
+            )
+            for p in Q212_PERIODS
+        ]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (-best.getField("neg_p")).cast("bigint").alias("best_period"),
+        best.getField("micros").cast("bigint").alias("best_match_micros"),
+    )

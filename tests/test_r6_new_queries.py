@@ -138,3 +138,42 @@ def test_blocking_quality_zero_regime_still_produces_a_row(spark, tmp_path):
     row = all_specs()["q205_blocking_quality"].fn(spark, sf).collect()[0]
     assert (row.n_truth, row.n_candidates, row.n_hit, row.n_missed) == (0, 0, 0, 0)
     assert (row.recall_micros, row.precision_micros) == (0, 0)
+
+
+def test_periodicity_audit_flags_a_planted_loop(spark, tmp_path):
+    """A synthetic 2-periodic loop doc must score ~1.0 at period 2 while
+    a non-repetitive doc scores low — the pathology detector actually
+    detects; exact values recomputed in pure Python."""
+    import pandas as pd
+
+    from data_engineering_examples_spark.plans.text_queries import Q212_PERIODS
+
+    sf = str(tmp_path)
+    loop = "foo bar " * 50
+    normal = "the quick brown fox jumps over the lazy dog again and again"
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [loop.strip(), normal],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(loop.strip()), len(normal)],
+        }
+    ).to_parquet(f"{sf}/documents.parquet")
+    rows = {r.doc_id: r for r in
+            all_specs()["q212_periodicity_audit"].fn(spark, sf).collect()}
+    assert rows[1].best_period == 2
+    assert rows[1].best_match_micros == 1_000_000
+
+    # python recompute of doc 2's best (micros desc, period asc)
+    t = normal.split(" ")
+    best = max(
+        (
+            (sum(1 for i in range(len(t) - p) if t[i] == t[i + p]) * 1_000_000
+             // (len(t) - p) if len(t) > p else 0, -p)
+            for p in Q212_PERIODS
+        )
+    )
+    assert rows[2].best_match_micros == best[0]
+    assert rows[2].best_period == -best[1]
+    assert rows[2].best_match_micros < 500_000
