@@ -9,12 +9,24 @@ every final operator (unlike `count()`, under which Catalyst prunes
 unreferenced aggregates and drops final sorts). A warm-up pass on the
 flagship query amortises JVM/codegen startup so the numbers reflect
 steady-state engine throughput, as they would on a long-lived cluster.
+
+``SPARK_GRAFT_BENCH_REPEAT=N`` (default 1) times every query N times and
+reports the per-query MEDIAN in ``queries`` (the headline ``value`` is
+the sum of medians), with the full spread in ``queries_spread`` as
+``{name: {"median": s, "min": s, "max": s, "runs": [...]}}``.  Single
+runs on this host swing 2-8x on CPU-heavy queries (documented in
+``bench_snapshots/README.md``); a committed snapshot should be taken at
+N>=3 so one scheduler stall can't masquerade as a plan regression — or
+hide one.  Repeats are interleaved (full pass 1, then full pass 2, ...)
+rather than back-to-back per query, so a transient host stall lands on
+at most one sample of MANY queries instead of all samples of one.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -122,28 +134,41 @@ def main() -> None:
     ).save()
     _warm_python_and_streaming(spark)
 
-    timings: dict[str, float] = {}
-    for name, spec in specs.items():
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # noop sink: full execution of every expression/operator, zero
-        # serialization-to-driver cost — measures the engine, not the pipe.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    runs: dict[str, list[float]] = {name: [] for name in specs}
+    for pass_no in range(repeat):
+        for name, spec in specs.items():
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # noop sink: full execution of every expression/operator, zero
+            # serialization-to-driver cost — measures the engine, not the
+            # pipe.
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 4)
+            runs[name].append(dt)
+            print(f"# [{pass_no + 1}/{repeat}] {name}: {dt:.3f}s", file=sys.stderr)
 
+    timings = {name: round(statistics.median(r), 4) for name, r in runs.items()}
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "declared_query_set_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if repeat > 1:
+        out["repeat"] = repeat
+        out["queries_spread"] = {
+            name: {
+                "median": timings[name],
+                "min": min(r),
+                "max": max(r),
+                "runs": r,
             }
-        )
-    )
+            for name, r in runs.items()
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

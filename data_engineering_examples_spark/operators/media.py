@@ -10,10 +10,11 @@ The decode boundary is honest about this container: compressed-format
 decoding libraries (PIL/opencv) are NOT installed, so
 
 * ``decode_image``/``resize_image`` carry a REAL stdlib implementation
-  for the two uncompressed formats a pure-Python parser can own —
-  24-bit BI_RGB BMP and binary P6 PPM — and raise
-  ``NotImplementedError`` for anything else unless a decoder is
-  injected (JPEG/PNG et al. need the external library);
+  for the formats a pure-Python parser can own — 24-bit BI_RGB BMP,
+  binary P6 PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate +
+  per-scanline unfilter) — and raise ``NotImplementedError`` for
+  anything else unless a decoder is injected (JPEG needs a DCT codec
+  library);
 * ``extract_features`` runs a real ``mapInPandas`` pipeline with a
   deterministic byte-histogram featurizer standing in for a model
   embedding — the Arrow batch shape, schema handling, and partitioning
@@ -119,26 +120,154 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, pixels)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
+    Average/Paeth).  ``raw`` is the inflated stream: height scanlines of
+    (1 filter byte + width*bpp sample bytes); returns the defiltered
+    sample buffer."""
+    stride = width * bpp
+    out = bytearray(stride * height)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        if len(line) < stride:
+            raise ValueError("truncated PNG scanline data")
+        pos += stride
+        base = y * stride
+        prev = out[base - stride : base] if y else bytes(stride)
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[base : base + stride] = line
+    return out
+
+
+def _decode_png(payload: bytes) -> DecodedImage:
+    """8-bit non-interlaced PNG → RGB, pure stdlib (zlib inflate + §9
+    scanline unfilter).  Color types: 0 gray, 2 RGB, 3 palette, 4
+    gray+alpha, 6 RGBA — alpha is stripped (the featurizer contract is
+    an opaque RGB buffer).  16-bit depth and Adam7 interlace raise
+    ``NotImplementedError``; a real corpus shard with those goes through
+    the injected-decoder seam."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = b""
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if width == 0 or height == 0:
+        raise ValueError(f"invalid PNG dimensions {width}x{height}")
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG is supported (depth={depth})")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < height * (1 + width * channels):
+        raise ValueError("truncated PNG pixel data")
+    samples = _png_unfilter(raw, width, height, channels)
+    n = width * height
+    out = bytearray(n * 3)
+    if color == 2:  # RGB straight through
+        out[:] = samples
+    elif color == 6:  # RGBA → strip alpha
+        out[0::3] = samples[0::4]
+        out[1::3] = samples[1::4]
+        out[2::3] = samples[2::4]
+    elif color == 0:  # gray → replicate
+        out[0::3] = samples
+        out[1::3] = samples
+        out[2::3] = samples
+    elif color == 4:  # gray+alpha → replicate gray, strip alpha
+        g = samples[0::2]
+        out[0::3] = g
+        out[1::3] = g
+        out[2::3] = g
+    else:  # palette
+        if not plte or len(plte) % 3:
+            raise ValueError("paletted PNG missing a valid PLTE chunk")
+        n_entries = len(plte) // 3
+        for i, idx in enumerate(samples):
+            if idx >= n_entries:
+                raise ValueError(f"palette index {idx} out of range")
+            out[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+    return DecodedImage(width, height, bytes(out))
+
+
 def decode_image(
     payload: bytes, decoder: Callable[[bytes], object] | None = None
 ) -> object:
     """Decode an image payload to a :class:`DecodedImage`.
 
-    Executable without any external library for 24-bit BMP and binary
-    PPM (the uncompressed formats a stdlib parser can own outright).
-    Compressed formats (JPEG/PNG/...) still require an injected
-    ``decoder`` (e.g. a PIL.Image.open wrapper) — that seam is the
-    production path and this module's honest limit: no codec library is
-    available in this environment."""
+    Executable without any external library for 24-bit BMP, binary PPM,
+    and 8-bit non-interlaced PNG (zlib is stdlib; the scanline unfilter
+    is ~60 lines).  JPEG still requires an injected ``decoder`` (e.g. a
+    PIL.Image.open wrapper) — that seam is the production path and this
+    module's honest limit: no DCT codec library is available in this
+    environment."""
     if decoder is not None:
         return decoder(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "built-in decode covers 24-bit BMP and P6 PPM only; inject a "
-        "decoder for compressed formats (no PIL/opencv in this environment)"
+        "built-in decode covers 24-bit BMP, P6 PPM, and 8-bit PNG only; "
+        "inject a decoder for JPEG et al. (no PIL/opencv in this "
+        "environment)"
     )
 
 
@@ -234,7 +363,14 @@ def decode_audio(
 def pcm_stats(audio: DecodedAudio) -> list[float]:
     """Deterministic PCM feature vector: duration, RMS (per full-scale),
     zero-crossing rate, peak — the classic cheap audio-quality gates,
-    computed with integer sums so results are platform-stable."""
+    computed with integer sums so results are platform-stable.
+
+    Samples arrive interleaved (frame-major); RMS and peak are
+    channel-agnostic, but zero crossings must be counted WITHIN each
+    channel's stream — comparing adjacent interleaved samples would
+    count L→R sign flips that are not crossings of either waveform.
+    The reported zc is the mean per-channel crossing rate (identical to
+    the flat computation for mono)."""
     s = audio.samples
     n = len(s)
     if n == 0:
@@ -242,7 +378,14 @@ def pcm_stats(audio: DecodedAudio) -> list[float]:
     full = float(1 << (audio.bits_per_sample - 1))
     duration = n / audio.n_channels / audio.sample_rate
     rms = (sum(v * v for v in s) / n) ** 0.5 / full
-    zc = sum(1 for a, b in zip(s, s[1:]) if (a >= 0) != (b >= 0)) / max(1, n - 1)
+    rates = []
+    for c in range(audio.n_channels):
+        ch = s[c :: audio.n_channels]
+        rates.append(
+            sum(1 for a, b in zip(ch, ch[1:]) if (a >= 0) != (b >= 0))
+            / max(1, len(ch) - 1)
+        )
+    zc = sum(rates) / len(rates)
     peak = max(abs(v) for v in s) / full
     return [duration, rms, zc, peak]
 

@@ -1323,3 +1323,68 @@ def q209_observed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_returns bigint, n_null_shipdate bigint, "
         "price_cents bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q213 — the ODS import's RE-RUN contract as an oracle-checked query.
+# The reference pipeline is re-run-safe by construction: a second run of
+# ``dags/ODSImport.py:258-305`` over the same master file finds every
+# org already present with equal compared fields, so its per-row
+# isUpdate branches all fall through and no HTTP call fires.  Here the
+# same contract runs END TO END through the MergeWriter seam: the
+# current-org projection is written to a scratch target, the epraccur
+# snapshot is merged once (full-sync: inserts + field-diff updates +
+# deletes of orgs absent from the feed), and the SECOND derivation of
+# the changeset against the merged target is aggregated by verb.  The
+# oracle pins the idempotence fixed point: zero inserts, zero updates,
+# zero deletes, and exactly one noop row per feed key (the merged
+# target IS the snapshot — both sides carry unique keys, verified by
+# the q33 oracle's own cardinality).
+#
+# Scale shape: two changeset derivations = two key-partitioned
+# full-outer joins; the merge rewrite is one swap_write.  At 100 TB the
+# same plan runs with the Delta MERGE INTO impl behind the identical
+# seam (sinks/merge_writer.py) and rewrites only key-matched files.
+
+
+@register(
+    "q213_merge_rerun_idempotence",
+    oracle=f"""
+    SELECT CAST(0 AS BIGINT) AS inserts,
+           CAST(0 AS BIGINT) AS updates,
+           CAST(0 AS BIGINT) AS deletes,
+           CAST((SELECT count(*) FROM {_DUCK_EPRACCUR}) AS BIGINT) AS noops
+    """,
+    doc="ODS-import re-run safety end to end: apply the epraccur "
+    "snapshot through ParquetSwapMergeWriter, re-derive the changeset "
+    "against the merged target, return per-verb counts — the oracle "
+    "pins inserts=updates=deletes=0 (ODSImport.py:258-305 re-run = "
+    "no-op diff)",
+    tags=("etl", "governance", "S6", "S7", "S8", "U4"),
+)
+def q213_merge_rerun_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+    from ..sinks.merge_writer import ParquetSwapMergeWriter
+
+    target = f"{scratch_dir('q213_target')}/orgs"
+    _current(spark).write.parquet(target)
+
+    writer = ParquetSwapMergeWriter(spark, target)
+    incoming = _incoming(spark)
+    # first application: inserts + updates + deletes land in the target
+    writer.merge_incoming(incoming, "ods")
+
+    # second derivation against the merged target — the re-run
+    cs2 = changeset(
+        writer.read(),
+        incoming,
+        key="ods",
+        compare_cols=["postal_code", "part_of", "active"],
+    )
+    verb = lambda v: F.count(F.when(F.col("action") == v, 1)).cast("bigint")  # noqa: E731
+    return cs2.agg(
+        verb("insert").alias("inserts"),
+        verb("update").alias("updates"),
+        verb("delete").alias("deletes"),
+        verb("noop").alias("noops"),
+    )

@@ -37,15 +37,14 @@ def register(name: str, oracle: Optional[str], doc: str = "", tags: tuple = ()):
 
 # The external correctness driver hash-checks only the FIRST 50 registry
 # entries, so ordering is coverage policy, not cosmetics.  ROTATION
-# POLICY (r6): rounds 3-5 accumulated driver-green evidence for 68
-# queries; this round the window keeps one oracle-bearing anchor per
-# SURVEY §2 family (25 slots) and rotates the other 25 slots to queries
-# the driver has NEVER checked — the iterative-graph, storage-layout,
-# streaming, custom-DataSource, IVF-PQ/BPE/SCD2/multimodal-dedup
-# families — so driver evidence covers breadth across rounds rather
-# than re-proving the same rows.  Rotated-out queries keep (a) their
-# r3-r5 driver-green records and (b) local tools/check_oracle.py
-# verification, which runs the FULL registry.
+# POLICY (r7, third tranche): rounds 3-6 accumulated driver-green
+# evidence for 93 distinct queries; each round the window keeps one
+# oracle-bearing anchor per SURVEY §2 family (25 slots) and rotates the
+# other 25 slots to queries the driver has NEVER checked, so driver
+# evidence covers breadth across rounds rather than re-proving the same
+# rows.  Rotated-out queries keep (a) their earlier driver-green
+# records and (b) local tools/check_oracle.py verification, which runs
+# the FULL registry.
 _PRIORITY: tuple = (
     # §2 anchors kept in-window (one per family) -------------------------
     # core analytics / sources (S2/S3, W2/A7/F18)
@@ -69,30 +68,28 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots) ------------------------------
-    # iterative graph family
-    "q72_dedup_clusters", "q95_neardup_pagerank", "q123_graph_triangles",
-    "q128_org_hierarchy_closure", "q188_recursive_ancestry",
-    "q146_canonical_docs",
-    # storage-layout family
-    "q111_partition_pruning", "q112_bucketed_join", "q141_zorder_box_scan",
-    "q136_dynamic_partition_overwrite",
-    # structured-streaming family
-    "q120_stream_sessions", "q130_stream_rollup_merge",
-    "q144_stream_static_enrich",
-    # custom Python DataSource + governance (q207 drains the stream
-    # source AND the r6 stream sink; q185's reader-only leg keeps local
-    # verification in the tail)
-    "q184_ods_zip_datasource", "q207_ods_zip_stream_write",
-    "q186_ods_zip_roundtrip", "q187_quality_expectations",
-    # similarity depth (IVF-PQ ADC, label separation, recall gate)
-    "q175_ivfpq_adc_topk", "q198_label_separation", "q201_ann_recall",
-    # text/vocab depth
-    "q170_bpe_merge_pairs", "q181_sparse_cosine_pairs",
-    # ETL depth (SCD2, point-in-time join)
-    "q89_scd2_dimension", "q133_point_in_time_join",
-    # multimodal (binary-payload digest dedup)
-    "q160_media_exact_dedup",
+    # first-time driver evidence (25 slots, r7 = third tranche) ----------
+    # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
+    # rotate each round to queries with no driver-green row yet
+    # (cumulative driver evidence after r6: 93 distinct queries; the r6
+    # first-timers — graph, layout, streaming, DataSource, IVF-PQ —
+    # rotate out to the locally-verified tail).
+    # corpus / training-prep family
+    "q78_pii_scrub", "q79_decontamination", "q80_doc_chunks",
+    "q81_source_mix", "q82_sequence_pack", "q98_train_split",
+    "q99_token_curriculum", "q100_jsonl_roundtrip",
+    "q102_pretrain_pipeline", "q105_split_leakage_audit",
+    "q115_training_order_shards", "q117_bigram_continuation",
+    # sketch family
+    "q85_kmv_distinct", "q103_countmin_terms",
+    "q155_bitmap_audience_overlap", "q156_kmv_join_estimate",
+    "q163_rolling_distinct_users",
+    # stateful-streaming pair
+    "q83_stateful_progress", "q84_stream_dedup",
+    # r6/r7 newcomers (governance, quality gates, serving fidelity)
+    "q203_k_anonymity_audit", "q205_blocking_quality",
+    "q208_dimension_time_travel", "q211_ivf_index_persistence",
+    "q212_periodicity_audit", "q213_merge_rerun_idempotence",
 )
 
 

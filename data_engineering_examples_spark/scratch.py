@@ -41,6 +41,10 @@ _ROOT: str | None = None
 #: single-machine bench fast path (localCheckpoint).
 MATERIALIZE_MODE_ENV = "SPARK_GRAFT_MATERIALIZE"
 
+#: per-name invocation counter for :func:`materialize` path salting —
+#: see the generation contract in its docstring.
+_MATERIALIZE_GEN: dict[str, int] = {}
+
 
 def scratch_root() -> str:
     """Lazily create the per-process scratch root (removed atexit)."""
@@ -82,14 +86,27 @@ def materialize(df, name: str):
       path — and it pins the substrate in executor storage memory.
       Only the single-JVM bench opts into this.
 
-    ``name`` must be unique per call site (it keys the scratch path; a
-    repeated invocation of the same query wipes and rewrites the same
-    path, per the module's reuse contract above).
+    ``name`` must be unique per call site (it keys the scratch path).
+    Repeated invocations of the SAME call site are generation-salted:
+    call ``g`` writes ``materialize/<name>__g<g>`` and deletes
+    generation ``g-2``, so at most TWO copies per name ever exist (the
+    space-reuse contract above) while the PREVIOUS invocation's frame
+    stays readable — re-running a query before collecting the prior
+    result no longer silently rebinds the old frame to new data.  A
+    frame older than one generation fails LOUDLY (path gone) instead of
+    silently reading the wrong rows.
     """
     mode = os.environ.get(MATERIALIZE_MODE_ENV, "parquet")
     if mode == "local":
         return df.localCheckpoint()
-    path = scratch_dir(os.path.join("materialize", name))
+    gen = _MATERIALIZE_GEN.get(name, -1) + 1
+    _MATERIALIZE_GEN[name] = gen
+    base = os.path.join(scratch_root(), "materialize")
+    if gen >= 2:
+        shutil.rmtree(
+            os.path.join(base, f"{name}__g{gen - 2}"), ignore_errors=True
+        )
+    path = scratch_dir(os.path.join("materialize", f"{name}__g{gen}"))
     df.write.mode("overwrite").parquet(path)
     # explicit schema: an EMPTY substrate (e.g. a no-edges graph at tiny
     # SF) writes zero part files, and a schemaless read of that throws

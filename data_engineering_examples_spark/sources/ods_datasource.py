@@ -335,7 +335,17 @@ class OdsZipWriter(DataSourceWriter):
 # leaves only staging garbage for abort()/the next query to clear, and
 # batch replay (at-least-once restart) republishes the SAME archive
 # name, making the commit idempotent at the feed level.  Same
-# shared-filesystem scope note as OdsZipWriter.
+# shared-filesystem scope note as OdsZipWriter.  Staging dirs are
+# per-query UUIDs, so a CRASHED query's leftovers are invisible to any
+# later instance's own abort(); commit()/abort() therefore finish by
+# sweeping every remaining `.staging-*` dir.  The sweep CANNOT live in
+# __init__: Spark re-instantiates the writer (fresh __init__) for each
+# driver-side commit — between the executors staging parts and the
+# commit zipping them — so an __init__ sweep would eat the live batch.
+# At commit/abort time the current batch's dirs are already cleared
+# via the messages' own paths, batches are serial within a query, and
+# the feed has a single-active-query contract, so anything still
+# matching `.staging-*` is a dead query's garbage.
 
 
 class OdsZipStreamWriter(DataSourceStreamWriter):
@@ -389,6 +399,14 @@ class OdsZipStreamWriter(DataSourceStreamWriter):
                 os.rmdir(d)  # next batch's write() re-creates its dir
             except OSError:
                 pass
+        # crash-garbage sweep (see class comment): any `.staging-*` dir
+        # still present after the live batch's cleanup belongs to a dead
+        # query — serial batches + single-active-query feed contract
+        import glob
+        import shutil
+
+        for stale in glob.glob(f"{self.path}/.staging-*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def commit(self, messages, batchId: int) -> None:  # driver
         import os

@@ -98,7 +98,17 @@ def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = N
 #: plan→RDD conversion costing ~0.1-0.3s; every scale_out caller builds
 #: the same scan per invocation, so the count is stable per (plan,
 #: session) and one probe per shape suffices.
+#:
+#: CONTRACT: the memo assumes inputs are immutable for the lifetime of
+#: an application — true for this engine (the testdata parquet is
+#: read-only; scratch substrates never pass through scale_out). If the
+#: files behind a semantically-identical plan were rewritten with a
+#: different file count mid-application, the stale count would merely
+#: cause one avoidable (or one missing) repartition — a perf wobble,
+#: never a correctness issue. Bounded LRU so a long-lived session
+#: (notebook, streaming driver) can't grow it without limit.
 _SCALE_OUT_PARTS: dict = {}
+_SCALE_OUT_PARTS_MAX = 1024
 
 
 def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -123,7 +133,14 @@ def scale_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     n = _SCALE_OUT_PARTS.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
+        if len(_SCALE_OUT_PARTS) >= _SCALE_OUT_PARTS_MAX:
+            # LRU-ish: dicts iterate in insertion order; dropping the
+            # oldest entry bounds memory without tracking access times
+            _SCALE_OUT_PARTS.pop(next(iter(_SCALE_OUT_PARTS)))
         _SCALE_OUT_PARTS[key] = n
+    else:
+        # refresh recency so hot shapes survive eviction
+        _SCALE_OUT_PARTS[key] = _SCALE_OUT_PARTS.pop(key)
     if n < target:
         return df.repartition(target)
     return df

@@ -35,4 +35,30 @@ def test_bench_prints_one_json_line_with_contract_keys():
     assert rec["value"] > 0
     assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
     # per-query timings go to stderr, never stdout
-    assert "# q01_pricing_summary" in out.stderr
+    assert "q01_pricing_summary" in out.stderr
+
+
+def test_bench_repeat_reports_median_and_spread():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_BENCH_ONLY"] = "q01_pricing_summary"
+    env["SPARK_GRAFT_BENCH_REPEAT"] = "3"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        check=True,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["repeat"] == 3
+    spread = rec["queries_spread"]["q01_pricing_summary"]
+    assert len(spread["runs"]) == 3
+    assert spread["min"] <= spread["median"] <= spread["max"]
+    # headline per-query value IS the median (and value = sum of medians)
+    assert rec["queries"]["q01_pricing_summary"] == spread["median"]
+    assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6

@@ -61,16 +61,22 @@ def test_local_mode_uses_local_checkpoint(spark, monkeypatch):
     assert sorted(r.id for r in out.toLocalIterator()) == list(range(100))
 
 
-def test_rerun_overwrites_same_path(spark, monkeypatch):
-    # the per-(process, name) path is wiped and rewritten per call — bench
-    # iterations reuse the space instead of accumulating copies
+def test_rerun_keeps_previous_generation_readable(spark, monkeypatch):
+    # generation salting: a re-invoked call site writes a NEW path, so
+    # the previous invocation's still-deferred frame reads its own data
+    # (the old wipe-in-place contract silently rebound it to new rows)
     monkeypatch.delenv(MATERIALIZE_MODE_ENV, raising=False)
     a = materialize(spark.range(5), "test_mat_rerun")
-    assert a.count() == 5
     b = materialize(spark.range(9), "test_mat_rerun")
     assert b.count() == 9
-    path = os.path.join(scratch_root(), "materialize", "test_mat_rerun")
-    assert os.path.isdir(path)
+    assert a.count() == 5  # deferred first frame still correct
+    # space stays bounded at two generations per name: gen g-2 is
+    # reaped when generation g is written
+    c = materialize(spark.range(3), "test_mat_rerun")
+    assert c.count() == 3
+    base = os.path.join(scratch_root(), "materialize")
+    gens = sorted(d for d in os.listdir(base) if d.startswith("test_mat_rerun__g"))
+    assert gens == ["test_mat_rerun__g1", "test_mat_rerun__g2"]
 
 
 def test_empty_substrate_roundtrips(spark, monkeypatch):

@@ -45,11 +45,11 @@ def test_frame_sampling_fanout(spark):
 
 
 def test_decode_raises_for_compressed_formats_without_injected_decoder():
-    # compressed formats still need the injected-decoder seam
+    # DCT-codec formats (JPEG) still need the injected-decoder seam
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\xff\xd8\xff\xe0jfif-frame")
     with pytest.raises(NotImplementedError):
-        resize_image(b"\x89PNG...", 64, 64)
+        resize_image(b"\xff\xd8\xff\xe0jfif-frame", 64, 64)
     # injected decoder path works (the production contract)
     assert decode_image(b"abc", decoder=lambda b: len(b)) == 3
 
@@ -130,6 +130,151 @@ def test_decode_backed_featurizer_through_arrow_pipeline(spark):
     assert abs(out[2][2] - 0.5) < 1e-9
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def _png_forward_filter(ftype: int, line: bytes, prev: bytes, bpp: int) -> bytes:
+    """Forward PNG filter (spec §9) so tests can exercise every decoder
+    unfilter branch against a known pixel buffer."""
+    out = bytearray(len(line))
+    for i in range(len(line)):
+        a = line[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+        out[i] = (line[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _png_encode(
+    pixels: bytes, width: int, height: int, color: int, filters=None, extra=b""
+) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit depth, per-row filter types
+    chosen by the caller (defaults to 0/None for every row)."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = width * bpp
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filters[y])
+        raw += _png_forward_filter(filters[y], line, prev, bpp)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + extra
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_builtin_png_decode_all_filter_types():
+    import random
+
+    rng = random.Random(7)
+    w, h = 5, 6
+    pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    # one row per filter type (and a repeat), so every unfilter branch
+    # must reconstruct the original buffer exactly
+    png = _png_encode(pixels, w, h, color=2, filters=[0, 1, 2, 3, 4, 4])
+    img = decode_image(png)
+    assert (img.width, img.height) == (w, h)
+    assert img.pixels == pixels
+
+
+def test_builtin_png_color_types_and_seams():
+    # grayscale replicates into RGB
+    g = bytes([0, 128, 255, 64])
+    img = decode_image(_png_encode(g, 2, 2, color=0))
+    assert img.pixels == bytes(v for v in g for _ in range(3))
+
+    # RGBA strips alpha
+    rgba = bytes([10, 20, 30, 255, 40, 50, 60, 0])
+    img = decode_image(_png_encode(rgba, 2, 1, color=6))
+    assert img.pixels == bytes([10, 20, 30, 40, 50, 60])
+
+    # gray+alpha replicates gray, strips alpha
+    ga = bytes([77, 255, 200, 1])
+    img = decode_image(_png_encode(ga, 2, 1, color=4))
+    assert img.pixels == bytes([77, 77, 77, 200, 200, 200])
+
+    # palette resolves through PLTE
+    plte = _png_chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    idx = bytes([0, 2, 1, 0])
+    img = decode_image(_png_encode(idx, 2, 2, color=3, extra=plte))
+    assert img.pixels[:6] == bytes([255, 0, 0, 0, 0, 255])
+
+    # the decoder is honest about its limits
+    import struct as _struct
+
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", b"x\x9c\x03\x00\x00\x00\x00\x01")
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(interlaced)
+
+    # resize runs over the PNG path too (nearest-neighbor upscale)
+    small = _png_encode(bytes([255, 0, 0, 0, 0, 255]), 2, 1, color=2)
+    up = resize_image(small, 4, 2)
+    assert (up.width, up.height) == (4, 2)
+    assert up.pixels[:3] == bytes([255, 0, 0])
+    assert up.pixels[9:12] == bytes([0, 0, 255])
+
+
+def test_png_featurizer_through_arrow_pipeline(spark):
+    from data_engineering_examples_spark.operators.media import N_FEATURES
+
+    def mean_rgb(payload: bytes) -> list[float]:
+        img = decode_image(bytes(payload))
+        n = img.width * img.height
+        feats = [
+            sum(img.pixels[c::3]) / n / 255.0 for c in range(3)
+        ]
+        return feats + [0.0] * (N_FEATURES - 3)
+
+    red = _png_encode(bytes([255, 0, 0] * 4), 2, 2, color=2)
+    gray = _png_encode(bytes([128] * 9), 3, 3, color=0)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(red)), (2, "image", bytearray(gray))],
+        "media_id long, kind string, payload binary",
+    )
+    out = {
+        r.media_id: r.features
+        for r in extract_features(media, featurizer=mean_rgb).collect()
+    }
+    assert out[1][0] == 1.0 and out[1][1] == 0.0 and out[1][2] == 0.0
+    assert abs(out[2][0] - 128 / 255) < 1e-9
+
+
 def _wav_16bit(samples, rate=8000, n_ch=1) -> bytes:
     import struct
 
@@ -162,6 +307,35 @@ def test_builtin_wav_decode_and_pcm_stats():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\xff\xfb\x90\x00mp3frame")
+
+
+def test_stereo_zero_crossing_deinterleaves_channels():
+    from data_engineering_examples_spark.operators.media import (
+        decode_audio,
+        pcm_stats,
+    )
+
+    half = 1 << 14
+    # L: constant positive (0 crossings), R: constant negative
+    # (0 crossings).  Interleaved, every adjacent pair flips sign — a
+    # flat scan would report zc ≈ 1.0; per-channel the truth is 0.0.
+    frames = []
+    for _ in range(1000):
+        frames += [half, -half]
+    au = decode_audio(_wav_16bit(frames, n_ch=2))
+    assert au.n_channels == 2
+    dur, rms, zc, peak = pcm_stats(au)
+    assert zc == 0.0
+    assert abs(dur - 1000 / 8000) < 1e-9
+    assert abs(rms - 0.5) < 1e-9
+
+    # a genuine per-channel flip is still counted: L alternates sign
+    frames2 = []
+    for i in range(1000):
+        frames2 += [half if i % 2 == 0 else -half, half]
+    au2 = decode_audio(_wav_16bit(frames2, n_ch=2))
+    _, _, zc2, _ = pcm_stats(au2)
+    assert abs(zc2 - 0.5) < 0.01  # mean of (≈1.0 on L, 0.0 on R)
 
 
 def test_wav_featurizer_through_arrow_pipeline(spark):
