@@ -134,6 +134,8 @@ def main() -> None:
     ).save()
     _warm_python_and_streaming(spark)
 
+    from data_engineering_examples_spark.scratch import release_local_checkpoints
+
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
     runs: dict[str, list[float]] = {name: [] for name in specs}
     for pass_no in range(repeat):
@@ -144,6 +146,13 @@ def main() -> None:
             # serialization-to-driver cost — measures the engine, not the
             # pipe.
             df.write.format("noop").mode("overwrite").save()
+            # release this query's localCheckpoint substrates NOW (the
+            # result is fully materialized): without this, every past
+            # query's dead blocks stay pinned in the unified memory pool
+            # until a driver GC drains ContextCleaner's queue, and late
+            # checkpoint-heavy queries (graph CC, PageRank) measurably
+            # slow down — a 1.4-1.5x in-context drag at a 16g heap.
+            release_local_checkpoints()
             dt = round(time.perf_counter() - t0, 4)
             runs[name].append(dt)
             print(f"# [{pass_no + 1}/{repeat}] {name}: {dt:.3f}s", file=sys.stderr)

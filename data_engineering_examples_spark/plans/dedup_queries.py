@@ -1142,3 +1142,101 @@ def q206_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_grams").cast("bigint"),
         F.expr("n_dup_grams * 1000000 div n_grams").cast("bigint").alias("dup_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — cross-source overlap matrix: how much shingle mass do source
+# pairs share?  The corpus-curation question behind it: when two feeds
+# crawl overlapping sites (or one republishes the other), their shingle
+# sets overlap far above the random-text baseline, and dedup budget /
+# source weights should account for it BEFORE training mixes are drawn.
+# The deliverable is the full source-pair matrix with a containment
+# score (shared / smaller side) — the same containment CCNet computes
+# between dumps.
+#
+# Scale shape: the substrate is distinct (source, sh) — within-source
+# repeats collapse BEFORE the self-join, so a source repeating one
+# shingle 10⁹ times ships it once.  A source-count cap (the source-level
+# analog of q23's doc-frequency cap) drops shingles present in nearly
+# every source — corpus-wide boilerplate carries no source-affinity
+# signal and would fan out to every pair.  The self-join is keyed on
+# the 8-byte shingle
+# hash and each surviving shingle contributes at most C(n_sources, 2)
+# pairs — output is n_sources², tiny at any data scale, because
+# sources (feeds, dumps, crawls) number in the dozens even at 100 TB.
+
+Q215_MAX_SHINGLE_SOURCES = 16  # drop shingles present in > this many sources
+
+
+@register(
+    "q215_source_overlap_matrix",
+    oracle=f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    ssh AS (
+      SELECT DISTINCT d.source, s.sh
+      FROM sh s JOIN documents d USING (doc_id)
+    ),
+    capped AS (
+      SELECT source, sh FROM (
+        SELECT source, sh, count(*) OVER (PARTITION BY sh) AS nsrc FROM ssh
+      ) WHERE nsrc <= {Q215_MAX_SHINGLE_SOURCES}
+    ),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.shared,
+           sa.n AS n_a, sb.n AS n_b,
+           i.shared * 1000000 // least(sa.n, sb.n) AS containment_micros
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+    doc="cross-source shingle-overlap matrix with containment score; "
+    "distinct-before-join substrate, source-count cap on ubiquitous "
+    "shingles, output bounded by n_sources^2",
+    tags=("dedup", "llm", "quality"),
+)
+def q215_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    ssh = (
+        _hashed_shingles(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    nsrc = ssh.groupBy("sh").agg(F.count(F.lit(1)).alias("nsrc"))
+    capped = (
+        ssh.join(nsrc, "sh")
+        .filter(F.col("nsrc") <= Q215_MAX_SHINGLE_SOURCES)
+        .select("source", "sh")
+    )
+    sizes = capped.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    # sizes is n_sources rows — broadcast both probe-side joins
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            "n_a",
+            "n_b",
+            F.expr("shared * 1000000 div least(n_a, n_b)")
+            .cast("bigint")
+            .alias("containment_micros"),
+        )
+    )

@@ -1592,3 +1592,129 @@ def q211_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q217 — FILTERED vector search: IVF ANN under a metadata predicate
+# (the production "where label in (...)" vector-store query).  The
+# subtlety this encodes: a post-filter on an unfiltered top-k silently
+# returns fewer than k rows (or garbage recall) once the predicate is
+# selective, so the filter must cut the CANDIDATE stream before
+# scoring, and nprobe must widen to keep the candidate pool at the
+# same effective size — here 2× q50's lists for a ~30%-selective
+# predicate.  The filter itself composes with the scan: `label IN ...`
+# is a pushable parquet predicate on the assignment side, so at 100 TB
+# the posting-list scan skips row groups that can't satisfy it.
+#
+# Scale shape: identical to q50 (broadcast centroids, broadcast probe
+# lists, keyed candidate join) — the ONLY change is the predicate on
+# the candidate substrate and the widened probe count; both engines
+# apply the filter before distance math, so the oracle proves the
+# filter-before-score contract, not just the final rows.
+
+FILTER_LABELS = (1, 4, 7)
+N_PROBE_LISTS_FILTERED = 2 * N_PROBE_LISTS
+
+
+def _duck_filtered_ann_oracle() -> str:
+    cos = (
+        f"{_duck_dot('x.e', 'c.ce')} / "
+        f"(sqrt({_duck_dot('x.e', 'x.e')}) * sqrt({_duck_dot('c.ce', 'c.ce')}))"
+    )
+    cent_list = ", ".join(str(i) for i in CENT_IDS)
+    lab_list = ", ".join(str(l) for l in FILTER_LABELS)
+    return f"""
+    WITH v AS (SELECT vec_id, label, {_duck_vec('embedding')} AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id IN ({cent_list})),
+    ranked AS (
+      SELECT x.vec_id, x.label, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cos} DESC, c.cent_id) AS rk
+      FROM v x CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, label, cent_id FROM ranked WHERE rk = 1),
+    probe_lists AS (
+      SELECT vec_id AS probe_id, cent_id FROM ranked
+      WHERE rk <= {N_PROBE_LISTS_FILTERED} AND vec_id < {N_PROBES}
+    ),
+    cand AS (
+      SELECT DISTINCT pl.probe_id, a.vec_id AS neighbor_id
+      FROM probe_lists pl JOIN assign a ON a.cent_id = pl.cent_id
+      WHERE a.vec_id <> pl.probe_id AND a.label IN ({lab_list})
+    ),
+    scored AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             {_duck_dot('p.e', 'n.e')} /
+               (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('n.e', 'n.e')})) AS cosine
+      FROM cand
+      JOIN v p ON p.vec_id = cand.probe_id
+      JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT probe_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+@register(
+    "q217_filtered_ann",
+    oracle=_duck_filtered_ann_oracle(),
+    doc="metadata-filtered IVF vector search: label predicate cuts the "
+    "candidate stream BEFORE scoring, nprobe widened 2x to hold the "
+    "candidate pool under ~30% selectivity",
+    tags=("similarity", "llm", "retrieval"),
+)
+def q217_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", "label", _to_double("embedding").alias("e"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    ranked = (
+        v.crossJoin(cents)
+        .select("vec_id", "label", "e", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+    )
+    # the metadata predicate lands on the assignment substrate — at a
+    # persisted index (q211's store) this is a pushed parquet filter on
+    # the posting lists, not a post-filter on scored results
+    assign = (
+        ranked.filter(F.col("rk") == 1)
+        .filter(F.col("label").isin(*FILTER_LABELS))
+        .select("vec_id", "cent_id")
+    )
+    probe_lists = (
+        ranked.filter(
+            (F.col("rk") <= N_PROBE_LISTS_FILTERED) & (F.col("vec_id") < N_PROBES)
+        ).select(F.col("vec_id").alias("probe_id"), "cent_id")
+    )
+    cand = (
+        F.broadcast(probe_lists)
+        .join(assign, "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    pv = v.select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne"))
+    cosine = _dot(F.col("pe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("pe"), F.col("pe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    scored = (
+        cand.join(F.broadcast(pv), "probe_id")
+        .join(nv, "neighbor_id")
+        .select("probe_id", "neighbor_id", cosine.alias("cosine"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+    )

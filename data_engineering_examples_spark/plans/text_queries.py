@@ -1210,3 +1210,210 @@ def q212_periodicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-best.getField("neg_p")).cast("bigint").alias("best_period"),
         best.getField("micros").cast("bigint").alias("best_match_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — boilerplate n-gram mining (the C4/CCNet "remove boilerplate
+# lines" prep pass, surfaced as data): which token 5-grams recur across
+# MANY documents and MULTIPLE sources?  q206 measures how much of each
+# document sits inside cross-doc duplicated grams; this query surfaces
+# the offending gram STRINGS themselves with their document frequency
+# and source spread — the lexicon a cleaning pass would strip.
+#
+# Scale shape: gram building is map-only Column work (transform over
+# sequence, no explode until the gram list is built); the single
+# exchange is the distinct on (gram, doc) — within-doc repeats collapse
+# BEFORE the shuffle, so a pathological doc repeating one gram 10⁶
+# times ships it once.  The per-gram aggregate is key-partitioned with
+# one count-distinct (sources), and the final top-K compiles to
+# TakeOrderedAndProject — no global sort.  At 100 TB the gram strings
+# would shuffle as 64-bit hashes with a representative join-back; at
+# audit scale the strings themselves are the deliverable, so they ride
+# the exchange directly.
+
+Q214_N = 5  # gram length (tokens)
+Q214_MIN_DF = 3  # a gram must appear in >= this many documents
+Q214_TOP_K = 50
+
+
+@register(
+    "q214_boilerplate_ngrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                 FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source, g.gram
+      FROM tok, unnest(CASE WHEN len(t) >= {Q214_N}
+                            THEN list_transform(range(1, len(t) - {Q214_N} + 2),
+                                  i -> array_to_string(t[i:i + {Q214_N} - 1], ' '))
+                            ELSE [] END) AS g(gram)
+    ),
+    agg AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS df,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM grams GROUP BY gram
+    )
+    SELECT gram, df, n_sources FROM agg
+    WHERE df >= {Q214_MIN_DF} AND n_sources >= 2
+    ORDER BY df DESC, gram LIMIT {Q214_TOP_K}
+    """,
+    doc=f"boilerplate lexicon mining: token {Q214_N}-grams by document "
+    f"frequency (>= {Q214_MIN_DF} docs, >= 2 sources), top "
+    f"{Q214_TOP_K} — within-doc repeats collapse before the shuffle, "
+    "final top-K is TakeOrdered",
+    tags=("text", "llm", "quality", "dedup"),
+)
+def q214_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(_docs(spark, sf_dir).select("doc_id", "source", "text"))
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split(text, ' ')) >= {Q214_N} THEN "
+                f"transform(sequence(1, size(split(text, ' ')) - {Q214_N - 1}), "
+                f"i -> array_join(slice(split(text, ' '), i, {Q214_N}), ' ')) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    ).dropDuplicates(["doc_id", "gram"])
+    agg = grams.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        agg.filter((F.col("df") >= Q214_MIN_DF) & (F.col("n_sources") >= 2))
+        .orderBy(F.desc("df"), "gram")
+        .limit(Q214_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Gopher-style repetition signals, map-only.  The Gopher/MassiveText
+# quality rules flag documents where a single token or a single bigram
+# accounts for an outsized fraction of the text (chatbot loops, scraped
+# nav bars, keyword stuffing).  Both signals reduce to "largest
+# equal-element run in a SORTED copy of the token / bigram array", which
+# an aggregate() fold computes per row — so the whole query is map-only
+# Column work except the final per-source rollup (20-ish groups, partial
+# agg collapses it map-side).  Fractions are exact integer micro-units.
+#
+# Scale shape: zero data-sized shuffle.  At 100 TB this scans, folds,
+# and emits |sources| rows; the per-doc flag path (uncapped) would emit
+# one row per doc and still never shuffle.  Contrast with the relational
+# formulation (explode + groupBy(doc, token)) whose exchange carries the
+# full token stream — the fold keeps that entirely inside codegen.
+
+Q216_TOP_TOKEN_MILLI = 100  # flag if top token > 10.0% of tokens
+Q216_TOP_BIGRAM_MILLI = 80  # flag if top bigram > 8.0% of bigrams
+
+
+def _max_sorted_run(arr) -> F.Column:
+    """Largest run of equal adjacent elements in a sorted array (== the
+    max element multiplicity), as a pure aggregate() fold."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc.getField("prev")), acc.getField("run") + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(arr), init, step, lambda acc: acc.getField("best"))
+
+
+@register(
+    "q216_repetition_signals",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, len(t) AS n_tokens,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                         i -> t[i] || ' ' || t[i+1])
+                  ELSE [] END AS bg,
+             t
+      FROM tok
+    ),
+    uf AS (
+      SELECT doc_id, source, n_tokens,
+             (SELECT max(c) FROM (
+                SELECT count(*) AS c FROM unnest(t) AS u(w) GROUP BY w)) AS top_tok,
+             CASE WHEN len(bg) > 0 THEN
+               (SELECT max(c) FROM (
+                  SELECT count(*) AS c FROM unnest(bg) AS u(w) GROUP BY w))
+             ELSE 0 END AS top_bg,
+             len(bg) AS n_bigrams
+      FROM grams
+    ),
+    per AS (
+      SELECT source,
+             CASE WHEN n_tokens > 0
+                  THEN top_tok * 1000000 // n_tokens ELSE 0 END AS tok_micros,
+             CASE WHEN n_bigrams > 0
+                  THEN top_bg * 1000000 // n_bigrams ELSE 0 END AS bg_micros
+      FROM uf
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN tok_micros > {Q216_TOP_TOKEN_MILLI} * 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_token,
+           CAST(sum(CASE WHEN bg_micros > {Q216_TOP_BIGRAM_MILLI} * 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS flagged_bigram,
+           CAST(max(tok_micros) AS BIGINT) AS max_tok_micros,
+           CAST(max(bg_micros) AS BIGINT) AS max_bg_micros
+    FROM per GROUP BY source
+    """,
+    doc="Gopher repetition quality signals (top-token / top-bigram mass) "
+    "via sorted-run aggregate() folds — map-only, no data-sized shuffle; "
+    "per-source flag counts in exact integer micro-units",
+    tags=("text", "llm", "quality"),
+)
+def q216_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(_docs(spark, sf_dir).select("source", "text"))
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = d.select(
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        _max_sorted_run(toks).alias("top_tok"),
+        F.size(bigrams).cast("bigint").alias("n_bigrams"),
+        F.coalesce(_max_sorted_run(bigrams), F.lit(0)).cast("bigint").alias("top_bg"),
+    ).select(
+        "source",
+        F.when(F.col("n_tokens") > 0, F.expr("top_tok * 1000000 div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("tok_micros"),
+        F.when(F.col("n_bigrams") > 0, F.expr("top_bg * 1000000 div n_bigrams"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("bg_micros"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("tok_micros") > Q216_TOP_TOKEN_MILLI * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("flagged_token"),
+        F.sum((F.col("bg_micros") > Q216_TOP_BIGRAM_MILLI * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("flagged_bigram"),
+        F.max("tok_micros").cast("bigint").alias("max_tok_micros"),
+        F.max("bg_micros").cast("bigint").alias("max_bg_micros"),
+    )

@@ -45,6 +45,67 @@ MATERIALIZE_MODE_ENV = "SPARK_GRAFT_MATERIALIZE"
 #: see the generation contract in its docstring.
 _MATERIALIZE_GEN: dict[str, int] = {}
 
+#: Persistent-RDD ids created by materialize() in ``local`` mode,
+#: pending release.  localCheckpoint pins its blocks in executor
+#: storage until the JVM's ContextCleaner happens to collect the RDD —
+#: which needs a driver GC cycle to drain the weak-reference queue, so
+#: on a large heap the blocks of EVERY past query pile up for minutes.
+#: Across a long-lived session (the 200+-query bench, a notebook, a
+#: query service) that is a real storage-memory leak: late queries
+#: fight earlier queries' dead substrates for the unified memory pool.
+#: The session loop should call :func:`release_local_checkpoints` after
+#: each query's results are fully materialized.
+#:
+#: We track JVM RDD ids, not DataFrames: ``DataFrame.unpersist()``
+#: only clears the SQL CacheManager entry, while localCheckpoint's
+#: blocks belong to the *internal* RDD the Dataset wrapped — reachable
+#: only through ``SparkContext.getPersistentRDDs``.  The ids are
+#: captured as the before/after diff around the (eager) checkpoint
+#: call; materialize() is driver-side single-threaded in every session
+#: loop that opts into ``local`` mode, so the diff is exact.
+_LOCAL_CHECKPOINT_IDS: list[int] = []
+
+
+def _persistent_rdd_ids(spark) -> set[int]:
+    try:
+        return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+    except Exception:  # Connect-mode or stopped context: no JVM handle
+        return set()
+
+
+def release_local_checkpoints() -> int:
+    """Unpersist every ``local``-mode substrate checkpointed since the
+    last call; returns how many were released.  ONLY safe once the
+    caller has fully materialized the consuming query's results (the
+    same collect-before-reinvoke contract the scratch paths already
+    carry): localCheckpoint truncates lineage, so a released substrate
+    is unrecoverable — a late read fails loudly with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND rather than recomputing.  A no-op
+    in ``parquet`` mode, where substrates live on disk and the
+    path-generation logic bounds space instead."""
+    n = 0
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jmap = (
+            spark.sparkContext._jsc.getPersistentRDDs() if spark is not None else None
+        )
+    except Exception:
+        jmap = None
+    while _LOCAL_CHECKPOINT_IDS:
+        rid = _LOCAL_CHECKPOINT_IDS.pop()
+        n += 1
+        if jmap is None:
+            continue  # session gone — blocks died with it
+        try:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+    return n
+
 
 def scratch_root() -> str:
     """Lazily create the per-process scratch root (removed atexit)."""
@@ -98,7 +159,10 @@ def materialize(df, name: str):
     """
     mode = os.environ.get(MATERIALIZE_MODE_ENV, "parquet")
     if mode == "local":
-        return df.localCheckpoint()
+        before = _persistent_rdd_ids(df.sparkSession)
+        out = df.localCheckpoint()  # eager: the internal RDD persists NOW
+        _LOCAL_CHECKPOINT_IDS.extend(_persistent_rdd_ids(df.sparkSession) - before)
+        return out
     gen = _MATERIALIZE_GEN.get(name, -1) + 1
     _MATERIALIZE_GEN[name] = gen
     base = os.path.join(scratch_root(), "materialize")

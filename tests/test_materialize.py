@@ -79,6 +79,29 @@ def test_rerun_keeps_previous_generation_readable(spark, monkeypatch):
     assert gens == ["test_mat_rerun__g1", "test_mat_rerun__g2"]
 
 
+def test_release_local_checkpoints_unpins_blocks(spark, monkeypatch):
+    from data_engineering_examples_spark.scratch import (
+        release_local_checkpoints,
+    )
+
+    monkeypatch.setenv(MATERIALIZE_MODE_ENV, "local")
+    release_local_checkpoints()  # drain anything from earlier tests
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    a = materialize(_sample(spark), "test_mat_release_a")
+    b = materialize(spark.range(50), "test_mat_release_b")
+    assert a.count() == 100 and b.count() == 50
+    during = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert during >= before + 2  # both substrates pinned
+    assert release_local_checkpoints() == 2
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= during - 2  # blocks released without waiting for GC
+    # parquet mode contributes nothing to the pending list
+    monkeypatch.delenv(MATERIALIZE_MODE_ENV, raising=False)
+    c = materialize(spark.range(7), "test_mat_release_c")
+    assert c.count() == 7
+    assert release_local_checkpoints() == 0
+
+
 def test_empty_substrate_roundtrips(spark, monkeypatch):
     # a no-rows substrate (empty edge set, empty sketch) must come back
     # as an empty frame with the right schema, not UNABLE_TO_INFER_SCHEMA

@@ -9,6 +9,13 @@ top-level per-query map (extra keys like "runs" are ignored). Flags
 queries slower than --threshold x AND more than --min-delta seconds over
 the old record — the same bar VERDICT applies ("regressions >1.5x and
 >1s") — plus the added/removed sets and the common-query totals.
+
+With SPARK_GRAFT_BENCH_REPEAT > 1 the bench record's "queries" map
+already holds per-query MEDIANS, so this comparison is median-vs-median
+by construction; when a record carries "queries_spread", flagged rows
+are annotated with the new record's min..max so a one-sample host stall
+(median fine, max wild) is distinguishable from a real shift (whole
+spread moved).
 """
 
 from __future__ import annotations
@@ -69,10 +76,17 @@ def main() -> int:
         for q in common
         if oq[q] > args.threshold * nq[q] and oq[q] - nq[q] > args.min_delta
     ]
+    spread = new.get("queries_spread", {})
+
+    def _spread_note(q: str) -> str:
+        s = spread.get(q)
+        return f" [spread {s['min']:.2f}..{s['max']:.2f}]" if s else ""
+
     print(f"\nregressions (> {args.threshold}x and > {args.min_delta}s): "
           f"{len(flagged)}")
     for q in sorted(flagged, key=lambda q: oq[q] - nq[q]):
-        print(f"  {q}: {oq[q]:.2f}s -> {nq[q]:.2f}s ({nq[q] / oq[q]:.1f}x)")
+        print(f"  {q}: {oq[q]:.2f}s -> {nq[q]:.2f}s ({nq[q] / oq[q]:.1f}x)"
+              f"{_spread_note(q)}")
     print(f"improvements (same bar): {len(improved)}")
     for q in sorted(improved, key=lambda q: nq[q] - oq[q]):
         print(f"  {q}: {oq[q]:.2f}s -> {nq[q]:.2f}s ({nq[q] / oq[q]:.2f}x)")
