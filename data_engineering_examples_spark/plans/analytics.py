@@ -5414,3 +5414,221 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(fd),
         (F.col("o_orderdate") == F.col("fd_date")) & (F.col("pc") == F.col("fd_pc")),
     ).select("o_orderkey", "o_orderdate", "pc")
+
+
+# ---------------------------------------------------------------------------
+# q219 — compaction PLANNER: the other half of q114 (which executes a
+# compaction) and q193 (which audits fragmentation).  Given the per-file
+# row counts of a fragmented landing zone, emit the bin-pack plan a
+# table-maintenance service (Delta OPTIMIZE, Iceberg rewrite_data_files)
+# would schedule: files sorted smallest-first, packed greedily by
+# running total into output groups of ~target rows.  group_id =
+# cumulative_rows_before // target — the classic running-total binning,
+# fully deterministic given the sort order.
+#
+# Scale notes (100 TB): the planner's input is FILE METADATA (one row
+# per file — millions of rows for a petabyte table, never data-sized),
+# and the running total uses the q197 decomposition: range partition +
+# per-partition offsets folded via a broadcast theta-join (rows ≤
+# shuffle partitions), zero unpartitioned windows.  The tie-break on
+# file path keeps the
+# sort total; since equal-size files are interchangeable in a running
+# sum, the group AGGREGATES are path-independent — which is exactly why
+# the oracle can reproduce them from the row count alone (the 64-file
+# round-robin zone has floor/ceil row counts only).
+
+Q219_FILES = 64
+Q219_GROUPS = 16  # target rows per output group = n // 16 + 1
+
+
+@register(
+    "q219_compaction_plan",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM events),
+    params AS (
+      SELECT n, n // {Q219_FILES} AS fl, n % {Q219_FILES} AS r,
+             {Q219_FILES} - (n % {Q219_FILES}) AS a,
+             n // {Q219_GROUPS} + 1 AS t
+      FROM n
+    ),
+    files AS (
+      SELECT fl AS rows_per_file, (i - 1) * fl AS cum_before, t
+      FROM params, generate_series(1, {Q219_FILES}) AS g(i) WHERE i <= a
+      UNION ALL
+      SELECT fl + 1, a * fl + (i - 1) * (fl + 1), t
+      FROM params, generate_series(1, {Q219_FILES}) AS g(i) WHERE i <= r
+    )
+    SELECT CAST(cum_before // t AS BIGINT) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(rows_per_file) AS BIGINT) AS total_rows,
+           CAST(min(rows_per_file) AS BIGINT) AS min_file_rows,
+           CAST(max(rows_per_file) AS BIGINT) AS max_file_rows
+    FROM files GROUP BY 1
+    """,
+    doc="compaction bin-pack planner over file metadata: smallest-first "
+    "running-total binning into ~target-row output groups; cumulative "
+    "via range-sort + per-partition offsets (metadata-sized, never "
+    "data-sized)",
+    tags=("layout", "analytics", "A4"),
+)
+def q219_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    base = scratch_dir("q219_files")
+    landing = f"{base}/events_landing"
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    ev.repartition(Q219_FILES).write.parquet(landing)
+    per_file = (
+        spark.read.parquet(landing)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("rows_per_file"))
+    )
+    # target rows per output group from the zone's total row count
+    params = per_file.agg(
+        (F.sum("rows_per_file") / Q219_GROUPS).cast("bigint") + 1
+    ).toDF("t")
+
+    # running total BEFORE each file: range sort + per-partition offsets
+    # (the q197 decomposition — the offset fold is a broadcast theta-join
+    # over the per-partition sums, rows ≤ shuffle partitions, so no
+    # unpartitioned window anywhere)
+    part = per_file.repartitionByRange(
+        "rows_per_file", "file"
+    ).sortWithinPartitions("rows_per_file", "file")
+    pid = part.withColumn("__pid", F.spark_partition_id())
+    psums = pid.groupBy("__pid").agg(F.sum("rows_per_file").alias("__psum"))
+    prior = psums.select(
+        F.col("__pid").alias("__pid2"), F.col("__psum").alias("__psum2")
+    )
+    offsets = (
+        psums.join(F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__psum2"), F.lit(0)).alias("__off"))
+    )
+    w_in = Window.partitionBy("__pid").orderBy("rows_per_file", "file")
+    cum = (
+        pid.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "cum_before",
+            F.col("__off")
+            + F.coalesce(
+                F.sum("rows_per_file").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(params))
+        .select(
+            F.expr("cum_before div t").cast("bigint").alias("group_id"),
+            "rows_per_file",
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("rows_per_file").cast("bigint").alias("total_rows"),
+            F.min("rows_per_file").cast("bigint").alias("min_file_rows"),
+            F.max("rows_per_file").cast("bigint").alias("max_file_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — Z-order layout audit: quantize orders onto an 8-bit x 8-bit
+# (customer, order-day) grid, interleave the bits into a 16-bit Morton
+# key, bucket rows into 256 z-range "files" (z >> 8), and report each
+# file's row count and min/max extent in BOTH dimensions plus whether a
+# fixed customer-band predicate would have to read it.  This is the
+# measurement behind multi-dimensional clustering (Delta ZORDER BY,
+# Iceberg sort orders): under a date-linear layout every file spans the
+# full customer range, so a customer predicate reads ALL files; under
+# z-order the same predicate touches ~sqrt of them — the `touched`
+# column makes that skipping ratio auditable.
+#
+# Determinism: quantization is pure bigint arithmetic against max-key
+# bounds folded in via 1-row broadcast; the bit interleave is an
+# unrolled <<//&/| expression — the SAME text runs on both engines.
+# Scale notes (100 TB): one map-only pass computes z; the single shuffle
+# is the 256-key bucket aggregate (map-side combining, bounded output).
+# The real write would range-partition on z — the audit proves why.
+
+_Q220_Z = " + ".join(
+    f"(((x8 >> {k}) & 1) << {2 * k + 1}) + (((y8 >> {k}) & 1) << {2 * k})"
+    for k in range(8)
+)
+Q220_BAND_LO, Q220_BAND_HI = 64, 96  # x8-band predicate under audit
+
+
+@register(
+    "q220_zorder_layout",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT max(o_custkey) AS maxc,
+             max(date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)) AS maxd
+      FROM orders
+    ),
+    grid AS (
+      SELECT (o_custkey * 256) // (maxc + 1) AS x8,
+             (date_diff('day', TIMESTAMP '1992-01-01', o_orderdate) * 256)
+               // (maxd + 1) AS y8
+      FROM orders, bounds
+    ),
+    z AS (SELECT x8, y8, ({_Q220_Z}) AS z FROM grid)
+    SELECT CAST(z >> 8 AS BIGINT) AS z_file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x8) AS BIGINT) AS min_x8,
+           CAST(max(x8) AS BIGINT) AS max_x8,
+           CAST(min(y8) AS BIGINT) AS min_y8,
+           CAST(max(y8) AS BIGINT) AS max_y8,
+           CAST(max(x8) >= {Q220_BAND_LO} AND min(x8) < {Q220_BAND_HI}
+                AS BOOLEAN) AS touched
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout audit: 16-bit interleaved (custkey, "
+    "order-day) key -> 256 z-range files with per-file extents and "
+    "data-skipping `touched` flags for a customer-band predicate",
+    tags=("layout", "analytics", "A4"),
+)
+def q220_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, ["orders"])["orders"]
+    bounds = orders.agg(
+        F.max("o_custkey").alias("maxc"),
+        F.max(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))).alias(
+            "maxd"
+        ),
+    )
+    grid = (
+        orders.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr("(o_custkey * 256) div (maxc + 1)").alias("x8"),
+            F.expr(
+                "(datediff(o_orderdate, date'1992-01-01') * 256) div (maxd + 1)"
+            ).alias("y8"),
+        )
+    )
+    z = grid.select("x8", "y8", F.expr(_Q220_Z).alias("z"))
+    return (
+        z.groupBy(F.expr("z >> 8").cast("bigint").alias("z_file"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x8").cast("bigint").alias("min_x8"),
+            F.max("x8").cast("bigint").alias("max_x8"),
+            F.min("y8").cast("bigint").alias("min_y8"),
+            F.max("y8").cast("bigint").alias("max_y8"),
+        )
+        .select(
+            "z_file",
+            "n_rows",
+            "min_x8",
+            "max_x8",
+            "min_y8",
+            "max_y8",
+            (
+                (F.col("max_x8") >= Q220_BAND_LO)
+                & (F.col("min_x8") < Q220_BAND_HI)
+            ).alias("touched"),
+        )
+    )

@@ -231,3 +231,139 @@ def q156_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("est_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — HyperLogLog distinct-count sketch per group, engine-exact.
+# This is the sketch production Spark already ships as
+# ``approx_count_distinct`` (HLL++) — q218 re-derives classic HLL from
+# first principles over a FIXED md5 hash so the registers and the raw
+# estimate are bit-identical across engines and pass the DuckDB hash
+# gate (the same reason q85 exists for KMV).  Flajolet et al. 2007:
+# register j = low 6 hash bits, rho = leading-zero count + 1 of the
+# remaining 54 bits, M[j] = max rho, raw estimate
+# alpha_m * m^2 / sum_j 2^-M[j].
+#
+# Determinism engineering: 2^-M[j] is summed as the EXACT integer
+# 2^(30-M[j]) (shiftright of a power of two — identical floor semantics
+# in both engines; registers beyond 30 leading zeros truncate to 0
+# identically), alpha enters as an integer ppm constant, and the final
+# estimate is pure bigint division — no float ever touches the data
+# path.  The bias/linear-counting corrections of HLL++ are a
+# presentation-layer concern (they need ln(), which is libm-dependent);
+# v_zero rides along so a consumer CAN apply linear counting.
+#
+# Scale notes (100 TB): the register table is the whole state — at most
+# m=64 rows per group after the partial max, and groupBy(group, j).max
+# combines map-side, so each executor emits ≤ 64 rows per group per
+# partition regardless of input size.  Register max IS the HLL merge
+# operator, so this exact shape also merges shard sketches built on
+# different days without rescanning.  The one full shuffle is the
+# distinct() every exact COUNT(DISTINCT) would need anyway; the exact
+# count rides along as the built-in quality check.
+
+HLL_M = 64          # registers (p = 6 bits)
+HLL_REM_BITS = 54   # 60-bit md5 hash minus the 6 register bits
+_HLL_SCALE = 30     # sum 2^-M as integers scaled by 2^30
+_HLL_ALPHA_PPM = 709377  # alpha_64 = 0.7213 / (1 + 1.079/64), in ppm
+_HLL_NUM = _HLL_ALPHA_PPM * HLL_M * HLL_M * (1 << _HLL_SCALE)
+
+
+@register(
+    "q218_hll_distinct",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             {_duck_md5_int("'hll:' || CAST(user_id AS VARCHAR)")} AS h
+      FROM pairs
+    ),
+    rho AS (
+      SELECT event_type, h % {HLL_M} AS j,
+             CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_REM_BITS + 1}
+                  ELSE {HLL_REM_BITS + 1} - length(bin(h // {HLL_M}))
+             END AS rho
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, j, max(rho) AS m_j
+      FROM rho GROUP BY event_type, j
+    ),
+    folded AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_present,
+             CAST(sum(m_j) AS BIGINT) AS sum_rho,
+             CAST(max(m_j) AS BIGINT) AS max_rho,
+             CAST(sum((1::BIGINT << {_HLL_SCALE}) >> m_j) AS BIGINT) AS s_present
+      FROM regs GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM pairs GROUP BY event_type
+    )
+    SELECT f.event_type,
+           CAST({HLL_M} - n_present AS BIGINT) AS v_zero,
+           sum_rho, max_rho,
+           CAST({_HLL_NUM}
+                // (s_present + ({HLL_M} - n_present) * (1::BIGINT << {_HLL_SCALE}))
+                // 1000000 AS BIGINT) AS est_distinct,
+           exact_distinct
+    FROM folded f JOIN exact e USING (event_type)
+    """,
+    doc=f"HyperLogLog distinct-user sketch per event_type (m={HLL_M}, "
+        "fixed md5 hash): integer-exact registers and raw estimate, "
+        "map-side-combining register max = the HLL merge operator",
+    tags=("sketch", "agg", "llm"),
+)
+def q218_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = events.select("event_type", "user_id").distinct()
+    h = _md5_int(
+        F.concat_ws("", F.lit("hll:"), F.col("user_id").cast("string"))
+    )
+    hashed = pairs.select("event_type", h.alias("h"))
+    rho = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("j"),
+            F.when(
+                F.expr(f"h div {HLL_M}") == 0, F.lit(HLL_REM_BITS + 1)
+            )
+            .otherwise(
+                F.lit(HLL_REM_BITS + 1)
+                - F.length(F.bin(F.expr(f"h div {HLL_M}")))
+            )
+            .alias("rho"),
+        )
+    )
+    regs = rho.groupBy("event_type", "j").agg(F.max("rho").alias("m_j"))
+    folded = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum("m_j").cast("bigint").alias("sum_rho"),
+        F.max("m_j").cast("bigint").alias("max_rho"),
+        F.sum(F.expr(f"shiftright(cast(1 as bigint) << {_HLL_SCALE}, m_j)"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    s_all = (
+        F.col("s_present")
+        + (F.lit(HLL_M) - F.col("n_present"))
+        * F.lit(1 << _HLL_SCALE).cast("bigint")
+    )
+    return (
+        folded.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.lit(HLL_M) - F.col("n_present")).cast("bigint").alias("v_zero"),
+            "sum_rho",
+            "max_rho",
+            F.expr(
+                f"cast({_HLL_NUM} div (s_present + ({HLL_M} - n_present) "
+                f"* (cast(1 as bigint) << {_HLL_SCALE})) div 1000000 as bigint)"
+            ).alias("est_distinct"),
+            "exact_distinct",
+        )
+    )

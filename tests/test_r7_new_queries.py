@@ -1,0 +1,105 @@
+"""Behavioral tests for the round-7 additions (q218-q220): structural
+properties the value-hash oracle compare can't see — HLL estimate
+accuracy and register-algebra bounds, compaction bin-pack invariants,
+z-order extent/skipping guarantees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_examples_spark.plans.registry import all_specs
+from data_engineering_examples_spark.sources.tables import load_tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hll_register_algebra_and_estimate_accuracy(spark):
+    from data_engineering_examples_spark.plans.sketch_queries import (
+        HLL_M,
+        HLL_REM_BITS,
+    )
+
+    rows = all_specs()["q218_hll_distinct"].fn(spark, SF).collect()
+    assert rows, "no groups"
+    for r in rows:
+        n_present = HLL_M - r.v_zero
+        assert 0 <= r.v_zero < HLL_M  # at least one register fires
+        # rho in [1, REM_BITS+1] => sum/max bounds follow
+        assert 1 <= r.max_rho <= HLL_REM_BITS + 1
+        assert n_present <= r.sum_rho <= n_present * (HLL_REM_BITS + 1)
+        assert r.exact_distinct >= 1
+        # HLL with m=64 has ~13% standard error; at 3 sigma the raw
+        # estimate (no bias correction) must land within 40% for groups
+        # big enough that linear counting doesn't apply
+        if r.exact_distinct >= 200:
+            err = abs(r.est_distinct - r.exact_distinct) / r.exact_distinct
+            assert err < 0.40, (r.event_type, r.est_distinct, r.exact_distinct)
+
+    # the exact column must agree with a direct COUNT(DISTINCT)
+    ev = load_tables(spark, SF, ["events"])["events"]
+    truth = {
+        row.event_type: row.d
+        for row in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert {r.event_type: r.exact_distinct for r in rows} == truth
+
+
+def test_compaction_plan_binpack_invariants(spark):
+    from data_engineering_examples_spark.plans.analytics import (
+        Q219_FILES,
+        Q219_GROUPS,
+    )
+
+    rows = all_specs()["q219_compaction_plan"].fn(spark, SF).collect()
+    ev = load_tables(spark, SF, ["events"])["events"]
+    n = ev.count()
+    target = n // Q219_GROUPS + 1
+
+    # losslessness: every file lands in exactly one group
+    assert sum(r.n_files for r in rows) == Q219_FILES
+    assert sum(r.total_rows for r in rows) == n
+    # group ids are the contiguous prefix 0..k
+    ids = sorted(r.group_id for r in rows)
+    assert ids == list(range(len(ids)))
+    for r in rows:
+        assert r.min_file_rows <= r.max_file_rows
+        # running-total binning: a group holds the files whose cumulative
+        # start falls in [g*t, (g+1)*t), so it can overshoot the target
+        # by at most one file
+        assert r.total_rows < target + r.max_file_rows
+        # every file is floor or ceil of the round-robin split
+        assert r.min_file_rows in (n // Q219_FILES, n // Q219_FILES + 1)
+        assert r.max_file_rows in (n // Q219_FILES, n // Q219_FILES + 1)
+
+
+def test_zorder_extents_and_skipping(spark):
+    from data_engineering_examples_spark.plans.analytics import (
+        Q220_BAND_HI,
+        Q220_BAND_LO,
+    )
+
+    rows = all_specs()["q220_zorder_layout"].fn(spark, SF).collect()
+    orders = load_tables(spark, SF, ["orders"])["orders"]
+    assert sum(r.n_rows for r in rows) == orders.count()
+    for r in rows:
+        assert 0 <= r.z_file < 256
+        assert 0 <= r.min_x8 <= r.max_x8 < 256
+        assert 0 <= r.min_y8 <= r.max_y8 < 256
+        assert r.touched == (
+            r.max_x8 >= Q220_BAND_LO and r.min_x8 < Q220_BAND_HI
+        )
+        # a z-range of 256 Morton codes (z >> 8 fixed) spans at most a
+        # 16x16 grid tile in each dimension — the clustering guarantee
+        # that makes skipping work
+        assert r.max_x8 - r.min_x8 <= 16
+        assert r.max_y8 - r.min_y8 <= 16
+    # the point of z-order: the customer-band predicate must NOT touch
+    # every file (a date-linear layout would touch all of them)
+    touched = sum(1 for r in rows if r.touched)
+    assert 0 < touched < len(rows)
+    # the 32/256-wide band should touch roughly 1/8 of the z-files;
+    # allow generous slack for population gaps
+    assert touched <= len(rows) // 2
