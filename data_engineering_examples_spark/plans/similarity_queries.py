@@ -1718,3 +1718,140 @@ def q217_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q221 — dominant principal direction of the embedding corpus via
+# integer-exact power iteration.  The corpus-analytics question behind
+# anisotropy / drift monitoring ("which way does the embedding cloud
+# point, and how strongly?") answered without MLlib: build the 64x64
+# Gram matrix A = X^T X from map-side outer products, then four
+# unrolled power-iteration steps v <- normalize(A v).
+#
+# Determinism design: embeddings quantize once to integer MILLI-units
+# (floor(x*1e3) — milli, not micro, so the outer products and the
+# A·v folds stay far inside bigint at any corpus size: |A_jk| <=
+# 1.6e7·n, and the iteration multiplies by <= 1e3 and folds 64 terms).
+# Normalization divides by max|w| in integer arithmetic — Spark `div`
+# and DuckDB `//` both truncate toward zero, verified — so every
+# iterate is bit-identical across engines.  No sqrt, no float anywhere.
+#
+# Scale notes (100 TB): the outer products are generated INSIDE the row
+# (nested transform over the array — pure codegen), so the only shuffle
+# is the (j,k)-keyed partial-aggregated Gram reduction: 4096 keys,
+# map-side combine, output size dims^2 regardless of corpus size.  The
+# iteration itself touches only the 4096-row A and a 64-row broadcast
+# vector — driver-free, corpus-size-independent.  Uncentered second
+# moment by design (centering at 100 TB needs a mean pre-pass; the
+# dominant direction of X^T X is the anisotropy axis drift monitors
+# track — see q107 for the centered per-cluster displacement version).
+
+PI_SCALE = 1000  # milli-unit quantization and iterate normalization
+PI_ITERS = 6
+
+
+def _q221_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for i in range(1, PI_ITERS + 1):
+        steps.append(
+            f"""w{i} AS (SELECT g.j, CAST(sum(g.a_jk * v.v) AS BIGINT) AS w
+           FROM gram g JOIN {prev} v ON g.k = v.j GROUP BY 1)"""
+        )
+        if i < PI_ITERS:
+            steps.append(
+                f"""v{i} AS (SELECT j, w * {PI_SCALE}
+               // (SELECT max(abs(w)) FROM w{i}) AS v FROM w{i})"""
+            )
+        prev = f"v{i}"
+    unrolled = ",\n    ".join(steps)
+    return f"""
+    WITH xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {PI_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    gram AS (
+      SELECT a.dim AS j, b.dim AS k,
+             CAST(sum(a.xq * b.xq) AS BIGINT) AS a_jk
+      FROM xq a JOIN xq b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT j, CAST(1 AS BIGINT) AS v FROM gram),
+    {unrolled},
+    mf AS (SELECT max(abs(w)) AS m FROM w{PI_ITERS})
+    SELECT CAST(j AS INT) AS dim,
+           CAST(w * {PI_SCALE} // m AS BIGINT) AS v_milli,
+           CAST(m AS BIGINT) AS norm_scale
+    FROM w{PI_ITERS}, mf
+    """
+
+
+@register(
+    "q221_embedding_power_iteration",
+    oracle=_q221_oracle(),
+    doc=f"dominant principal direction of the embedding corpus: "
+        f"integer-exact power iteration ({PI_ITERS} steps) over a "
+        "map-side-combined 64x64 Gram matrix; iteration state is "
+        "dims^2, corpus-size-independent",
+    tags=("similarity", "ml", "llm"),
+)
+def q221_embedding_power_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    arr_q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * PI_SCALE).cast("bigint"),
+    )
+    # outer products generated inside the row — pure codegen, the one
+    # shuffle is the 4096-key Gram reduction with map-side combine
+    pairs = F.flatten(
+        F.transform(
+            arr_q,
+            lambda xj, j: F.zip_with(
+                arr_q,
+                F.sequence(F.lit(0), F.lit(DIM - 1)),
+                lambda xk, k: F.struct(
+                    j.cast("int").alias("j"),
+                    k.cast("int").alias("k"),
+                    (xj * xk).alias("p"),
+                ),
+            ),
+        )
+    )
+    gram = (
+        emb.select(F.explode(pairs).alias("c"))
+        .select("c.j", "c.k", "c.p")
+        .groupBy("j", "k")
+        .agg(F.sum("p").cast("bigint").alias("a_jk"))
+    )
+    from ..scratch import materialize
+
+    gram = materialize(gram, "q221_gram")  # reused by all three steps
+
+    v = gram.select("j").distinct().select(
+        "j", F.lit(1).cast("bigint").alias("v")
+    )
+    for step in range(PI_ITERS):
+        w = (
+            gram.join(
+                F.broadcast(v.select(F.col("j").alias("k"), "v")), "k"
+            )
+            .groupBy("j")
+            .agg(F.sum(F.col("a_jk") * F.col("v")).cast("bigint").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        if step < PI_ITERS - 1:
+            v = w.crossJoin(F.broadcast(m)).select(
+                "j", F.expr(f"(w * {PI_SCALE}) div m").alias("v")
+            )
+    return w.crossJoin(F.broadcast(m)).select(
+        F.col("j").cast("int").alias("dim"),
+        F.expr(f"cast((w * {PI_SCALE}) div m as bigint)").alias("v_milli"),
+        F.col("m").cast("bigint").alias("norm_scale"),
+    )

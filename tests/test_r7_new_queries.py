@@ -1,7 +1,8 @@
-"""Behavioral tests for the round-7 additions (q218-q220): structural
+"""Behavioral tests for the round-7 additions (q218-q221): structural
 properties the value-hash oracle compare can't see — HLL estimate
 accuracy and register-algebra bounds, compaction bin-pack invariants,
-z-order extent/skipping guarantees.
+z-order extent/skipping guarantees, power-iteration eigenvector
+alignment.
 """
 
 from __future__ import annotations
@@ -103,3 +104,43 @@ def test_zorder_extents_and_skipping(spark):
     # the 32/256-wide band should touch roughly 1/8 of the z-files;
     # allow generous slack for population gaps
     assert touched <= len(rows) // 2
+
+
+def test_power_iteration_converges_to_eigenvector(spark):
+    import math
+
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        DIM,
+        PI_SCALE,
+    )
+
+    rows = all_specs()["q221_embedding_power_iteration"].fn(spark, SF).collect()
+    assert len(rows) == DIM
+    v = {r.dim: r.v_milli for r in rows}
+    scale = rows[0].norm_scale
+    assert scale > 0
+    assert all(r.norm_scale == scale for r in rows)
+    # normalization contract: the largest |component| is exactly +-1000
+    assert max(abs(x) for x in v.values()) == PI_SCALE
+
+    # after 3 power steps v must be near the dominant eigenvector:
+    # cos(Av, v) ~ 1.  Rebuild the Gram matrix in-process from the same
+    # quantization and check the alignment in floats (test-only math).
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"].collect()
+    xq = [
+        [math.floor(float(x) * PI_SCALE) for x in r.embedding] for r in emb
+    ]
+    a = [[0] * DIM for _ in range(DIM)]
+    for row in xq:
+        for j in range(DIM):
+            if row[j]:
+                for k in range(DIM):
+                    a[j][k] += row[j] * row[k]
+    av = [sum(a[j][k] * v[k] for k in range(DIM)) for j in range(DIM)]
+    dot = sum(av[j] * v[j] for j in range(DIM))
+    na = math.sqrt(sum(x * x for x in av))
+    nv = math.sqrt(sum(x * x for x in v.values()))
+    # the floor catches mis-wired Gram/iteration plumbing (cos ~0.3-0.8),
+    # not convergence rate: the sf0.001 corpus (n=50) has a small
+    # spectral gap, so 6 steps land ~0.997, not 1-1e-6
+    assert dot / (na * nv) > 0.99, "v is not aligned with Av"
