@@ -10,7 +10,9 @@ unreferenced aggregates and drops final sorts). A warm-up pass on the
 flagship query amortises JVM/codegen startup so the numbers reflect
 steady-state engine throughput, as they would on a long-lived cluster.
 
-``SPARK_GRAFT_BENCH_REPEAT=N`` (default 1) times every query N times and
+``SPARK_GRAFT_BENCH_REPEAT=N`` (default 3 — the driver records committed
+snapshots with no env override, so the default IS the snapshot policy;
+set N=1 for quick iteration) times every query N times and
 reports the per-query MEDIAN in ``queries`` (the headline ``value`` is
 the sum of medians), with the full spread in ``queries_spread`` as
 ``{name: {"median": s, "min": s, "max": s, "runs": [...]}}``.  Single
@@ -136,7 +138,7 @@ def main() -> None:
 
     from data_engineering_examples_spark.scratch import release_local_checkpoints
 
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     runs: dict[str, list[float]] = {name: [] for name in specs}
     for pass_no in range(repeat):
         for name, spec in specs.items():

@@ -1737,14 +1737,20 @@ def q217_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterate is bit-identical across engines.  No sqrt, no float anywhere.
 #
 # Scale notes (100 TB): the outer products are generated INSIDE the row
-# (nested transform over the array — pure codegen), so the only shuffle
-# is the (j,k)-keyed partial-aggregated Gram reduction: 4096 keys,
-# map-side combine, output size dims^2 regardless of corpus size.  The
-# iteration itself touches only the 4096-row A and a 64-row broadcast
-# vector — driver-free, corpus-size-independent.  Uncentered second
-# moment by design (centering at 100 TB needs a mean pre-pass; the
-# dominant direction of X^T X is the anisotropy axis drift monitors
-# track — see q107 for the centered per-cluster displacement version).
+# (nested transform over the array — pure codegen, one flat bigint
+# array, no structs), so the only data-sized cost is the pos-keyed
+# partial-aggregated Gram reduction: 4096 keys, map-side combine,
+# output size dims^2 regardless of corpus size.  The iterations then
+# LOOP AT RUNTIME inside a single aggregate() fold over an assembled
+# one-row matrix — zero per-step stages, no broadcast ping-pong,
+# driver-free (profiled at sf0.1: join-per-iteration cost ~0.9s of
+# fixed stage overhead per step; a per-step .select() chain is worse —
+# CollapseProject inlines each step's expressions into the next,
+# tripling the tree per step until plan compilation hangs).
+# Uncentered second moment by design (centering at 100 TB needs a mean
+# pre-pass; the dominant direction of X^T X is the anisotropy axis
+# drift monitors track — see q107 for the centered per-cluster
+# displacement version).
 
 PI_SCALE = 1000  # milli-unit quantization and iterate normalization
 PI_ITERS = 6
@@ -1808,50 +1814,68 @@ def q221_embedding_power_iteration(
         "embedding",
         lambda x: F.floor(x.cast("double") * PI_SCALE).cast("bigint"),
     )
-    # outer products generated inside the row — pure codegen, the one
-    # shuffle is the 4096-key Gram reduction with map-side combine
-    pairs = F.flatten(
-        F.transform(
-            arr_q,
-            lambda xj, j: F.zip_with(
-                arr_q,
-                F.sequence(F.lit(0), F.lit(DIM - 1)),
-                lambda xk, k: F.struct(
-                    j.cast("int").alias("j"),
-                    k.cast("int").alias("k"),
-                    (xj * xk).alias("p"),
-                ),
-            ),
-        )
+    # outer products as one FLAT bigint array per row (no structs —
+    # posexplode position encodes (j,k) = (pos div 64, pos mod 64)):
+    # measured 2.0s vs 3.3s for a struct-explode upper triangle at
+    # sf0.1, because the symmetric halving costs per-element slice()
+    # allocations that outweigh the saved volume
+    flat = F.flatten(
+        F.transform(arr_q, lambda xj: F.transform(arr_q, lambda xk: xj * xk))
     )
     gram = (
-        emb.select(F.explode(pairs).alias("c"))
-        .select("c.j", "c.k", "c.p")
-        .groupBy("j", "k")
+        emb.select(F.posexplode(flat).alias("pos", "p"))
+        .groupBy("pos")
         .agg(F.sum("p").cast("bigint").alias("a_jk"))
     )
-    from ..scratch import materialize
-
-    gram = materialize(gram, "q221_gram")  # reused by all three steps
-
-    v = gram.select("j").distinct().select(
-        "j", F.lit(1).cast("bigint").alias("v")
+    # assemble the 64x64 matrix into ONE row (a single bounded 4096 -> 1
+    # aggregation), then run every power step inside one projection
+    mat = gram.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "a_jk"))),
+            lambda s: s.a_jk,
+        ).alias("flatA")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), "
+            f"j -> slice(flatA, j * {DIM} + 1, {DIM}))"
+        ).alias("A")
     )
-    for step in range(PI_ITERS):
-        w = (
-            gram.join(
-                F.broadcast(v.select(F.col("j").alias("k"), "v")), "k"
-            )
-            .groupBy("j")
-            .agg(F.sum(F.col("a_jk") * F.col("v")).cast("bigint").alias("w"))
+    # the iteration LOOPS AT RUNTIME inside one aggregate() fold — the
+    # lambda is written once, so the expression tree is constant-size.
+    # (A per-step .select() chain is a trap: CollapseProject inlines
+    # each step's W into the next step's V, tripling the tree per step
+    # — six steps hang plan compilation.)
+    def av(v: str) -> str:
+        return (
+            f"transform(A, row -> aggregate(zip_with(row, {v}, "
+            "(a, b) -> a * b), cast(0 as bigint), (acc, x) -> acc + x))"
         )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        if step < PI_ITERS - 1:
-            v = w.crossJoin(F.broadcast(m)).select(
-                "j", F.expr(f"(w * {PI_SCALE}) div m").alias("v")
-            )
-    return w.crossJoin(F.broadcast(m)).select(
-        F.col("j").cast("int").alias("dim"),
-        F.expr(f"cast((w * {PI_SCALE}) div m as bigint)").alias("v_milli"),
-        F.col("m").cast("bigint").alias("norm_scale"),
+
+    v0 = f"transform(sequence(0, {DIM - 1}), i -> cast(1 as bigint))"
+    vfold = (
+        f"aggregate(sequence(1, {PI_ITERS - 1}), {v0}, "
+        f"(v, it) -> transform({av('v')}, x -> (x * {PI_SCALE}) div "
+        f"array_max(transform({av('v')}, y -> abs(y)))))"
+    )
+    # the output structs are FINISHED inside one array expression BEFORE
+    # the explode: referencing a chain-embedding scalar column after
+    # posexplode re-evaluates that whole chain once per OUTPUT row (64x
+    # — measured 9s of pure re-execution at sf0.1); built this way the
+    # chain runs a constant number of times per INPUT row (one)
+    outexpr = (
+        f"transform({av('V')}, x -> struct("
+        f"cast((x * {PI_SCALE}) div "
+        f"array_max(transform({av('V')}, y -> abs(y))) as bigint) "
+        "as v_milli, "
+        f"cast(array_max(transform({av('V')}, y -> abs(y))) as bigint) "
+        "as norm_scale))"
+    )
+    return (
+        mat.select("A", F.expr(vfold).alias("V"))
+        .select(F.posexplode(F.expr(outexpr)).alias("dim", "s"))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "s.v_milli",
+            "s.norm_scale",
+        )
     )

@@ -16,6 +16,7 @@ def test_bench_prints_one_json_line_with_contract_keys():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_BENCH_ONLY"] = "q01_pricing_summary,q03_top_orders"
+    env["SPARK_GRAFT_BENCH_REPEAT"] = "1"  # cover the no-spread branch
     env["SPARK_GRAFT_CPUS"] = "4"
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
