@@ -10,6 +10,14 @@ DuckDB oracle. Numeric-parity rules:
   data carries <=2 decimal places) and only the final result is cast back to
   DOUBLE, so the value is deterministic regardless of partitioning/order —
   a double sum would wobble in the last ulp across 32-thread runs.
+* DECIMAL->DOUBLE on the oracle side goes through a VARCHAR round-trip
+  (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``): DuckDB's direct decimal cast
+  double-rounds (exact int128 -> double, then / 10^scale) and diverges from
+  Spark's single-rounded BigDecimal cast by 1 ulp once the scaled integer
+  exceeds 2^53 — reachable for corpus-level revenue sums beyond ~sf1.
+  The string parse is correctly rounded in one step, identical to Spark at
+  every scale (round-7 finding from the 10x key-shifted stress sweep,
+  tools/gen_scale_synth.py).
 * Averages are computed as exact-decimal-sum cast to double, divided by the
   bigint count: one IEEE division of identical operands on both sides.
 * Timestamps are emitted as formatted strings (Spark session TZ is UTC;
@@ -62,18 +70,18 @@ def one() -> F.Column:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
         AS sum_disc_price,
-      CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
+      CAST(CAST(SUM((CAST(l_extendedprice AS DECIMAL(12,2))
                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
         AS sum_charge,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_disc,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -119,8 +127,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       n.n_name,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
-               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
         AS revenue,
       COUNT(*) AS n_items
     FROM lineitem l
@@ -467,7 +475,7 @@ def q09_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFr
     SELECT
       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
       COUNT(*) AS n,
-      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1
     ORDER BY k
@@ -514,8 +522,8 @@ def q10_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_total,
            count(*) FILTER (u < cut) AS n_sampled,
-           CAST(sum(CASE WHEN u < cut THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
-                AS DOUBLE) AS sampled_total
+           CAST(CAST(sum(CASE WHEN u < cut THEN CAST(o_totalprice AS DECIMAL(14,2)) END)
+                AS VARCHAR) AS DOUBLE) AS sampled_total
     FROM keyed
     GROUP BY o_orderpriority
     """,
@@ -567,8 +575,8 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
            count(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM lineitem
     GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
@@ -647,7 +655,7 @@ def q54_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, CAST(r.total AS DOUBLE) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, CAST(CAST(r.total AS VARCHAR) AS DOUBLE) AS total_revenue
     FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
     WHERE r.total = (SELECT max(total) FROM rev)
     """,
@@ -690,21 +698,21 @@ def q56_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q57_promo_revenue_share",
     oracle="""
     SELECT
-      CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+      CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
-           AS DOUBLE) AS promo_revenue,
-      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+           AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-           AS DOUBLE) AS total_revenue,
+           AS VARCHAR) AS DOUBLE) AS total_revenue,
       CAST(100.0 AS DOUBLE)
-        * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
                  THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
                       * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) END)
-               AS DOUBLE)
-        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
-               AS DOUBLE) AS promo_share_pct
+               AS VARCHAR) AS DOUBLE) AS promo_share_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
@@ -745,12 +753,12 @@ def q57_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH avgq AS (
       SELECT l_partkey,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty
       FROM lineitem GROUP BY l_partkey
     )
     SELECT p.p_brand,
            count(*) AS n_small,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS small_revenue
     FROM lineitem l
     JOIN avgq a ON a.l_partkey = l.l_partkey
     JOIN part p ON p.p_partkey = l.l_partkey
@@ -895,10 +903,10 @@ def q60_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '{TS_FMT_DUCK}') AS order_ts,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate
                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
-                ) AS DOUBLE) AS revenue_30d,
+                ) AS VARCHAR) AS DOUBLE) AS revenue_30d,
            CAST(date_diff('day', lag(o_orderdate) OVER (
                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ), o_orderdate) AS INT) AS days_since_prev
@@ -1139,7 +1147,7 @@ _INC_CUTOFF = "2024-01-21 12:00:00"
     oracle="""
     SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY event_type, day
     """,
@@ -4499,10 +4507,10 @@ def q187_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_base,
+      CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS VARCHAR) AS DOUBLE)
         AS sum_disc_price,
       CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem

@@ -674,7 +674,7 @@ def _duck_pq_oracle() -> str:
             FROM d) WHERE rn = 1)
     SELECT subspace, code,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(sum(dist) AS DOUBLE) / {KMEANS_SCALE} / {KMEANS_SCALE}
+           CAST(CAST(sum(dist) AS VARCHAR) AS DOUBLE) / {KMEANS_SCALE} / {KMEANS_SCALE}
              AS total_sq_error
     FROM a GROUP BY 1, 2
     """
@@ -888,8 +888,8 @@ def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cluster AS cluster_id,
            CAST(max(n_a) AS BIGINT) AS n_a,
            CAST(max(n_b) AS BIGINT) AS n_b,
-           CAST(sum(CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))
-                    * CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))) AS DOUBLE)
+           CAST(CAST(sum(CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))
+                    * CAST(n_b * cs_a - n_a * cs_b AS DECIMAL(19,0))) AS VARCHAR) AS DOUBLE)
              / (max(n_a) * max(n_b) * {KMEANS_SCALE})
              / (max(n_a) * max(n_b) * {KMEANS_SCALE}) AS drift_sq
     FROM paired GROUP BY cluster
@@ -1352,7 +1352,7 @@ def q175_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(label_a AS BIGINT) AS label_a,
            CAST(label_b AS BIGINT) AS label_b,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           CAST(num AS DOUBLE)
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
              / (CAST(n_a AS DOUBLE) * n_b * {KMEANS_SCALE})
              / (CAST(n_a AS DOUBLE) * n_b * {KMEANS_SCALE})
              AS sq_separation
