@@ -11,10 +11,11 @@ decoding libraries (PIL/opencv) are NOT installed, so
 
 * ``decode_image``/``resize_image`` carry a REAL stdlib implementation
   for the formats a pure-Python parser can own — 24-bit BI_RGB BMP,
-  binary P6 PPM, and 8-bit non-interlaced PNG (stdlib zlib inflate +
-  per-scanline unfilter) — and raise ``NotImplementedError`` for
-  anything else unless a decoder is injected (JPEG needs a DCT codec
-  library);
+  binary P6 PPM, 8-bit non-interlaced PNG (stdlib zlib inflate +
+  per-scanline unfilter), and baseline sequential JPEG (from-the-spec
+  T.81 Huffman + IDCT decode: 4:4:4/4:2:2/4:2:0/grayscale, restart
+  markers) — and raise ``NotImplementedError`` for anything else
+  (progressive/arithmetic JPEG, WebP, …) unless a decoder is injected;
 * ``extract_features`` runs a real ``mapInPandas`` pipeline with a
   deterministic byte-histogram featurizer standing in for a model
   embedding — the Arrow batch shape, schema handling, and partitioning
@@ -245,17 +246,343 @@ def _decode_png(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, bytes(out))
 
 
+# --- JPEG (baseline sequential DCT, ITU-T T.81) ----------------------------
+#
+# A from-the-spec pure-Python decoder for the profile every camera and
+# web encoder emits by default: baseline sequential, Huffman-coded,
+# 8-bit, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0 /
+# grayscale), with restart-marker support.  Progressive (SOF2) and
+# arithmetic-coded streams still raise and remain the injection seam.
+# Throughput is Python-speed — the production path injects a codec —
+# but the format itself is no longer a stub: fixture corpora round-trip
+# through decode_image with zero dependencies.
+
+#: zigzag scan position -> natural (row-major) coefficient index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_dct_matrix() -> list[list[float]]:
+    """M[u][x] = c(u)/2 * cos((2x+1)u*pi/16): F = M f (1-D FDCT) and
+    f = M^T F (1-D IDCT) under the T.81 normalization."""
+    import math
+
+    return [
+        [
+            (math.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * math.cos((2 * x + 1) * u * math.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+
+
+_JPEG_M = _jpeg_dct_matrix()
+
+
+def _jpeg_idct_8x8(coef: list[float]) -> list[int]:
+    """2-D separable inverse DCT + level shift; returns 64 clamped ints."""
+    m = _JPEG_M
+    # rows: tmp[y][x] = sum_u M[u][x] * coef[y*8+u]
+    tmp = [
+        [sum(m[u][x] * coef[y * 8 + u] for u in range(8)) for x in range(8)]
+        for y in range(8)
+    ]
+    out = [0] * 64
+    for x in range(8):
+        col = [tmp[v][x] for v in range(8)]
+        for y in range(8):
+            s = sum(m[v][y] * col[v] for v in range(8)) + 128.0
+            out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else int(s + 0.5))
+    return out
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman code table: (length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; a bare marker yields zero bits (stream end)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else 0xD9
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    return
+                # a real marker: leave it unconsumed, pad with zeros
+                self.acc <<= 8
+                self.nbits += 8
+                return
+            self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        else:
+            self.acc <<= 8
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """Sign-extend a t-bit magnitude per T.81 F.2.2.1."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg(payload: bytes) -> DecodedImage:
+    """Baseline sequential JPEG -> RGB (T.81 Annex F decode procedure)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}  # id -> 64 values in zigzag order
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (height, width, [(cid, h, v, tq), ...])
+    restart_interval = 0
+    scan = None
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:  # 16-bit precision
+                    qtabs[tq] = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+                else:
+                    qtabs[tq] = list(seg[i : i + 64])
+                    i += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(
+                    counts, symbols
+                )
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG is supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (height, width, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02X} (non-baseline) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows the segment
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF or SOS")
+
+    height, width, comps = frame
+    if not (0 < width and 0 < height):
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+    by_id = {cid: (h, v, tq) for cid, h, v, tq in comps}
+    hmax = max(h for _, h, _, _ in comps)
+    vmax = max(v for _, _, v, _ in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("JPEG sampling factors above 2 not supported")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes: dict[int, bytearray] = {}
+    strides: dict[int, int] = {}
+    for cid, h, v, _ in comps:
+        strides[cid] = mcux * h * 8
+        planes[cid] = bytearray(strides[cid] * mcuy * v * 8)
+
+    reader = _JpegBitReader(payload, pos)
+    pred = {cid: 0 for cid, _, _, _ in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.byte_align()
+                if (
+                    reader.pos + 1 < len(payload)
+                    and payload[reader.pos] == 0xFF
+                    and 0xD0 <= payload[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 2
+                pred = {cid: 0 for cid, _, _, _ in comps}
+            for cid, td, ta in scan:
+                ch, cv, tq = by_id[cid]
+                q = qtabs[tq]
+                dc_tab, ac_tab = huff_dc[td], huff_ac[ta]
+                for byi in range(cv):
+                    for bxi in range(ch):
+                        t = _jpeg_huff_decode(reader, dc_tab)
+                        diff = (
+                            _jpeg_extend(reader.read_bits(t), t) if t else 0
+                        )
+                        pred[cid] += diff
+                        coef = [0.0] * 64
+                        coef[0] = pred[cid] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, ac_tab)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overrun")
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _jpeg_extend(reader.read_bits(s), s) * q[k]
+                            )
+                            k += 1
+                        pixels = _jpeg_idct_8x8(coef)
+                        plane, stride = planes[cid], strides[cid]
+                        x0 = (mx * ch + bxi) * 8
+                        y0 = (my * cv + byi) * 8
+                        for yy in range(8):
+                            row = (y0 + yy) * stride + x0
+                            plane[row : row + 8] = bytes(
+                                pixels[yy * 8 : yy * 8 + 8]
+                            )
+            mcu_count += 1
+
+    out = bytearray(width * height * 3)
+    if len(comps) == 1:
+        cid = comps[0][0]
+        plane, stride = planes[cid], strides[cid]
+        for y in range(height):
+            base = y * stride
+            for x in range(width):
+                g = plane[base + x]
+                o = (y * width + x) * 3
+                out[o] = out[o + 1] = out[o + 2] = g
+    elif len(comps) == 3:
+        (c1, h1, v1, _), (c2, h2, v2, _), (c3, h3, v3, _) = comps
+        p1, s1 = planes[c1], strides[c1]
+        p2, s2 = planes[c2], strides[c2]
+        p3, s3 = planes[c3], strides[c3]
+        for y in range(height):
+            r1 = (y * v1 // vmax) * s1
+            r2 = (y * v2 // vmax) * s2
+            r3 = (y * v3 // vmax) * s3
+            for x in range(width):
+                lum = p1[r1 + x * h1 // hmax]
+                cb = p2[r2 + x * h2 // hmax] - 128
+                cr = p3[r3 + x * h3 // hmax] - 128
+                r = lum + 1.402 * cr
+                g = lum - 0.344136 * cb - 0.714136 * cr
+                b = lum + 1.772 * cb
+                o = (y * width + x) * 3
+                out[o] = 0 if r < 0 else (255 if r > 255 else int(r + 0.5))
+                out[o + 1] = 0 if g < 0 else (255 if g > 255 else int(g + 0.5))
+                out[o + 2] = 0 if b < 0 else (255 if b > 255 else int(b + 0.5))
+    else:
+        raise NotImplementedError(
+            f"JPEG with {len(comps)} components not supported"
+        )
+    return DecodedImage(width, height, bytes(out))
+
+
 def decode_image(
     payload: bytes, decoder: Callable[[bytes], object] | None = None
 ) -> object:
     """Decode an image payload to a :class:`DecodedImage`.
 
     Executable without any external library for 24-bit BMP, binary PPM,
-    and 8-bit non-interlaced PNG (zlib is stdlib; the scanline unfilter
-    is ~60 lines).  JPEG still requires an injected ``decoder`` (e.g. a
-    PIL.Image.open wrapper) — that seam is the production path and this
-    module's honest limit: no DCT codec library is available in this
-    environment."""
+    8-bit non-interlaced PNG (stdlib zlib + scanline unfilter), and
+    baseline sequential JPEG (from-the-spec Huffman + IDCT decoder,
+    4:4:4/4:2:2/4:2:0/grayscale, restart markers).  Progressive or
+    arithmetic-coded JPEG still requires an injected ``decoder`` (e.g. a
+    PIL.Image.open wrapper) — and at production throughput a native
+    codec should be injected for ALL formats; the stdlib decoders pin
+    the semantics."""
     if decoder is not None:
         return decoder(payload)
     if payload[:2] == b"BM":
@@ -264,10 +591,12 @@ def decode_image(
         return _decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "built-in decode covers 24-bit BMP, P6 PPM, and 8-bit PNG only; "
-        "inject a decoder for JPEG et al. (no PIL/opencv in this "
-        "environment)"
+        "built-in decode covers 24-bit BMP, P6 PPM, 8-bit PNG, and "
+        "baseline JPEG only; inject a decoder for other formats (no "
+        "PIL/opencv in this environment)"
     )
 
 
