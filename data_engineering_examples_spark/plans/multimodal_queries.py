@@ -288,3 +288,99 @@ def q160_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q222/q223 — decode-from-bytes vs declared-metadata cross-checks. The
+# fixture payloads are REAL encodings (tools/media_encoders) whose
+# width/height/duration_ms columns were written from the same pixels/
+# frames, so the two sides of the compare travel genuinely independent
+# paths: Spark DECODES the binary column (operators/media.py stdlib
+# decoders — BMP/PPM/PNG/baseline-JPEG, 16-bit WAV) inside an
+# Arrow-batched mapInPandas stage, while the oracle only reads the
+# declared metadata columns. Any decoder regression, schema drift, or
+# corrupt payload breaks the match. Scale notes: the payload column is
+# column-pruned into the Python stage and never shuffled (map-only; no
+# exchange in the plan); at 100 TB the same stage runs with an injected
+# native codec — the plumbing, batch shape, and audit contract are
+# identical.
+
+
+@register(
+    "q222_image_decode_audit",
+    oracle=f"""
+    SELECT media_id, format,
+           CAST(width AS INT) AS decoded_width,
+           CAST(height AS INT) AS decoded_height
+    FROM read_parquet('{FX}/media.parquet')
+    WHERE kind = 'image'
+    """,
+    doc="image decode audit: stdlib decode of every BMP/PPM/PNG/JPEG "
+    "payload in mapInPandas; dimensions must match declared metadata",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q222_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import decode_image
+
+    m = (
+        _media(spark)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "format", "payload")
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                img = decode_image(bytes(payload))
+                out.append((mid, fmt, img.width, img.height))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "format", "decoded_width", "decoded_height"],
+            )
+
+    return m.mapInPandas(
+        decode,
+        "media_id bigint, format string, decoded_width int, decoded_height int",
+    )
+
+
+@register(
+    "q223_audio_decode_audit",
+    oracle=f"""
+    SELECT media_id,
+           CAST(duration_ms AS BIGINT) AS decoded_duration_ms
+    FROM read_parquet('{FX}/media.parquet')
+    WHERE kind = 'audio'
+    """,
+    doc="audio decode audit: stdlib 16-bit PCM WAV decode in mapInPandas; "
+    "frame-count duration must match declared metadata",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q223_audio_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import decode_audio
+
+    m = (
+        _media(spark)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                au = decode_audio(bytes(payload))
+                n_frames = len(au.samples) // au.n_channels
+                out.append((mid, n_frames * 1000 // au.sample_rate))
+            yield pd.DataFrame(
+                out, columns=["media_id", "decoded_duration_ms"]
+            )
+
+    return m.mapInPandas(decode, "media_id bigint, decoded_duration_ms bigint")

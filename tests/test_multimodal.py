@@ -366,201 +366,12 @@ def test_wav_featurizer_through_arrow_pipeline(spark):
     assert abs(out[11][1] - 0.5) < 1e-9  # constant half amplitude
 
 
-# --- baseline JPEG round-trip (encoder lives here: the engine only ever
-# DECODES — a from-scratch test encoder keeps the proof dependency-free
-# and exercises the decoder's DHT/DQT parsing with non-standard tables) --
+# --- baseline JPEG round-trip (the encoder lives in tools/media_encoders:
+# a from-scratch minimal encoder keeps the proof dependency-free and
+# exercises the decoder's DHT/DQT parsing with non-standard tables) -----
 
 
-def _jpeg_encode(
-    rgb: bytes,
-    w: int,
-    h: int,
-    subsample: bool = False,
-    q: int = 1,
-    restart: int = 0,
-    gray: bool = False,
-) -> bytes:
-    """Minimal baseline-sequential JPEG encoder (T.81): uniform quant
-    table, custom fixed-length Huffman tables (12 DC syms @4 bits, 162
-    AC syms @8 bits — canonical, Kraft-valid, no all-ones code), 4:4:4
-    or 4:2:0, optional restart interval, optional single-component
-    grayscale."""
-    import struct
-
-    from data_engineering_examples_spark.operators.media import (
-        _JPEG_M,
-        _JPEG_ZIGZAG,
-    )
-
-    def fdct(block):  # 64 level-shifted floats -> 64 coefficients
-        tmp = [
-            [sum(_JPEG_M[u][x] * block[y * 8 + x] for x in range(8)) for u in range(8)]
-            for y in range(8)
-        ]
-        out = [0.0] * 64
-        for u in range(8):
-            col = [tmp[y][u] for y in range(8)]
-            for v in range(8):
-                out[v * 8 + u] = sum(_JPEG_M[v][y] * col[y] for y in range(8))
-        return out
-
-    # planes (integer samples, full resolution)
-    if gray:
-        planes = [[rgb[i] for i in range(w * h)]]
-        samp = [(1, 1)]
-    else:
-        ys, cbs, crs = [], [], []
-        for i in range(w * h):
-            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
-            ys.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
-            cbs.append(min(255, max(0, round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))))
-            crs.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))))
-        if subsample:
-            cw, chh = (w + 1) // 2, (h + 1) // 2
-            def box(p):
-                out = []
-                for yy in range(chh):
-                    for xx in range(cw):
-                        acc = n = 0
-                        for dy in range(2):
-                            for dx in range(2):
-                                sy, sx = min(h - 1, 2 * yy + dy), min(w - 1, 2 * xx + dx)
-                                acc += p[sy * w + sx]
-                                n += 1
-                        out.append(round(acc / n))
-                return out
-            planes = [ys, box(cbs), box(crs)]
-            samp = [(2, 2), (1, 1), (1, 1)]
-        else:
-            planes = [ys, cbs, crs]
-            samp = [(1, 1), (1, 1), (1, 1)]
-
-    hmax = max(s[0] for s in samp)
-    vmax = max(s[1] for s in samp)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    dims = []  # per-component (cw, ch)
-    for hi, vi in samp:
-        dims.append((-(-w * hi // hmax), -(-h * vi // vmax)))
-
-    qtab = [q] * 64
-    dc_syms = list(range(12))
-    ac_syms = [r << 4 | s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
-    dc_counts = [0] * 16
-    dc_counts[3] = 12  # all DC symbols at code length 4
-    ac_counts = [0] * 16
-    ac_counts[7] = 162  # all AC symbols at code length 8
-    dc_code = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
-    ac_code = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
-
-    out = bytearray(b"\xff\xd8")
-
-    def seg(marker, body):
-        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
-
-    seg(0xDB, bytes([0]) + bytes(qtab))
-    ncomp = len(planes)
-    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for i, (hi, vi) in enumerate(samp):
-        sof += bytes([i + 1, hi << 4 | vi, 0])
-    seg(0xC0, sof)
-    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
-    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
-    if restart:
-        seg(0xDD, struct.pack(">H", restart))
-    sos = bytes([ncomp])
-    for i in range(ncomp):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    seg(0xDA, sos)
-
-    acc = [0, 0]  # bit accumulator, count
-
-    def put(v, n):
-        for i in range(n - 1, -1, -1):
-            acc[0] = (acc[0] << 1) | ((v >> i) & 1)
-            acc[1] += 1
-            if acc[1] == 8:
-                out.append(acc[0])
-                if acc[0] == 0xFF:
-                    out.append(0x00)
-                acc[0] = acc[1] = 0
-
-    def put_code(table, sym):
-        code, n = table[sym]
-        put(code, n)
-
-    def mag_bits(v):
-        t = 0
-        a = abs(v)
-        while a:
-            t += 1
-            a >>= 1
-        return t
-
-    def sample(plane, cw, chh, x, y):  # edge-replicated
-        return plane[min(chh - 1, y) * cw + min(cw - 1, x)]
-
-    pred = [0] * ncomp
-    mcu_count = 0
-    rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                while acc[1]:
-                    put(1, 1)  # pad to byte with 1s
-                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
-                rst += 1
-                pred = [0] * ncomp
-            for ci in range(ncomp):
-                hi, vi = samp[ci]
-                cw, chh = dims[ci]
-                for byi in range(vi):
-                    for bxi in range(hi):
-                        block = [
-                            sample(
-                                planes[ci],
-                                cw,
-                                chh,
-                                (mx * hi + bxi) * 8 + xx,
-                                (my * vi + byi) * 8 + yy,
-                            )
-                            - 128.0
-                            for yy in range(8)
-                            for xx in range(8)
-                        ]
-                        coef = fdct(block)
-                        zz = [
-                            round(coef[_JPEG_ZIGZAG[k]] / qtab[k])
-                            for k in range(64)
-                        ]
-                        diff = zz[0] - pred[ci]
-                        pred[ci] = zz[0]
-                        t = mag_bits(diff)
-                        put_code(dc_code, t)
-                        if t:
-                            put(diff if diff > 0 else diff + (1 << t) - 1, t)
-                        run = 0
-                        last = max((k for k in range(1, 64) if zz[k]), default=0)
-                        for k in range(1, last + 1):
-                            if zz[k] == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                put_code(ac_code, 0xF0)
-                                run -= 16
-                            s = mag_bits(zz[k])
-                            put_code(ac_code, run << 4 | s)
-                            v = zz[k]
-                            put(v if v > 0 else v + (1 << s) - 1, s)
-                            run = 0
-                        if last < 63:
-                            put_code(ac_code, 0x00)  # EOB
-            mcu_count += 1
-    while acc[1]:
-        put(1, 1)
-    out.extend(b"\xff\xd9")
-    return bytes(out)
+from tools.media_encoders import jpeg_encode as _jpeg_encode
 
 
 def _gradient_rgb(w: int, h: int) -> bytes:

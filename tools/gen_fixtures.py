@@ -453,26 +453,70 @@ def gen_outcomes(rng: random.Random):
 
 
 def gen_media(rng: random.Random):
-    """Multimodal fixture: opaque binary payloads + typed metadata
-    (builder brief "Multimodal columns"). Payload bytes are deterministic
-    pseudo-content; real decoders are stubbed in the engine (image/audio
-    libs absent), but the Spark-side schema/partitioning/UDF plumbing is
-    real and must have data to run against."""
-    kinds = [("image", "png"), ("image", "jpeg"), ("audio", "wav"), ("video", "mp4")]
+    """Multimodal fixture: binary payloads + typed metadata (builder
+    brief "Multimodal columns"). Image and audio payloads are REAL
+    encodings (tools/media_encoders — BMP/PPM/PNG/baseline-JPEG/16-bit
+    WAV) whose width/height/duration_ms metadata provably matches the
+    bytes, so a decode-from-bytes vs declared-metadata cross-check is
+    oracle-expressible (q222/q223). Video stays deterministic pseudo-
+    content: no container parser is in scope, and an opaque modality
+    keeps the payloads-never-shuffled discipline honest. Images are
+    kept small (<=24 px) — the stdlib JPEG path is Python-speed and
+    exists to pin semantics, not throughput."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.media_encoders import (
+        bmp_encode,
+        jpeg_encode,
+        png_encode,
+        ppm_encode,
+        wav_encode,
+    )
+
+    image_fmts = ["bmp", "ppm", "png", "jpeg"]
+    kinds = ["image", "image", "audio", "video"]  # images weighted 2x
     rows = []
     for i in range(300):
-        kind, fmt = rng.choice(kinds)
-        n = rng.randrange(200, 4000)
-        payload = bytes(rng.randrange(256) for _ in range(n))
+        kind = rng.choice(kinds)
+        if kind == "image":
+            fmt = rng.choice(image_fmts)
+            w, h = rng.randrange(4, 25), rng.randrange(4, 25)
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            if fmt == "bmp":
+                payload = bmp_encode(rgb, w, h)
+            elif fmt == "ppm":
+                payload = ppm_encode(rgb, w, h)
+            elif fmt == "png":
+                payload = png_encode(rgb, w, h)
+            else:
+                payload = jpeg_encode(rgb, w, h, subsample=rng.random() < 0.5)
+            width, height, duration = w, h, None
+        elif kind == "audio":
+            fmt = "wav"
+            rate = rng.choice([8000, 16000])
+            duration = rng.randrange(5, 120)  # ms; frames/ms is integral
+            n_frames = rate * duration // 1000
+            payload = wav_encode(
+                [rng.randrange(-(1 << 15), 1 << 15) for _ in range(n_frames)],
+                rate=rate,
+            )
+            width = height = None
+        else:
+            fmt = "mp4"
+            n = rng.randrange(200, 4000)
+            payload = bytes(rng.randrange(256) for _ in range(n))
+            width = height = None
+            duration = rng.randrange(500, 600000)
         rows.append({
             "media_id": i,
             "doc_id": rng.randrange(500),  # FK → documents (caption pairing)
             "kind": kind,
             "format": fmt,
             "payload": payload,
-            "width": rng.randrange(64, 4096) if kind == "image" else None,
-            "height": rng.randrange(64, 4096) if kind == "image" else None,
-            "duration_ms": rng.randrange(500, 600000) if kind in ("audio", "video") else None,
+            "width": width,
+            "height": height,
+            "duration_ms": duration,
         })
     return rows
 

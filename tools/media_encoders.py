@@ -1,0 +1,275 @@
+"""Deterministic media encoders for fixture generation and tests.
+
+The engine only ever DECODES (operators/media.py); these encoders exist
+so the fixture corpus can carry REAL payloads in every format the
+stdlib decoders own — BMP/PPM/PNG/WAV/baseline-JPEG — with metadata
+columns (width/height/duration_ms) that provably match the bytes.  That
+makes a decode-from-bytes vs declared-metadata cross-check possible as
+an oracle query (plans/multimodal_queries.py q222/q223).
+
+The JPEG encoder is intentionally minimal (T.81 baseline): uniform
+quantization table, custom fixed-length canonical Huffman tables (12 DC
+symbols @ 4 bits, 162 AC symbols @ 8 bits — Kraft-valid, no all-ones
+code), 4:4:4 or 4:2:0 chroma, optional restart interval, optional
+single-component grayscale.  Non-standard tables are a feature: the
+decoder must honor whatever DHT/DQT the stream declares.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+from data_engineering_examples_spark.operators.media import (  # noqa: F401
+    _JPEG_M,
+    _JPEG_ZIGZAG,
+)
+
+
+def bmp_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """24-bit BI_RGB BMP: bottom-up rows, BGR, 4-byte row padding."""
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            o = (y * w + x) * 3
+            row += bytes([rgb[o + 2], rgb[o + 1], rgb[o]])
+        row += b"\x00" * (stride - len(row))
+        body += row
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return header + bytes(body)
+
+
+def ppm_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """Binary P6 PPM, maxval 255."""
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(rgb)
+
+
+def png_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """8-bit truecolor PNG, filter type 0 on every scanline."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += rgb[y * w * 3 : (y + 1) * w * 3]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def wav_encode(frames: list[int], rate: int = 8000, n_ch: int = 1) -> bytes:
+    """16-bit PCM RIFF/WAVE; ``frames`` is the interleaved sample list."""
+    data = b"".join(struct.pack("<h", s) for s in frames)
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def jpeg_encode(
+    rgb: bytes,
+    w: int,
+    h: int,
+    subsample: bool = False,
+    q: int = 1,
+    restart: int = 0,
+    gray: bool = False,
+) -> bytes:
+    """Baseline sequential JPEG (T.81); see module docstring."""
+
+    def fdct(block):  # 64 level-shifted floats -> 64 coefficients
+        tmp = [
+            [sum(_JPEG_M[u][x] * block[y * 8 + x] for x in range(8)) for u in range(8)]
+            for y in range(8)
+        ]
+        out = [0.0] * 64
+        for u in range(8):
+            col = [tmp[y][u] for y in range(8)]
+            for v in range(8):
+                out[v * 8 + u] = sum(_JPEG_M[v][y] * col[y] for y in range(8))
+        return out
+
+    if gray:
+        planes = [[rgb[i] for i in range(w * h)]]
+        samp = [(1, 1)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(w * h):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            ys.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+            cbs.append(
+                min(255, max(0, round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+            )
+            crs.append(
+                min(255, max(0, round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+            )
+        if subsample:
+            cw, chh = (w + 1) // 2, (h + 1) // 2
+
+            def box(p):
+                out = []
+                for yy in range(chh):
+                    for xx in range(cw):
+                        acc = n = 0
+                        for dy in range(2):
+                            for dx in range(2):
+                                sy = min(h - 1, 2 * yy + dy)
+                                sx = min(w - 1, 2 * xx + dx)
+                                acc += p[sy * w + sx]
+                                n += 1
+                        out.append(round(acc / n))
+                return out
+
+            planes = [ys, box(cbs), box(crs)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ys, cbs, crs]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = [(-(-w * hi // hmax), -(-h * vi // vmax)) for hi, vi in samp]
+
+    qtab = [q] * 64
+    dc_syms = list(range(12))
+    ac_syms = [r << 4 | s for r in range(16) for s in range(1, 11)] + [0x00, 0xF0]
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # all DC symbols at code length 4
+    ac_counts = [0] * 16
+    ac_counts[7] = 162  # all AC symbols at code length 8
+    dc_code = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(qtab))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i, (hi, vi) in enumerate(samp):
+        sof += bytes([i + 1, hi << 4 | vi, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+
+    acc = [0, 0]  # bit accumulator, bit count
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((v >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0] = acc[1] = 0
+
+    def put_code(table, sym):
+        code, n = table[sym]
+        put(code, n)
+
+    def mag_bits(v):
+        t, a = 0, abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    def sample(plane, cw, chh, x, y):  # edge-replicated padding
+        return plane[min(chh - 1, y) * cw + min(cw - 1, x)]
+
+    pred = [0] * ncomp
+    mcu_count = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                while acc[1]:
+                    put(1, 1)  # pad to byte boundary with 1s
+                out.extend(bytes([0xFF, 0xD0 + rst % 8]))
+                rst += 1
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                cw, chh = dims[ci]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        block = [
+                            sample(
+                                planes[ci],
+                                cw,
+                                chh,
+                                (mx * hi + bxi) * 8 + xx,
+                                (my * vi + byi) * 8 + yy,
+                            )
+                            - 128.0
+                            for yy in range(8)
+                            for xx in range(8)
+                        ]
+                        coef = fdct(block)
+                        zz = [
+                            round(coef[_JPEG_ZIGZAG[k]] / qtab[k]) for k in range(64)
+                        ]
+                        diff = zz[0] - pred[ci]
+                        pred[ci] = zz[0]
+                        t = mag_bits(diff)
+                        put_code(dc_code, t)
+                        if t:
+                            put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                        run = 0
+                        last = max((k for k in range(1, 64) if zz[k]), default=0)
+                        for k in range(1, last + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                put_code(ac_code, 0xF0)
+                                run -= 16
+                            s = mag_bits(zz[k])
+                            put_code(ac_code, run << 4 | s)
+                            v = zz[k]
+                            put(v if v > 0 else v + (1 << s) - 1, s)
+                            run = 0
+                        if last < 63:
+                            put_code(ac_code, 0x00)  # EOB
+            mcu_count += 1
+    while acc[1]:
+        put(1, 1)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
