@@ -622,6 +622,79 @@ def resize_image(
     return DecodedImage(width, height, bytes(out))
 
 
+def _box_gray(img: DecodedImage, nx: int, ny: int) -> list:
+    """Exact-integer area-average downscale of the luma plane to an
+    ``nx`` × ``ny`` grid.
+
+    Every cell value is the box-filter integral as an INTEGER NUMERATOR
+    over the common denominator ``width * height`` (luma itself is kept
+    at the BT.709 fixed-point scale 2126 R + 7152 G + 722 B, never
+    divided), so two cells compare exactly — no float rounding, no
+    platform drift, and ties are real ties.  Overlap weights are the
+    classic rational box trick: scale both grids to the common lattice
+    ``source_len × n_cells``, where pixel ``x`` covers
+    ``[x*n, (x+1)*n)`` and cell ``i`` covers ``[i*len, (i+1)*len)`` —
+    the intersection length is an integer.  Works for downscale and
+    upscale alike (a 4-px row spread over 9 cells just gives fractional
+    overlaps), which matters because fixture images may be smaller than
+    the hash grid."""
+
+    def weights(n_cells: int, length: int) -> list:
+        per_cell = []
+        for i in range(n_cells):
+            lo, hi = i * length, (i + 1) * length
+            w = []
+            for x in range(lo // n_cells, (hi + n_cells - 1) // n_cells):
+                ov = min(hi, (x + 1) * n_cells) - max(lo, x * n_cells)
+                if ov > 0:
+                    w.append((x, ov))
+            per_cell.append(w)
+        return per_cell
+
+    wx = weights(nx, img.width)
+    wy = weights(ny, img.height)
+    px = img.pixels
+    w = img.width
+    gray = [
+        2126 * px[o] + 7152 * px[o + 1] + 722 * px[o + 2]
+        for o in range(0, len(px), 3)
+    ]
+    # separable pass: collapse rows into each y-cell first
+    rows = []
+    for wyj in wy:
+        acc = [0] * w
+        for y, oy in wyj:
+            base = y * w
+            for x in range(w):
+                acc[x] += oy * gray[base + x]
+        rows.append(acc)
+    return [[sum(ox * row[x] for x, ox in wxi) for wxi in wx] for row in rows]
+
+
+def dhash(img: DecodedImage) -> int:
+    """64-bit difference hash (dHash) of an image — the standard cheap
+    perceptual fingerprint for near-duplicate image detection in
+    training-data pipelines (re-encoded, brightness-shifted, or lightly
+    edited copies land within a small Hamming distance; unrelated
+    images sit near the 32-bit expectation).
+
+    Luma is area-averaged onto a 9 × 8 grid with exact integer
+    arithmetic (:func:`_box_gray`), then each bit records whether the
+    right neighbor is strictly brighter: bit ``y*8 + x`` (MSB first) =
+    ``cell[y][x+1] > cell[y][x]``.  Monotone tone changes (gain,
+    non-clamping brightness shift) preserve every comparison, which is
+    exactly the invariance wanted.  Returned as a SIGNED 64-bit value
+    (two's complement) so it stores directly in a BIGINT column;
+    Hamming distance is ``bit_count(a ^ b)`` in both Spark and DuckDB.
+    """
+    cells = _box_gray(img, 9, 8)
+    h = 0
+    for row in cells:
+        for x in range(8):
+            h = (h << 1) | (1 if row[x + 1] > row[x] else 0)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 class DecodedAudio(NamedTuple):
     """Interleaved PCM samples as plain ints (per frame, per channel)."""
 

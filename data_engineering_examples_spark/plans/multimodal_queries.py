@@ -384,3 +384,124 @@ def q223_audio_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(decode, "media_id bigint, decoded_duration_ms bigint")
+
+
+# ---------------------------------------------------------------------------
+# q224 — perceptual image near-dup. Exact media dedup (q160) hashes the
+# BYTES, so a photo re-saved as PNG, a JPEG round-trip, or a brightness
+# tweak all slip through — and those are precisely the duplicates a
+# multimodal training corpus actually contains. dHash closes the gap:
+# decode → 64-bit difference hash (operators/media.py dhash, exact
+# integer box filter) inside the same Arrow-batched mapInPandas stage
+# the decode audits use, then find pairs within Hamming ≤ 7 WITHOUT an
+# all-pairs compare: split each hash into 8 bands of 8 bits and
+# equi-join on (band, value) — pigeonhole guarantees any pair ≤ 7 bits
+# apart collides on at least one intact band, so band-join recall is
+# exactly 1 and the Spark result equals the oracle's quadratic
+# self-join. Scale notes: payloads are column-pruned into the Python
+# stage and never shuffled (the hash projection is 16 bytes/row); the
+# band join is a hash-partitioned equi-join whose fan-out is bounded by
+# bucket occupancy, the MinHash-LSH shape (dedup_queries.py q24) applied
+# to pixels. The fixture's dhash column is generation-time metadata
+# (written from the same decoded pixels, asserted in
+# tools/gen_fixtures.py) — the QUERY derives everything from the binary
+# payload.
+
+
+@register(
+    "q224_image_phash_neardup",
+    oracle=f"""
+    WITH img AS (
+        SELECT media_id, format, dhash
+        FROM read_parquet('{FX}/media.parquet')
+        WHERE kind = 'image'
+    )
+    SELECT a.media_id AS a_id,
+           b.media_id AS b_id,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming,
+           a.format AS a_format,
+           b.format AS b_format
+    FROM img a
+    JOIN img b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    """,
+    doc="perceptual image near-dup: decode + dHash in mapInPandas, "
+    "8x8-bit Hamming band join (recall 1 for T<=7 by pigeonhole); "
+    "catches cross-format re-encodes exact dedup misses",
+    tags=("multimodal", "dedup", "llm", "mapInPandas"),
+)
+def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import decode_image, dhash
+
+    imgs = (
+        _media(spark)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "format", "payload")
+    )
+
+    def hash_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": pdf["format"],
+                    "dhash": [
+                        dhash(decode_image(bytes(p))) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = imgs.mapInPandas(
+        hash_batch, "media_id bigint, format string, dhash bigint"
+    )
+
+    bands = hashed.select(
+        "media_id",
+        "format",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (
+                            F.shiftrightunsigned(F.col("dhash"), 8 * i)
+                            .bitwiseAND(F.lit(255))
+                        ).alias("band_val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "media_id", "format", "dhash",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).cast("bigint").alias("hamming"),
+            F.col("a.format").alias("a_format"),
+            F.col("b.format").alias("b_format"),
+        )
+        .filter(F.col("hamming") <= 7)
+        .distinct()
+    )
+    return pairs

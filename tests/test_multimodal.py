@@ -450,3 +450,90 @@ def test_jpeg_featurizer_through_arrow_pipeline(spark):
     }
     assert abs(out[30][0] - 1.0) < 0.02
     assert out[30][1] < 0.02 and out[30][2] < 0.02
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing (dhash) + q224 near-dup
+
+
+def test_dhash_invariances_and_separation():
+    """The properties q224's band join depends on: exact invariance to
+    monotone tone changes and lossless re-encode, tiny Hamming movement
+    under JPEG round-trip, large distance for unrelated content."""
+    from data_engineering_examples_spark.operators.media import DecodedImage, dhash
+    from tools.media_encoders import jpeg_encode, png_encode
+
+    w, h = 16, 12
+
+    def gradient(seed_shift):
+        px = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = max(25, min(225, 40 + (160 * x) // (w - 1)
+                                + (60 if ((x + seed_shift) // 3 + y // 3) % 2 else 0)))
+                px += bytes([v, max(0, v - 12), min(255, v + 12)])
+        return bytes(px)
+
+    rgb = gradient(0)
+    h0 = dhash(DecodedImage(w, h, rgb))
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    # brightness shift without clamping: every comparison preserved
+    shifted = bytes(min(255, b + 15) for b in rgb)
+    assert ham(h0, dhash(DecodedImage(w, h, shifted))) == 0
+    # lossless re-encode: identical pixels, identical hash
+    assert ham(h0, dhash(decode_image(png_encode(rgb, w, h)))) == 0
+    # lossy JPEG round-trip: within the band join's reach
+    assert ham(h0, dhash(decode_image(jpeg_encode(rgb, w, h)))) <= 7
+    # a structurally different image is far away
+    other = bytes(reversed(rgb))
+    assert ham(h0, dhash(DecodedImage(w, h, other))) > 16
+
+
+def test_dhash_exact_integer_box_filter_small_images():
+    """Upscale path (source smaller than the 9x8 grid) must still produce
+    a stable 64-bit signed hash with exact integer arithmetic."""
+    from data_engineering_examples_spark.operators.media import DecodedImage, dhash
+
+    px = bytes([10, 10, 10, 200, 200, 200] * 10)  # 4x5 image, 3 bytes/px
+    img = DecodedImage(4, 5, px)
+    v = dhash(img)
+    assert v == dhash(img)  # deterministic
+    assert -(1 << 63) <= v < (1 << 63)
+
+
+def test_q224_band_join_matches_quadratic_truth(spark):
+    """The 8x8-bit band join is exact for T<=7 (pigeonhole): compare the
+    distributed result against an in-process quadratic scan of the same
+    fixture hashes, and check it catches at least one cross-format pair
+    that exact payload dedup (q160) cannot."""
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    spec = all_specs()["q224_image_phash_neardup"]
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in spec.fn(spark, FIXTURES_DIR).collect()
+    }
+
+    rows = (
+        _media(spark)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "dhash")
+        .collect()
+    )
+    truth = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            d = bin((a.dhash ^ b.dhash) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                truth[(a.media_id, b.media_id)] = d
+    assert got == truth
+    assert truth, "fixture must contain perceptual near-dup families"
+
+    cross_format = [
+        r for r in spec.fn(spark, FIXTURES_DIR).collect()
+        if r.a_format != r.b_format
+    ]
+    assert cross_format, "families must include cross-format re-encodes"

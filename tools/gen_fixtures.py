@@ -518,7 +518,155 @@ def gen_media(rng: random.Random):
             "height": height,
             "duration_ms": duration,
         })
+    rows.extend(_gen_media_families(rng, next_id=len(rows)))
+    _stamp_media_dhash(rows)
     return rows
+
+
+def _structured_rgb(r: random.Random, w: int, h: int) -> bytes:
+    """Structured image for the perceptual-dup families: a directional
+    gradient + checker overlay + per-pixel jitter. Unlike uniform random
+    pixels (whose 9×8 cell means all hover near 127.5), these have large
+    adjacent-cell luma contrasts, so their dHash is far from every other
+    family's — the separation the generation-time assert enforces."""
+    kind = r.randrange(4)
+    fx, fy = r.randrange(2, 5), r.randrange(2, 5)
+    px, py = r.randrange(8), r.randrange(8)
+    amp = r.randrange(50, 90)
+    pix = bytearray()
+    for y in range(h):
+        for x in range(w):
+            if kind == 0:
+                base = 40 + (160 * x) // max(1, w - 1)
+            elif kind == 1:
+                base = 200 - (160 * y) // max(1, h - 1)
+            elif kind == 2:
+                base = 40 + (160 * (x + y)) // max(1, w + h - 2)
+            else:
+                base = 40 + (160 * abs(2 * x - w)) // max(1, w)
+            check = amp if (((x + px) * fx) // 4 + ((y + py) * fy) // 4) % 2 else 0
+            v = base + check + r.randrange(-15, 16)
+            v = max(25, min(225, v))  # headroom so brightness shifts never clamp
+            pix += bytes([v, max(0, v - 12), min(255, v + 12)])
+    return bytes(pix)
+
+
+def _gen_media_families(rng: random.Random, next_id: int) -> list:
+    """Near-duplicate IMAGE families for perceptual dedup (q224): each
+    base image reappears re-encoded in another format (PNG↔JPEG↔BMP↔PPM
+    — different bytes, different digest, same picture), brightness-
+    shifted (monotone, non-clamping → identical dHash), or with a small
+    block edited (a few flipped hash bits). Exact dedup (q160) sees
+    none of these; that gap is exactly what the perceptual pass exists
+    to close. Appended AFTER the legacy 300 rows with a continuing rng
+    so historical fixture bytes are untouched."""
+    from tools.media_encoders import bmp_encode, jpeg_encode, png_encode, ppm_encode
+
+    from data_engineering_examples_spark.operators.media import decode_image, dhash
+
+    enc = {
+        "bmp": bmp_encode,
+        "ppm": ppm_encode,
+        "png": png_encode,
+        "jpeg": lambda rgb, w, h: jpeg_encode(rgb, w, h, subsample=False),
+    }
+    fmts = list(enc)
+
+    def build_family(seed: int) -> list:
+        r = random.Random(seed)
+        w, h = r.randrange(12, 25), r.randrange(10, 25)
+        rgb = _structured_rgb(r, w, h)
+        base_fmt = r.choice(fmts)
+        members = [(base_fmt, rgb)]
+        # re-encode: same pixels, different container
+        members.append((r.choice([f for f in fmts if f != base_fmt]), rgb))
+        if r.random() < 0.7:  # brightness shift (+5..+20, clamp-free by construction)
+            d = r.randrange(5, 21)
+            members.append((r.choice(fmts), bytes(min(255, b + d) for b in rgb)))
+        if r.random() < 0.5:  # small block edit → a few dHash bits flip
+            edited = bytearray(rgb)
+            bx, by = r.randrange(max(1, w - 4)), r.randrange(max(1, h - 4))
+            for y in range(by, min(h, by + 4)):
+                for x in range(bx, min(w, bx + 4)):
+                    o = (y * w + x) * 3
+                    for c in range(3):
+                        edited[o + c] = 255 - edited[o + c]
+            members.append((r.choice(fmts), bytes(edited)))
+        out = []
+        for fmt, pix in members:
+            payload = enc[fmt](pix, w, h)
+            out.append((fmt, payload, w, h, dhash(decode_image(payload))))
+        return out
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rows = []
+    taken = []  # dhashes of every accepted family image so far
+    for fam in range(24):
+        fam_seed = rng.randrange(1 << 30)
+        # Deterministic rejection sampling: structured images from one
+        # generator can land within the band join's reach of another
+        # family by chance; re-roll (salted seed) until this family is
+        # ≤ 7 bits wide internally and ≥ 11 bits from everything else.
+        for salt in range(64):
+            members = build_family(fam_seed * 64 + salt)
+            hs = [m[4] for m in members]
+            ok = all(
+                ham(a, b) <= 7 for i, a in enumerate(hs) for b in hs[i + 1 :]
+            ) and all(ham(a, t) >= 11 for a in hs for t in taken)
+            if ok:
+                break
+        else:
+            raise RuntimeError(f"no separated family found for fam={fam}")
+        taken.extend(hs)
+        for fmt, payload, w, h, _ in members:
+            rows.append({
+                "media_id": next_id + len(rows),
+                "doc_id": rng.randrange(500),
+                "kind": "image",
+                "format": fmt,
+                "payload": payload,
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+                "phash_family": fam,
+            })
+    return rows
+
+
+def _stamp_media_dhash(rows: list) -> None:
+    """Write the ``dhash`` metadata column for every image row — the
+    64-bit perceptual hash OF THE PAYLOAD AS DECODED (for lossy JPEG
+    that is the only well-defined reading; for lossless formats it
+    equals the source-pixel hash). The q224 oracle reads this column
+    while Spark re-derives it from the binary payload through the
+    distributed decode stage. Generation-time asserts pin the contract
+    the query depends on: within-family Hamming ≤ 7 (the band join's
+    pigeonhole bound) and every cross-family/legacy pair ≥ 11."""
+    from data_engineering_examples_spark.operators.media import decode_image, dhash
+
+    for row in rows:
+        if row["kind"] == "image":
+            row["dhash"] = dhash(decode_image(row["payload"]))
+        else:
+            row["dhash"] = None
+        row.setdefault("phash_family", None)
+    imgs = [r for r in rows if r["kind"] == "image"]
+    for i, a in enumerate(imgs):
+        for b in imgs[i + 1 :]:
+            ham = bin((a["dhash"] ^ b["dhash"]) & ((1 << 64) - 1)).count("1")
+            same = (
+                a["phash_family"] is not None
+                and a["phash_family"] == b["phash_family"]
+            )
+            if same:
+                assert ham <= 7, (a["media_id"], b["media_id"], ham)
+            else:
+                # family-vs-anything pairs carry the stronger ≥11 margin
+                # (enforced during family generation); legacy random
+                # pairs merely need to sit beyond the T=7 threshold.
+                assert ham >= 8, (a["media_id"], b["media_id"], ham)
 
 
 def gen_clinical_notes(rng: random.Random):
@@ -623,7 +771,8 @@ def main() -> None:
     write_parquet("media", media, pa.schema([
         ("media_id", pa.int64()), ("doc_id", pa.int64()), ("kind", pa.string()),
         ("format", pa.string()), ("payload", pa.binary()),
-        ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64())]))
+        ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64()),
+        ("dhash", pa.int64()), ("phash_family", pa.int32())]))
 
     outcomes = gen_outcomes(random.Random(SEED + 2))  # own stream, like media
     write_parquet("outcomes", outcomes, pa.schema([
