@@ -792,6 +792,47 @@ def pcm_stats(audio: DecodedAudio) -> list[float]:
     return [duration, rms, zc, peak]
 
 
+def envelope_hash(audio: DecodedAudio, n_windows: int = 33) -> int:
+    """32-bit energy-envelope hash of an audio clip — the audio analog
+    of :func:`dhash` for perceptual near-dup detection (a re-gained or
+    requantized copy of a recording has a different digest and different
+    PCM bytes but the same LOUDNESS SHAPE).
+
+    Per-frame energy (sum of squared samples across channels — integer,
+    no float drift) is area-averaged onto ``n_windows`` boxes with the
+    same exact rational-overlap trick as :func:`_box_gray` (works for
+    clips shorter than the grid too), then each bit records whether the
+    next window is strictly louder: bit ``i`` (MSB first) =
+    ``env[i+1] > env[i]``.  Uniform gain scales every energy by the same
+    factor, so EXACT volume changes preserve all 32 comparisons;
+    requantization moves near-tie windows only.  Result is in
+    ``[0, 2^32)`` — always non-negative, safe in a BIGINT column, and
+    Hamming distance is ``bit_count(a ^ b)`` in both Spark and DuckDB.
+    """
+    nch = audio.n_channels
+    s = audio.samples
+    frames = len(s) // nch
+    if frames == 0:
+        return 0
+    energies = [
+        sum(s[f * nch + c] * s[f * nch + c] for c in range(nch))
+        for f in range(frames)
+    ]
+    cells = []
+    for i in range(n_windows):
+        lo, hi = i * frames, (i + 1) * frames
+        acc = 0
+        for x in range(lo // n_windows, (hi + n_windows - 1) // n_windows):
+            ov = min(hi, (x + 1) * n_windows) - max(lo, x * n_windows)
+            if ov > 0:
+                acc += ov * energies[x]
+        cells.append(acc)
+    h = 0
+    for i in range(n_windows - 1):
+        h = (h << 1) | (1 if cells[i + 1] > cells[i] else 0)
+    return h
+
+
 def _byte_histogram(payload: bytes) -> list[float]:
     """Deterministic stand-in featurizer: 16-bucket byte histogram,
     L1-normalized. Replace with the model encoder in production."""

@@ -505,3 +505,104 @@ def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+@register(
+    "q225_audio_envelope_neardup",
+    oracle=f"""
+    WITH aud AS (
+        SELECT media_id, ahash
+        FROM read_parquet('{FX}/media.parquet')
+        WHERE kind = 'audio'
+    )
+    SELECT a.media_id AS a_id,
+           b.media_id AS b_id,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+    FROM aud a
+    JOIN aud b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+    doc="perceptual audio near-dup: PCM decode + 32-bit energy-envelope "
+    "hash in mapInPandas, 4x8-bit Hamming band join (recall 1 for T<=3 "
+    "by pigeonhole); catches re-gained/stereo-upmixed copies exact "
+    "dedup misses",
+    tags=("multimodal", "dedup", "llm", "mapInPandas"),
+)
+def q225_audio_envelope_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analog of q224 (same band-join scale shape, see the q224
+    module comment): the envelope hash (operators/media.py
+    envelope_hash — exact-integer loudness staircase over 33 windows)
+    is invariant to uniform gain and channel upmix, so half-volume or
+    mono→stereo copies whose bytes and digests differ all land at
+    Hamming 0-3; the 4-band equi-join finds every such pair without an
+    all-pairs compare and matches the oracle's quadratic self-join
+    bit-for-bit. Payloads never cross a shuffle — the Python stage
+    projects to (media_id, ahash) before the join."""
+    from ..operators.media import decode_audio, envelope_hash
+
+    auds = (
+        _media(spark)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+    )
+
+    def hash_batch(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        envelope_hash(decode_audio(bytes(p)))
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    hashed = auds.mapInPandas(hash_batch, "media_id bigint, ahash bigint")
+
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (
+                            F.shiftrightunsigned(F.col("ahash"), 8 * i)
+                            .bitwiseAND(F.lit(255))
+                        ).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "media_id", "ahash",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.media_id") < F.col("b.media_id"),
+            ],
+        )
+        .select(
+            F.col("a.media_id").alias("a_id"),
+            F.col("b.media_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

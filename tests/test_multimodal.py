@@ -537,3 +537,54 @@ def test_q224_band_join_matches_quadratic_truth(spark):
         if r.a_format != r.b_format
     ]
     assert cross_format, "families must include cross-format re-encodes"
+
+
+def test_envelope_hash_gain_and_upmix_invariance():
+    """Exact volume scaling and mono→stereo upmix preserve every
+    envelope comparison; an edited (re-gained) section moves only the
+    bits at its borders."""
+    from data_engineering_examples_spark.operators.media import (
+        DecodedAudio,
+        envelope_hash,
+    )
+
+    n = 660
+    levels = [600 + 1200 * ((i * 7) % 3) for i in range(33)]
+    base = [
+        levels[min(32, f * 33 // n)] * (1 if (f // 4) % 2 == 0 else -1) * 4
+        for f in range(n)
+    ]
+    h0 = envelope_hash(DecodedAudio(8000, 1, 16, tuple(base)))
+    half = tuple(s // 2 for s in base)
+    assert envelope_hash(DecodedAudio(8000, 1, 16, half)) == h0
+    stereo = tuple(s for f in base for s in (f, f))
+    assert envelope_hash(DecodedAudio(8000, 2, 16, stereo)) == h0
+    edited = tuple(
+        s * 2 if min(32, f * 33 // n) == 16 else s for f, s in enumerate(base)
+    )
+    he = envelope_hash(DecodedAudio(8000, 1, 16, edited))
+    assert 0 < bin(h0 ^ he).count("1") <= 3
+
+
+def test_q225_band_join_matches_quadratic_truth(spark):
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    spec = all_specs()["q225_audio_envelope_neardup"]
+    got = {
+        (r.a_id, r.b_id): r.hamming
+        for r in spec.fn(spark, FIXTURES_DIR).collect()
+    }
+    rows = (
+        _media(spark)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "ahash")
+        .collect()
+    )
+    truth = {}
+    for i, a in enumerate(rows):
+        for b in rows[i + 1:]:
+            d = bin(a.ahash ^ b.ahash).count("1")
+            if d <= 3:
+                truth[(a.media_id, b.media_id)] = d
+    assert got == truth
+    assert truth, "fixture must contain audio near-dup families"

@@ -519,7 +519,90 @@ def gen_media(rng: random.Random):
             "duration_ms": duration,
         })
     rows.extend(_gen_media_families(rng, next_id=len(rows)))
+    rows.extend(_gen_audio_families(rng, next_id=len(rows)))
     _stamp_media_dhash(rows)
+    return rows
+
+
+def _gen_audio_families(rng: random.Random, next_id: int) -> list:
+    """Near-duplicate AUDIO families for the envelope-hash near-dup pass
+    (q225): each base clip reappears at exactly half volume, quarter
+    volume, and/or as a stereo upmix — different PCM bytes, different
+    digest, identical loudness shape. Base samples are multiples of 4 so
+    integer halving/quartering is EXACT scaling (energies scale by k²,
+    every envelope comparison preserved)."""
+    from tools.media_encoders import wav_encode
+
+    from data_engineering_examples_spark.operators.media import (
+        decode_audio,
+        envelope_hash,
+    )
+
+    def build_family(seed: int) -> list:
+        r = random.Random(seed)
+        rate = r.choice([8000, 16000])
+        duration = r.randrange(40, 101)  # ms
+        n_frames = rate * duration // 1000
+        # 33-window amplitude staircase with strong level contrast; the
+        # square-wave carrier keeps per-window energy exactly A²·frames
+        levels = [r.choice([624, 1824, 5424]) for _ in range(33)]
+        base = [
+            levels[min(32, f * 33 // n_frames)] * (1 if (f // 4) % 2 == 0 else -1)
+            for f in range(n_frames)
+        ]
+        members = [(base, 1, rate, duration)]
+        members.append(([s // 2 for s in base], 1, rate, duration))
+        if r.random() < 0.6:
+            members.append(([s // 4 for s in base], 1, rate, duration))
+        if r.random() < 0.5:  # mono → stereo upmix: uniform 2x energy/frame
+            inter = []
+            for s in base:
+                inter += [s, s]
+            members.append((inter, 2, rate, duration))
+        if r.random() < 0.5:  # edited section: one window re-gained 2x —
+            # flips at most the two envelope comparisons at its borders
+            wdw = r.randrange(33)
+            edited = [
+                s * 2 if min(32, f * 33 // n_frames) == wdw else s
+                for f, s in enumerate(base)
+            ]
+            members.append((edited, 1, rate, duration))
+        out = []
+        for frames, n_ch, rt, dur in members:
+            payload = wav_encode(frames, rate=rt, n_ch=n_ch)
+            out.append((payload, dur, envelope_hash(decode_audio(payload))))
+        return out
+
+    def ham(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    rows = []
+    taken = []
+    for fam in range(16):
+        fam_seed = rng.randrange(1 << 30)
+        for salt in range(64):
+            members = build_family(fam_seed * 64 + salt)
+            hs = [m[2] for m in members]
+            ok = all(
+                ham(a, b) <= 3 for i, a in enumerate(hs) for b in hs[i + 1 :]
+            ) and all(ham(a, t) >= 10 for a in hs for t in taken)
+            if ok:
+                break
+        else:
+            raise RuntimeError(f"no separated audio family found for fam={fam}")
+        taken.extend(hs)
+        for payload, dur, _ in members:
+            rows.append({
+                "media_id": next_id + len(rows),
+                "doc_id": rng.randrange(500),
+                "kind": "audio",
+                "format": "wav",
+                "payload": payload,
+                "width": None,
+                "height": None,
+                "duration_ms": dur,
+                "ahash_family": fam,
+            })
     return rows
 
 
@@ -644,14 +727,36 @@ def _stamp_media_dhash(rows: list) -> None:
     distributed decode stage. Generation-time asserts pin the contract
     the query depends on: within-family Hamming ≤ 7 (the band join's
     pigeonhole bound) and every cross-family/legacy pair ≥ 11."""
-    from data_engineering_examples_spark.operators.media import decode_image, dhash
+    from data_engineering_examples_spark.operators.media import (
+        decode_audio,
+        decode_image,
+        dhash,
+        envelope_hash,
+    )
 
     for row in rows:
-        if row["kind"] == "image":
-            row["dhash"] = dhash(decode_image(row["payload"]))
-        else:
-            row["dhash"] = None
+        row["dhash"] = (
+            dhash(decode_image(row["payload"])) if row["kind"] == "image" else None
+        )
+        row["ahash"] = (
+            envelope_hash(decode_audio(row["payload"]))
+            if row["kind"] == "audio"
+            else None
+        )
         row.setdefault("phash_family", None)
+        row.setdefault("ahash_family", None)
+    auds = [r for r in rows if r["kind"] == "audio"]
+    for i, a in enumerate(auds):
+        for b in auds[i + 1 :]:
+            ham = bin(a["ahash"] ^ b["ahash"]).count("1")
+            same = (
+                a["ahash_family"] is not None
+                and a["ahash_family"] == b["ahash_family"]
+            )
+            if same:
+                assert ham <= 3, (a["media_id"], b["media_id"], ham)
+            else:
+                assert ham >= 4, (a["media_id"], b["media_id"], ham)
     imgs = [r for r in rows if r["kind"] == "image"]
     for i, a in enumerate(imgs):
         for b in imgs[i + 1 :]:
@@ -772,7 +877,8 @@ def main() -> None:
         ("media_id", pa.int64()), ("doc_id", pa.int64()), ("kind", pa.string()),
         ("format", pa.string()), ("payload", pa.binary()),
         ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64()),
-        ("dhash", pa.int64()), ("phash_family", pa.int32())]))
+        ("dhash", pa.int64()), ("phash_family", pa.int32()),
+        ("ahash", pa.int64()), ("ahash_family", pa.int32())]))
 
     outcomes = gen_outcomes(random.Random(SEED + 2))  # own stream, like media
     write_parquet("outcomes", outcomes, pa.schema([
