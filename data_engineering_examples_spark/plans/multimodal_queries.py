@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.media import extract_features
+from ..scratch import materialize
 from ..sources.fhir import FIXTURES_DIR
 from ..sources.tables import load_tables
 from .registry import register
@@ -453,8 +454,14 @@ def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = imgs.mapInPandas(
-        hash_batch, "media_id bigint, format string, dhash bigint"
+    # materialize the hash substrate ONCE: the band table feeds BOTH
+    # sides of the self-join, and without a cut point Spark re-runs the
+    # (expensive) decode stage per branch — see scratch.materialize.
+    hashed = materialize(
+        imgs.mapInPandas(
+            hash_batch, "media_id bigint, format string, dhash bigint"
+        ),
+        "q224_phash",
     )
 
     bands = hashed.select(
@@ -560,7 +567,11 @@ def q225_audio_envelope_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashed = auds.mapInPandas(hash_batch, "media_id bigint, ahash bigint")
+    # single decode pass for both self-join branches (see q224)
+    hashed = materialize(
+        auds.mapInPandas(hash_batch, "media_id bigint, ahash bigint"),
+        "q225_ahash",
+    )
 
     bands = hashed.select(
         "media_id",

@@ -79,11 +79,15 @@ _PRIORITY: tuple = (
     "q81_source_mix", "q82_sequence_pack", "q98_train_split",
     "q99_token_curriculum", "q100_jsonl_roundtrip",
     "q102_pretrain_pipeline", "q105_split_leakage_audit",
-    "q115_training_order_shards", "q117_bigram_continuation",
+    "q115_training_order_shards",
     # sketch family
     "q85_kmv_distinct", "q103_countmin_terms",
-    "q155_bitmap_audience_overlap", "q156_kmv_join_estimate",
+    "q155_bitmap_audience_overlap",
     "q163_rolling_distinct_users",
+    # r7 newcomers: perceptual near-dup over decoded media payloads
+    # (q117/q156 ceded their slots — q115 and q85/q103/q155/q163 keep
+    # those families' driver anchors; both stay locally oracle-checked)
+    "q224_image_phash_neardup", "q225_audio_envelope_neardup",
     # stateful-streaming pair
     "q83_stateful_progress", "q84_stream_dedup",
     # r6/r7 newcomers (governance, quality gates, serving fidelity)
