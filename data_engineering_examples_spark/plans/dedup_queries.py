@@ -1202,17 +1202,23 @@ Q215_MAX_SHINGLE_SOURCES = 16  # drop shingles present in > this many sources
 )
 def q215_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    ssh = (
+    # (source, sh) feeds both the source-count branch and the capped
+    # join below — materialize so the shingle+join pipeline runs once
+    ssh = materialize(
         _hashed_shingles(spark, sf_dir)
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "sh")
-        .distinct()
+        .distinct(),
+        "q215_ssh",
     )
     nsrc = ssh.groupBy("sh").agg(F.count(F.lit(1)).alias("nsrc"))
-    capped = (
+    # the capped substrate feeds THREE consumers (sizes + both self-join
+    # sides); materialize once so the shingle pipeline runs once, not 3x
+    capped = materialize(
         ssh.join(nsrc, "sh")
         .filter(F.col("nsrc") <= Q215_MAX_SHINGLE_SOURCES)
-        .select("source", "sh")
+        .select("source", "sh"),
+        "q215_capped",
     )
     sizes = capped.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = capped.alias("a"), capped.alias("b")

@@ -432,6 +432,13 @@ def q223_audio_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "llm", "mapInPandas"),
 )
 def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _phash_pairs(spark, "q224_phash")
+
+
+def _phash_pairs(spark: SparkSession, scratch_name: str) -> DataFrame:
+    """Shared dHash-band-join pair finder (q224's body; q226 composes it
+    with connected components). ``scratch_name`` keys this caller's
+    materialized hash substrate — distinct callers, distinct names."""
     from ..operators.media import decode_image, dhash
 
     imgs = (
@@ -461,7 +468,7 @@ def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         imgs.mapInPandas(
             hash_batch, "media_id bigint, format string, dhash bigint"
         ),
-        "q224_phash",
+        scratch_name,
     )
 
     bands = hashed.select(
@@ -616,4 +623,100 @@ def q225_audio_envelope_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 3)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q226 — canonical media catalog: the actionable end of perceptual
+# dedup. q224 emits near-dup PAIRS; a curation pipeline needs the
+# KEEP-LIST — one canonical image per perceptual cluster plus how many
+# bytes deduplication reclaims (the multimodal analog of q146's
+# canonical documents). Clusters come from pointer-doubling connected
+# components over the pair edges (operators/graph.py — bounded rounds,
+# durable per-round substrates); the oracle recomputes the FULL
+# transitive closure with a recursive CTE, so an insufficient round
+# count fails loudly rather than silently splitting clusters. Scale
+# shape: edges are bounded by band-bucket occupancy (q224), components
+# by family size; the per-cluster aggregate shuffles 16-byte rows, and
+# payload bytes enter only as octet_length computed inside the scan
+# projection.
+
+
+@register(
+    "q226_canonical_media",
+    oracle=f"""
+    WITH RECURSIVE img AS (
+        SELECT media_id, format, dhash, octet_length(payload) AS nb
+        FROM read_parquet('{FX}/media.parquet')
+        WHERE kind = 'image'
+    ),
+    pairs AS (
+        SELECT a.media_id AS u, b.media_id AS v
+        FROM img a JOIN img b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    ),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+    walk(src, dst) AS (
+        SELECT media_id, media_id FROM img
+        UNION
+        SELECT w.src, e.v FROM walk w JOIN edges e ON w.dst = e.u
+    ),
+    labels AS (
+        SELECT src AS media_id, min(dst) AS cluster_id FROM walk GROUP BY src
+    ),
+    agg AS (
+        SELECT l.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(DISTINCT i.format) AS BIGINT) AS n_formats,
+               CAST(sum(i.nb) AS BIGINT) AS total_bytes
+        FROM labels l JOIN img i USING (media_id)
+        GROUP BY l.cluster_id
+    )
+    SELECT a.cluster_id, a.n_members, a.n_formats, a.total_bytes,
+           CAST(a.total_bytes - k.nb AS BIGINT) AS reclaimable_bytes
+    FROM agg a JOIN img k ON k.media_id = a.cluster_id
+    """,
+    doc="canonical image per perceptual cluster (CC over dHash pairs) "
+    "with member/format counts and reclaimable bytes — the multimodal "
+    "dedup keep-list",
+    tags=("multimodal", "dedup", "llm", "graph"),
+)
+def q226_canonical_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    meta = (
+        _media(spark)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "format", F.octet_length("payload").alias("nb"))
+    )
+    pairs = _phash_pairs(spark, "q226_phash")
+    cc = connected_components(
+        meta.select(F.col("media_id").alias("id")),
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
+        rounds=4,  # components are near-dup families; diameter << 2^4
+        scratch_prefix="q226cc",
+    )
+    agg = (
+        cc.join(meta, cc.id == meta.media_id)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("format").cast("bigint").alias("n_formats"),
+            F.sum("nb").cast("bigint").alias("total_bytes"),
+        )
+    )
+    keeper = meta.select(
+        F.col("media_id").alias("cluster_id"), F.col("nb").alias("keeper_nb")
+    )
+    return (
+        agg.join(keeper, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_formats",
+            "total_bytes",
+            (F.col("total_bytes") - F.col("keeper_nb"))
+            .cast("bigint")
+            .alias("reclaimable_bytes"),
+        )
     )

@@ -588,3 +588,20 @@ def test_q225_band_join_matches_quadratic_truth(spark):
                 truth[(a.media_id, b.media_id)] = d
     assert got == truth
     assert truth, "fixture must contain audio near-dup families"
+
+
+def test_q226_canonical_media_clusters(spark):
+    """Keep-list invariants: members partition the image set, the keeper
+    is the cluster min, multi-member clusters reclaim bytes, and at
+    least one cluster spans formats (the case exact dedup cannot see)."""
+    from data_engineering_examples_spark.plans.registry import all_specs
+
+    rows = all_specs()["q226_canonical_media"].fn(spark, FIXTURES_DIR).collect()
+    n_images = _media(spark).filter(F.col("kind") == "image").count()
+    assert sum(r.n_members for r in rows) == n_images
+    assert len({r.cluster_id for r in rows}) == len(rows)
+    multi = [r for r in rows if r.n_members > 1]
+    assert multi, "fixture families must form multi-member clusters"
+    assert all(r.reclaimable_bytes > 0 for r in multi)
+    assert all(r.reclaimable_bytes == 0 for r in rows if r.n_members == 1)
+    assert any(r.n_formats > 1 for r in multi)
