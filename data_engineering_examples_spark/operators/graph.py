@@ -71,3 +71,37 @@ def connected_components(
             f"{scratch_prefix}_labels_r{rnd}",
         )
     return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))
+
+
+def k_core(edges: DataFrame, k: int, rounds: int, scratch_prefix: str = "kcore") -> DataFrame:
+    """Bounded-round k-core peeling: repeatedly drop vertices whose
+    degree in the SURVIVING graph is < ``k``. ``edges``: columns
+    ``u``, ``v`` (one direction; both are added here). Returns
+    ``(u, core_deg)`` — the vertices of the k-core with their final
+    in-core degree. ``rounds`` bounds the peel; callers pair it with an
+    oracle that unrolls the SAME number of rounds, so an insufficient
+    bound changes both engines identically (and the fixture rounds are
+    chosen at fixpoint — verified by the paired oracle, not assumed).
+
+    Scale shape: each round is one map-side-combinable degree count
+    plus two hash joins of the (monotonically shrinking) edge set
+    against the survivor set, all partitioned on the join key; each
+    round's edge set is materialized through the durable scratch seam,
+    so plan depth stays O(1) and a lost executor replays one round's
+    file split, not the whole peel."""
+    cur = materialize(
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct(),
+        f"{scratch_prefix}_edges_r0",
+    )
+    for rnd in range(rounds):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.filter(F.col("c") >= k).select("u")
+        cur = materialize(
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v"),
+            f"{scratch_prefix}_edges_r{rnd + 1}",
+        )
+    return cur.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))

@@ -5640,3 +5640,151 @@ def q220_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("touched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — CUPED variance-reduced experiment readout: the industry-standard
+# pre-period covariate adjustment (Deng et al., WSDM'13).  Each user's
+# pre-period spend X (all events before the split instant) predicts
+# their post-period purchase spend Y; the pooled regression coefficient
+# theta = cov(X,Y)/var(X) is computed ONCE from global sufficient
+# statistics, and each arm's adjusted mean is
+#   mean(Y|arm) - theta * (mean(X|arm) - mean(X)).
+# Everything upstream of the 2-row arm table is exact integer
+# accounting: per-event milli-units, per-user bigint sums, sufficient
+# statistics (n, Sx, Sy, Sxy, Sxx, Syy) accumulated as DECIMAL(38,0) so
+# the map-side combine never overflows at 1e9-user scale; the scalar
+# theta / rho^2 math runs on the resulting exact integers through ONE
+# shared IEEE-double expression text in both engines, micro-quantized
+# with floor().  Scale shape: one per-user shuffle (map-side combinable),
+# a 2-row arm rollup, a 1-row global rollup broadcast back — no second
+# pass over the data, no per-user adjustment materialized.
+
+_Q227_SPLIT = "2024-01-16 00:00:00"
+
+_Q227_SCALARS = """
+    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_num,
+    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_num,
+    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_num
+"""
+
+
+@register(
+    "q227_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT
+                  AS BIGINT) % 2 AS arm,
+             COALESCE(sum(CASE WHEN ts < TIMESTAMP '{_Q227_SPLIT}'
+                  THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS x,
+             COALESCE(sum(CASE WHEN ts >= TIMESTAMP '{_Q227_SPLIT}'
+                       AND event_type = 'purchase'
+                  THEN CAST(floor(value * 1000) AS BIGINT) END), 0) AS y
+      FROM events GROUP BY 1
+    ),
+    arm_stats AS (
+      SELECT arm,
+             CAST(count(*) AS DECIMAL(38,0)) AS n_a,
+             CAST(sum(CAST(x AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sx_a,
+             CAST(sum(CAST(y AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sy_a,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS sxy_a,
+             CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS sxx_a,
+             CAST(sum(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS syy_a
+      FROM per_user GROUP BY arm
+    ),
+    overall AS (
+      SELECT sum(n_a) AS n, sum(sx_a) AS sx, sum(sy_a) AS sy,
+             sum(sxy_a) AS sxy, sum(sxx_a) AS sxx, sum(syy_a) AS syy
+      FROM arm_stats
+    ),
+    scalars AS (
+      SELECT n, sx, {_Q227_SCALARS}
+      FROM overall
+    )
+    SELECT CAST(a.arm AS BIGINT) AS arm,
+           CAST(a.n_a AS BIGINT) AS n_users,
+           CAST(floor((CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE)) * 1000.0)
+                AS BIGINT) AS mean_y_micros,
+           CAST(floor(((CAST(a.sy_a AS DOUBLE) / CAST(a.n_a AS DOUBLE))
+                 - (s.cov_num / s.varx_num)
+                   * ((CAST(a.sx_a AS DOUBLE) / CAST(a.n_a AS DOUBLE))
+                      - (CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE)))) * 1000.0)
+                AS BIGINT) AS mean_y_cuped_micros,
+           CAST(floor((s.cov_num / s.varx_num) * 1000000.0) AS BIGINT)
+             AS theta_micros,
+           CAST(floor(((s.cov_num * s.cov_num) / (s.varx_num * s.vary_num))
+                * 1000000.0) AS BIGINT) AS var_reduction_micros
+    FROM arm_stats a CROSS JOIN scalars s
+    """,
+    doc="CUPED variance-reduced A/B readout: pooled "
+    "theta=cov(X,Y)/var(X) from pre-period spend, per-arm adjusted "
+    "means; exact DECIMAL(38,0) sufficient statistics, one shared "
+    "IEEE-double scalar expression, micro-quantized",
+    tags=("analytics", "A4", "experiment", "llm"),
+)
+def q227_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 2
+    )
+    mv = F.expr("CAST(floor(value * 1000) AS BIGINT)")
+    split = F.lit(_Q227_SPLIT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.coalesce(F.sum(F.when(F.col("ts") < split, mv)), F.lit(0)).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("ts") >= split) & (F.col("event_type") == "purchase"),
+                    mv,
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    )
+    dec = "DECIMAL(18,0)"
+    dec38 = "DECIMAL(38,0)"
+    arm_stats = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n_a"),
+        F.sum(F.col("x").cast(dec)).cast(dec38).alias("sx_a"),
+        F.sum(F.col("y").cast(dec)).cast(dec38).alias("sy_a"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).cast(dec38).alias("sxy_a"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).cast(dec38).alias("sxx_a"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).cast(dec38).alias("syy_a"),
+    )
+    glob = arm_stats.groupBy().agg(
+        F.sum("n_a").alias("n"),
+        F.sum("sx_a").alias("sx"),
+        F.sum("sy_a").alias("sy"),
+        F.sum("sxy_a").alias("sxy"),
+        F.sum("sxx_a").alias("sxx"),
+        F.sum("syy_a").alias("syy"),
+    )
+    scalars = glob.selectExpr("n", "sx", *[
+        s.strip() for s in _Q227_SCALARS.split(",\n")
+    ])
+    joined = arm_stats.crossJoin(F.broadcast(scalars))
+    return joined.selectExpr(
+        "CAST(arm AS BIGINT) AS arm",
+        "CAST(n_a AS BIGINT) AS n_users",
+        "CAST(floor((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)) * 1000.0)"
+        " AS BIGINT) AS mean_y_micros",
+        "CAST(floor(((CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " - (cov_num / varx_num)"
+        " * ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+        " - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) * 1000.0)"
+        " AS BIGINT) AS mean_y_cuped_micros",
+        "CAST(floor((cov_num / varx_num) * 1000000.0) AS BIGINT)"
+        " AS theta_micros",
+        "CAST(floor(((cov_num * cov_num) / (varx_num * vary_num))"
+        " * 1000000.0) AS BIGINT) AS var_reduction_micros",
+    )

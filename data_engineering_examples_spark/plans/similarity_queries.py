@@ -1879,3 +1879,102 @@ def q221_embedding_power_iteration(
             "s.norm_scale",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — embedding isotropy audit: per-dimension mean/variance of the
+# corpus embedding matrix plus each dimension's share of total
+# variance. The curation signal: a handful of dimensions hoarding
+# variance ("rogue dimensions", Timkey & van Schijndel 2021) makes
+# cosine similarity degenerate — this is the table you read before
+# trusting any ANN index built on the vectors (q32/q50/q175 here).
+#
+# Determinism scheme shared with q94/q101: quantize components to
+# integer micro-units ONCE, accumulate (n, Σx, Σx²) as DECIMAL(38,0) —
+# exact, order-free, map-side combinable — and run the final per-dim
+# scalar math through one IEEE-double expression text in both engines,
+# floor-quantized. Scale shape: one explode→groupBy(dim) over the
+# per-dim fact (64·n rows, combinable to 64 partials per task), a
+# 1-row total-variance rollup broadcast back onto 64 rows. Nothing is
+# ever collected; the fact table never shuffles payload vectors.
+
+_Q230_SCALAR = """
+    CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT)
+      AS mean_micros,
+    CAST(floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000.0)
+           AS BIGINT) AS var_micros,
+    CAST(floor((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+               / tot_var_num * 1000000.0) AS BIGINT) AS var_share_micros
+"""
+
+
+@register(
+    "q230_embedding_dim_stats",
+    oracle=f"""
+    WITH xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+               AS xq
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT dim,
+             CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(CAST(xq AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS s,
+             CAST(sum(CAST(xq AS DECIMAL(18,0)) * CAST(xq AS DECIMAL(18,0)))
+                  AS DECIMAL(38,0)) AS ss
+      FROM xq GROUP BY dim
+    ),
+    tot AS (
+      SELECT sum(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS tot_var_num
+      FROM per_dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n_vectors,
+           {_Q230_SCALAR}
+    FROM per_dim CROSS JOIN tot
+    """,
+    doc="embedding isotropy audit: per-dimension mean/variance and "
+    "variance share in exact DECIMAL sufficient statistics + one "
+    "shared IEEE scalar expression; explode->combinable agg, 1-row "
+    "total broadcast",
+    tags=("similarity", "llm", "agg"),
+)
+def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    xq = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.floor(F.col("x").cast("double") * F.lit(1000000))
+        .cast("bigint")
+        .alias("xq"),
+    )
+    dec18, dec38 = "DECIMAL(18,0)", "DECIMAL(38,0)"
+    per_dim = xq.groupBy("dim").agg(
+        F.count(F.lit(1)).cast(dec38).alias("n"),
+        F.sum(F.col("xq").cast(dec18)).cast(dec38).alias("s"),
+        F.sum(F.col("xq").cast(dec18) * F.col("xq").cast(dec18))
+        .cast(dec38)
+        .alias("ss"),
+    )
+    tot = per_dim.groupBy().agg(
+        F.sum(
+            F.expr(
+                "CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            )
+        ).alias("tot_var_num")
+    )
+    return (
+        per_dim.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "CAST(dim AS BIGINT) AS dim",
+            "CAST(n AS BIGINT) AS n_vectors",
+            *[s.strip() for s in _Q230_SCALAR.split(",\n")],
+        )
+    )

@@ -367,3 +367,99 @@ def q218_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — EXACT distributed quantiles without a global sort: the
+# histogram-then-probe two-pass. Pass 1 builds a per-(source, bin)
+# count histogram (bin = n_chars div 256 — map-side combinable, one
+# shuffle of <=a-few-hundred rows per source); the per-source
+# cumulative bin counts locate, for each target percentile, the ONE
+# bin containing rank ceil(p*n/100) and the rank offset inside it.
+# Pass 2 touches only rows in target bins (a broadcast semi-join spec
+# of |sources|x|percentiles| rows) and ranks them with a window
+# partitioned by (source, pct) — a partition of ~n/256 rows, not n.
+# That is the 100 TB shape: the naive exact quantile is a full sort of
+# the data; this sorts 1/256th of it after two cheap aggregations.
+# Bin contiguity makes the global (n_chars, doc_id) rank equal
+# cum_prev(bin) + within-bin rank, so the result is EXACT — the oracle
+# computes the same ranks with a plain ranked window over everything.
+
+Q229_BIN = 256
+Q229_PCTS = (50, 90, 99)
+
+
+@register(
+    "q229_twopass_quantiles",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    ),
+    pcts AS (SELECT unnest(ARRAY{list(Q229_PCTS)}) AS pct)
+    SELECT r.source, CAST(p.pct AS BIGINT) AS pct,
+           CAST(r.n_chars AS BIGINT) AS q_value,
+           CAST(r.n AS BIGINT) AS n_rows
+    FROM ranked r JOIN pcts p
+      ON r.rn = (p.pct * r.n + 99) // 100
+    """,
+    doc="exact per-source P50/P90/P99 of n_chars via two-pass "
+    "histogram-then-probe: pass 1 a combinable bin histogram, pass 2 "
+    "ranks only the target bin (~n/256 rows); oracle = full ranked "
+    "window, values bit-identical",
+    tags=("sketch", "agg", "llm"),
+)
+def q229_twopass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    binned = docs.select(
+        "source", "doc_id", "n_chars",
+        F.expr(f"n_chars div {Q229_BIN}").alias("bin"),
+    )
+    hist = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bin",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cum_prev"),
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(p) for p in Q229_PCTS])
+    ).alias("pct")
+    spec = (
+        cum.select("source", "bin", "cum_prev", "cum", "n", pcts)
+        .withColumn("target", F.expr("(pct * n + 99) div 100"))
+        .filter(
+            (F.col("cum") >= F.col("target"))
+            & (F.col("cum_prev") < F.col("target"))
+        )
+        .select(
+            "source", "bin", "pct", "n",
+            (F.col("target") - F.col("cum_prev")).alias("offset"),
+        )
+    )
+    probed = binned.join(
+        F.broadcast(spec), ["source", "bin"]
+    )
+    w_rank = Window.partitionBy("source", "pct").orderBy("n_chars", "doc_id")
+    return (
+        probed.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == F.col("offset"))
+        .select(
+            "source",
+            F.col("pct").cast("bigint"),
+            F.col("n_chars").cast("bigint").alias("q_value"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+    )

@@ -144,3 +144,134 @@ def test_power_iteration_converges_to_eigenvector(spark):
     # not convergence rate: the sf0.001 corpus (n=50) has a small
     # spectral gap, so 6 steps land ~0.997, not 1-1e-6
     assert dot / (na * nv) > 0.99, "v is not aligned with Av"
+
+
+def test_cuped_matches_python_recompute(spark):
+    """q227: exact Python recompute of the CUPED math from raw events at
+    sf0.001 — pins arm assignment, milli-unit flooring, the pooled
+    theta, and each arm's adjusted mean, not just internal consistency.
+    """
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    rows = all_specs()["q227_cuped_adjustment"].fn(spark, SF).collect()
+    assert {r.arm for r in rows} == {0, 1}
+    ev = load_tables(spark, SF, ["events"])["events"].collect()
+    split = "2024-01-16 00:00:00"
+    xs: dict = defaultdict(int)
+    ys: dict = defaultdict(int)
+    users = set()
+    for e in ev:
+        users.add(e.user_id)
+        mv = math.floor(e.value * 1000)
+        if str(e.ts) < split:
+            xs[e.user_id] += mv
+        elif e.event_type == "purchase":
+            ys[e.user_id] += mv
+    arm_of = {
+        u: int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16) % 2
+        for u in users
+    }
+    n = len(users)
+    sx = sum(xs[u] for u in users)
+    sy = sum(ys[u] for u in users)
+    sxy = sum(xs[u] * ys[u] for u in users)
+    sxx = sum(xs[u] * xs[u] for u in users)
+    syy = sum(ys[u] * ys[u] for u in users)
+    cov_num = float(n) * float(sxy) - float(sx) * float(sy)
+    varx_num = float(n) * float(sxx) - float(sx) * float(sx)
+    vary_num = float(n) * float(syy) - float(sy) * float(sy)
+    theta = cov_num / varx_num
+    assert {r.theta_micros for r in rows} == {math.floor(theta * 1e6)}
+    rho2 = (cov_num * cov_num) / (varx_num * vary_num)
+    assert {r.var_reduction_micros for r in rows} == {math.floor(rho2 * 1e6)}
+    assert 0 <= rho2 <= 1
+    for r in rows:
+        arm_users = [u for u in users if arm_of[u] == r.arm]
+        assert r.n_users == len(arm_users)
+        mean_y = sum(ys[u] for u in arm_users) / len(arm_users)
+        mean_x = sum(xs[u] for u in arm_users) / len(arm_users)
+        adj = mean_y - theta * (mean_x - sx / n)
+        assert r.mean_y_micros == math.floor(mean_y * 1000.0)
+        assert r.mean_y_cuped_micros == math.floor(adj * 1000.0)
+
+
+def test_kcore_matches_python_fixpoint(spark):
+    """q228: the bounded-round peel must equal the true (fixpoint)
+    2-core at fixture scale — proving Q228_ROUNDS covers convergence —
+    and every reported degree is the in-core degree.
+    """
+    from collections import defaultdict
+
+    pairs = (
+        all_specs()["q24_minhash_lsh_pairs"].fn(spark, SF).collect()
+    )
+    adj = defaultdict(set)
+    for p in pairs:
+        adj[p.doc_a].add(p.doc_b)
+        adj[p.doc_b].add(p.doc_a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < 2}
+        if not drop:
+            break
+        alive -= drop
+    rows = all_specs()["q228_neardup_kcore"].fn(spark, SF).collect()
+    got = {r.doc_id: r.core_deg for r in rows}
+    assert set(got) == alive
+    for v in alive:
+        assert got[v] == len(adj[v] & alive)
+        assert got[v] >= 2
+
+
+def test_twopass_quantiles_match_sorted_truth(spark):
+    """q229: per-source P50/P90/P99 equal the rank-definition values
+    from a plain Python sort; every (source, pct) pair is present
+    exactly once.
+    """
+    docs = load_tables(spark, SF, ["documents"])["documents"].collect()
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for d in docs:
+        by_src[d.source].append((d.n_chars, d.doc_id))
+    rows = all_specs()["q229_twopass_quantiles"].fn(spark, SF).collect()
+    seen = {(r.source, r.pct) for r in rows}
+    assert seen == {(s, p) for s in by_src for p in (50, 90, 99)}
+    for r in rows:
+        vals = sorted(by_src[r.source])
+        n = len(vals)
+        assert r.n_rows == n
+        rank = (r.pct * n + 99) // 100
+        assert r.q_value == vals[rank - 1][0]
+
+
+def test_embedding_dim_stats_python_recompute(spark):
+    """q230: per-dim mean/variance/share recomputed exactly in Python
+    (same micro-quantization, same float expression order) at sf0.001;
+    shares are a partition of ~1e6 (up to per-dim floor loss).
+    """
+    import math
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"].collect()
+    dims = len(emb[0].embedding)
+    cols = {d: [math.floor(float(r.embedding[d]) * 1000000) for r in emb]
+            for d in range(dims)}
+    rows = all_specs()["q230_embedding_dim_stats"].fn(spark, SF).collect()
+    assert {r.dim for r in rows} == set(range(dims))
+    var_nums = {}
+    for d in range(dims):
+        n, s = float(len(cols[d])), float(sum(cols[d]))
+        ss = float(sum(v * v for v in cols[d]))
+        var_nums[d] = n * ss - s * s
+    tot = sum(var_nums.values())
+    for r in rows:
+        vals = cols[r.dim]
+        n, s = float(len(vals)), float(sum(vals))
+        assert r.n_vectors == len(vals)
+        assert r.mean_micros == math.floor(s / n)
+        assert r.var_micros == math.floor(var_nums[r.dim] / (n * n) / 1e6)
+        assert r.var_share_micros == math.floor(var_nums[r.dim] / tot * 1e6)
+    share_sum = sum(r.var_share_micros for r in rows)
+    assert 1000000 - dims <= share_sum <= 1000000
