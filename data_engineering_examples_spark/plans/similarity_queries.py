@@ -1978,3 +1978,164 @@ def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[s.strip() for s in _Q230_SCALAR.split(",\n")],
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — SemDeDup: SEMANTIC deduplication via embedding clustering
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication"). MinHash/SimHash (q24/q25) catch
+# LEXICAL near-dups; paraphrases and re-encodings of the same content
+# share no shingles but land on near-identical embeddings. The pipeline:
+# cluster every vector to its nearest coarse centroid (the paper's
+# k-means step — here the fixed-sample centroids of the q50 convention,
+# widened to 16 so clusters stay small), compute pairwise cosine ONLY
+# within a cluster (the paper's trick: k clusters cut the all-pairs
+# O(N²) to O(N²/k) with no recall loss inside a cluster), connect pairs
+# ≥ SEMDEDUP_COS into duplicate groups (transitive closure — same CC
+# operator as q72), and KEEP the group member with the LOWEST cosine to
+# its centroid (the paper keeps low-centroid-similarity examples: they
+# sit nearest the cluster boundary and carry the most diversity).
+#
+# Scale shape:
+# * Centroid assignment is a broadcast cross join (K·N cosines,
+#   map-side) — the big table never shuffles for the assign.
+# * The pairwise stage shuffles once on cent_id; at 100 TB the
+#   embeddings table is bucketed by cent_id so the within-cluster self
+#   join is exchange-free, and K is sized ~sqrt(N) to bound
+#   per-cluster pair counts. Norms are computed ONCE per vector and
+#   ride the join — each pair pays one 64-dim fold, not three.
+# * CC over dup-group members only (nodes = edge endpoints, a tiny
+#   fraction of the corpus), pointer-jumping rounds through the durable
+#   scratch seam as in q72; the recursive-CTE oracle verifies the fixed
+#   round count covers the realized diameters.
+#
+# Float determinism: cosines are div/mul/sqrt over the left-fold double
+# dot (module docstring) — all correctly-rounded IEEE ops, bit-identical
+# in DuckDB; the keep rule orders on (cent_cos ASC, vec_id ASC), total
+# because vec_id is unique.
+
+SEMDEDUP_CENT_IDS = [
+    3, 47, 101, 163, 217, 289, 355, 433, 11, 59, 127, 191, 251, 307, 389, 461,
+]
+SEMDEDUP_COS = 0.40
+SEMDEDUP_CC_ROUNDS = 4
+
+
+def _duck_semdedup_oracle() -> str:
+    cent_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
+    cc_expr = f"{_duck_dot('x.e', 'c.ce')} / (x.nrm * c.cnrm)"
+    return f"""
+    WITH RECURSIVE
+    v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM v),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM vn WHERE vec_id IN ({cent_list})
+    ),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id, x.e, x.nrm, {cc_expr} AS cc,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cc_expr} DESC, c.cent_id) AS rk
+      FROM vn x CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id, e, nrm, cc AS cent_cos FROM ranked WHERE rk = 1
+    ),
+    e AS (
+      SELECT a.vec_id AS u, b.vec_id AS v2
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {_duck_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+    ),
+    bidir AS (SELECT u, v2 FROM e UNION SELECT v2 AS u, u AS v2 FROM e),
+    members AS (SELECT DISTINCT u AS id FROM bidir),
+    reach(id, label) AS (
+      SELECT id, id FROM members
+      UNION
+      SELECT b.u, r.label FROM bidir b JOIN reach r ON r.id = b.v2
+    ),
+    cc AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+    SELECT a.vec_id, a.cent_id, cc.component, a.cent_cos,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY a.cent_cos ASC, a.vec_id ASC) = 1
+             AS keep
+    FROM cc JOIN assign a ON a.vec_id = cc.id
+    """
+
+
+@register(
+    "q231_semantic_dedup",
+    oracle=_duck_semdedup_oracle(),
+    doc="SemDeDup: within-centroid-cluster cosine groups (CC), keep the "
+    "lowest-centroid-similarity member per semantic-duplicate group",
+    tags=("similarity", "dedup", "llm", "graph", "iterative"),
+)
+def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    vn = emb.select(
+        "vec_id",
+        _to_double("embedding").alias("e"),
+    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
+    cents = F.broadcast(
+        vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    # assignment feeds BOTH sides of the pair join plus the final
+    # attribute lookup — materialize once (same reuse pattern as q94's
+    # per-dim substrate)
+    assign = materialize(
+        vn.crossJoin(cents)
+        .select("vec_id", "e", "nrm", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id", "e", "nrm", F.col("cc").alias("cent_cos")),
+        "semdedup_assign",
+    )
+    a = assign.select(
+        F.col("vec_id").alias("u"),
+        F.col("cent_id").alias("cid"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("v"),
+        F.col("cent_id").alias("cid"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, "cid")
+        .filter(F.col("u") < F.col("v"))
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select("u", "v")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    from ..operators.graph import connected_components
+
+    cc = connected_components(
+        nodes, edges, SEMDEDUP_CC_ROUNDS, scratch_prefix="q231_cc"
+    )
+    w_keep = Window.partitionBy("component").orderBy(
+        F.asc("cent_cos"), F.asc("vec_id")
+    )
+    return (
+        cc.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("component"))
+        .join(assign.select("vec_id", "cent_id", "cent_cos"), "vec_id")
+        .select(
+            "vec_id",
+            "cent_id",
+            "component",
+            "cent_cos",
+            (F.row_number().over(w_keep) == 1).alias("keep"),
+        )
+    )

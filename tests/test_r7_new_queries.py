@@ -275,3 +275,74 @@ def test_embedding_dim_stats_python_recompute(spark):
         assert r.var_share_micros == math.floor(var_nums[r.dim] / tot * 1e6)
     share_sum = sum(r.var_share_micros for r in rows)
     assert 1000000 - dims <= share_sum <= 1000000
+
+def test_semdedup_matches_python_recompute(spark):
+    """q231: full Python recompute of the SemDeDup pipeline at sf0.001 —
+    centroid assignment (cosine argmax, cent_id tiebreak), within-cluster
+    threshold edges, transitive-closure components (proving the bounded
+    round count converged), and the keep-lowest-centroid-cosine rule.
+    """
+    import math
+    from collections import defaultdict
+
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        SEMDEDUP_CENT_IDS,
+        SEMDEDUP_COS,
+    )
+
+    emb = load_tables(spark, SF, ["embeddings"])["embeddings"].collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb}
+    nrm = {i: math.sqrt(sum(x * x for x in v)) for i, v in vecs.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(vecs[a], vecs[b])) / (nrm[a] * nrm[b])
+
+    assign, cent_cos = {}, {}
+    for i in vecs:
+        best = max(
+            SEMDEDUP_CENT_IDS, key=lambda c: (cos(i, c), -c)
+        )
+        assign[i] = best
+        cent_cos[i] = cos(i, best)
+    clusters = defaultdict(list)
+    for i, c in assign.items():
+        clusters[c].append(i)
+    adj = defaultdict(set)
+    for c, members in clusters.items():
+        ms = sorted(members)
+        for ai in range(len(ms)):
+            for bi in range(ai + 1, len(ms)):
+                # tolerance-free threshold is fine here: the fixture has
+                # no pair sitting within float-noise of the cut
+                if cos(ms[ai], ms[bi]) >= SEMDEDUP_COS:
+                    adj[ms[ai]].add(ms[bi])
+                    adj[ms[bi]].add(ms[ai])
+    comp = {}
+    for start in sorted(adj):
+        if start in comp:
+            continue
+        stack, seen = [start], {start}
+        while stack:
+            x = stack.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        label = min(seen)
+        for x in seen:
+            comp[x] = label
+
+    rows = all_specs()["q231_semantic_dedup"].fn(spark, SF).collect()
+    assert {r.vec_id for r in rows} == set(comp), "dup-group membership"
+    by_comp = defaultdict(list)
+    for r in rows:
+        assert r.cent_id == assign[r.vec_id]
+        assert r.component == comp[r.vec_id]
+        assert abs(r.cent_cos - cent_cos[r.vec_id]) < 1e-12
+        by_comp[r.component].append(r)
+    for label, members in by_comp.items():
+        keepers = [r for r in members if r.keep]
+        assert len(keepers) == 1, "exactly one keeper per group"
+        want = min(members, key=lambda r: (cent_cos[r.vec_id], r.vec_id))
+        assert keepers[0].vec_id == want.vec_id
+        assert len(members) >= 2, "singletons are not dup groups"
