@@ -25,6 +25,8 @@ in Spark and DuckDB, and cheaper than regex extraction at scale.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1416,4 +1418,89 @@ def q216_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("flagged_bigram"),
         F.max("tok_micros").cast("bigint").alias("max_tok_micros"),
         F.max("bg_micros").cast("bigint").alias("max_bg_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q232 — classifier-based quality filtering: the fastText-style hashed
+# linear scorer (the CCNet / GPT-3 / LLaMA curation step: a binary
+# "looks-like-reference-corpus" classifier gates every document). At
+# inference the model is nothing but w · phi(doc): hash each token into
+# B weight buckets, sum the bucket weights, threshold. The weights here
+# are deterministic fixture literals (seeded at module import, embedded
+# in BOTH engines) — training happens offline; the engine's job is the
+# distributed inference pass, and that shape is exactly what a real
+# 176-dim fastText head needs.
+#
+# Scale shape: tokenize map-side, hash to buckets map-side, join the
+# B-row weight table BROADCAST (never a shuffle of the corpus), then one
+# partial-aggregated groupBy on doc_id — the only exchange carries one
+# row per (partition, doc) after map-side combine. Integer micro-unit
+# weights keep the score surface exact (no float sum-order wobble).
+
+Q232_BUCKETS = 64
+Q232_KEEP_MICROS = 0  # keep docs the linear head scores positive
+
+_q232_rng = random.Random(11)
+Q232_WEIGHTS = [
+    _q232_rng.randrange(-50000, 50001) for _ in range(Q232_BUCKETS)
+]
+
+
+def _duck_q232_oracle() -> str:
+    values = ", ".join(
+        f"({b}, {w})" for b, w in enumerate(Q232_WEIGHTS)
+    )
+    return f"""
+    WITH w AS (SELECT * FROM (VALUES {values}) AS v(bucket, weight)),
+    tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(term), 1, 15))::UBIGINT AS BIGINT)
+               % {Q232_BUCKETS} AS bucket
+      FROM tok
+    )
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(w.weight) AS BIGINT) AS score_micros,
+           sum(w.weight) >= {Q232_KEEP_MICROS} AS keep
+    FROM feat f JOIN w USING (bucket)
+    GROUP BY f.doc_id
+    """
+
+
+@register(
+    "q232_quality_classifier",
+    oracle=_duck_q232_oracle(),
+    doc="fastText-style hashed linear quality classifier inference: "
+    "md5-bucket features x broadcast weight table, integer micro-unit "
+    "scores, threshold keep verdict",
+    tags=("text", "llm"),
+)
+def q232_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _md5_int
+
+    d = scale_out(_docs(spark, sf_dir))
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(Q232_WEIGHTS)), "bucket bigint, weight bigint"
+        )
+    )
+    tok = d.select("doc_id", F.explode(F.split(d.text, " ")).alias("term"))
+    feat = tok.select(
+        "doc_id",
+        F.pmod(_md5_int(F.col("term")), F.lit(Q232_BUCKETS))
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    return (
+        feat.join(wdf, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("weight").cast("bigint").alias("score_micros"),
+        )
+        .withColumn("keep", F.col("score_micros") >= Q232_KEEP_MICROS)
     )

@@ -346,3 +346,32 @@ def test_semdedup_matches_python_recompute(spark):
         want = min(members, key=lambda r: (cent_cos[r.vec_id], r.vec_id))
         assert keepers[0].vec_id == want.vec_id
         assert len(members) >= 2, "singletons are not dup groups"
+
+def test_quality_classifier_matches_python_recompute(spark):
+    """q232: exact Python recompute of the hashed linear head at
+    sf0.001 — same md5 bucketing, same literal weights — plus the
+    verdict split is non-degenerate (both keep classes occur).
+    """
+    import hashlib
+
+    from data_engineering_examples_spark.plans.text_queries import (
+        Q232_BUCKETS,
+        Q232_KEEP_MICROS,
+        Q232_WEIGHTS,
+    )
+
+    docs = load_tables(spark, SF, ["documents"])["documents"].collect()
+    want = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        score = 0
+        for t in toks:
+            b = int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % Q232_BUCKETS
+            score += Q232_WEIGHTS[b]
+        want[d.doc_id] = (len(toks), score, score >= Q232_KEEP_MICROS)
+
+    rows = all_specs()["q232_quality_classifier"].fn(spark, SF).collect()
+    got = {r.doc_id: (r.n_tokens, r.score_micros, r.keep) for r in rows}
+    assert got == want
+    verdicts = {v[2] for v in got.values()}
+    assert verdicts == {True, False}, "threshold should split the corpus"
