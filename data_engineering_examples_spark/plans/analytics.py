@@ -5788,3 +5788,125 @@ def q227_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(((cov_num * cov_num) / (varx_num * vary_num))"
         " * 1000000.0) AS BIGINT) AS var_reduction_micros",
     )
+
+
+# ---------------------------------------------------------------------------
+# q233 — large-to-large INTERVAL JOIN via bucket blocking: for every user
+# session (q59's session_window intervals), count the events OTHER users
+# fired inside its span ("how contended was the platform during this
+# session"). The join condition is pure range (s_start <= ts < s_end,
+# different user) — no equi key — which naive plans execute as a
+# broadcast nested loop (only legal when one side is small; q133
+# broadcasts a dimension for exactly that reason). Here BOTH sides scale
+# with the event stream, so the engine must MANUFACTURE an equi key:
+# chop time into fixed W=1h buckets, explode each interval to the
+# buckets it covers (intervals are minutes-to-hours, so the fan-out is
+# small and bounded), tag each point with its single containing bucket,
+# hash-join on the bucket id, then apply the exact range predicate as a
+# residual filter. Every (point, interval) match is found exactly once —
+# the point lives in exactly ONE bucket and an interval's covered-bucket
+# list never repeats a bucket — so no post-join dedup is needed. This is
+# the canonical Spark/Flink range-join decomposition; the DuckDB oracle
+# runs the undecomposed theta join (its IEJoin), so the bucket-cover
+# algebra (truncation at hour edges, exclusive upper bound) is verified
+# against the declarative definition, not assumed.
+#
+# Scale: one shuffle each side on the bucket key; a hot hour adds a
+# salt digit to the bucket id at 1000-executor scale (operators/skew.py
+# pattern). Zero-match sessions survive through the final LEFT join
+# against the session substrate, which is materialized once and reused
+# for both the bucket explode and that outer join.
+
+Q233_BUCKET_S = 3600
+
+
+@register(
+    "q233_concurrent_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    flag AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sid AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+      FROM flag
+    ),
+    sess AS (
+      SELECT user_id, min(ts) AS s_start, max(ts) + INTERVAL 30 MINUTE AS s_end,
+             count(*) AS n_events
+      FROM sid GROUP BY user_id, s
+    ),
+    conc AS (
+      SELECT s.user_id, s.s_start, count(*) AS n_concurrent
+      FROM sess s JOIN e p
+        ON p.ts >= s.s_start AND p.ts < s.s_end AND p.user_id <> s.user_id
+      GROUP BY s.user_id, s.s_start
+    )
+    SELECT s.user_id,
+           strftime(s.s_start, '{TS_FMT_DUCK}') AS session_start,
+           strftime(s.s_end, '{TS_FMT_DUCK}') AS session_end,
+           s.n_events,
+           COALESCE(c.n_concurrent, 0) AS n_concurrent
+    FROM sess s LEFT JOIN conc c
+      ON c.user_id = s.user_id AND c.s_start = s.s_start
+    """,
+    doc="large-large interval join via 1h bucket blocking + residual range "
+    "filter (theta-join oracle verifies the bucket-cover algebra)",
+    tags=("join", "session", "window", "T5"),
+)
+def q233_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    sess = materialize(
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        ),
+        "q233_sessions",
+    )
+    covers = sess.select(
+        F.col("user_id").alias("s_user"),
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_timestamp(s_start) div {Q233_BUCKET_S}"),
+                F.expr(f"unix_timestamp(s_end) div {Q233_BUCKET_S}"),
+            )
+        ).alias("bkt"),
+    )
+    pts = ev.select(
+        F.col("user_id").alias("p_user"),
+        "ts",
+        F.expr(f"unix_timestamp(ts) div {Q233_BUCKET_S}").alias("bkt"),
+    )
+    conc = (
+        covers.join(pts, "bkt")
+        .filter(
+            (F.col("p_user") != F.col("s_user"))
+            & (F.col("ts") >= F.col("s_start"))
+            & (F.col("ts") < F.col("s_end"))
+        )
+        .groupBy(F.col("s_user").alias("user_id"), "s_start")
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+    return (
+        sess.join(conc, ["user_id", "s_start"], "left")
+        .select(
+            "user_id",
+            F.date_format("s_start", TS_FMT_SPARK).alias("session_start"),
+            F.date_format("s_end", TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("bigint").alias("n_concurrent"),
+        )
+    )

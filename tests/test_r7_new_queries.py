@@ -375,3 +375,46 @@ def test_quality_classifier_matches_python_recompute(spark):
     assert got == want
     verdicts = {v[2] for v in got.values()}
     assert verdicts == {True, False}, "threshold should split the corpus"
+
+def test_interval_bucket_join_matches_bruteforce(spark):
+    """q233: the bucket-blocked interval join must find exactly the
+    matches a brute-force O(sessions x events) containment scan finds —
+    the cover-algebra edge cases (hour-boundary truncation, exclusive
+    end) are where a bucketing bug would silently drop matches.
+    """
+    from collections import defaultdict
+    from datetime import timedelta
+
+    ev = load_tables(spark, SF, ["events"])["events"].collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e.ts)
+    sessions = []
+    for u, tss in by_user.items():
+        tss.sort()
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - prev) >= timedelta(minutes=30):
+                sessions.append((u, start, prev + timedelta(minutes=30), n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        sessions.append((u, start, prev + timedelta(minutes=30), n))
+    want = {}
+    for u, s0, s1, n in sessions:
+        c = sum(
+            1
+            for e in ev
+            if e.user_id != u and s0 <= e.ts < s1
+        )
+        want[(u, str(s0))] = (n, c)
+
+    rows = all_specs()["q233_concurrent_sessions"].fn(spark, SF).collect()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.n_concurrent) for r in rows
+    }
+    assert len(rows) == len(sessions)
+    for k, v in want.items():
+        assert got[k] == v, k
+    assert any(c > 0 for _, c in want.values()), "fixture has concurrency"
