@@ -399,6 +399,11 @@ def _decode_jpeg(payload: bytes) -> DecodedImage:
     while pos + 1 < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at offset {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code (camera firmwares pad with them); the marker byte
+        # is the first non-0xFF after the run.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

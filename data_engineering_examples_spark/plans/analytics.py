@@ -4768,10 +4768,8 @@ def q192_funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 # q193 — small-files audit: the operational telemetry that justifies
 # q114's compaction — read a fragmented landing zone back WITH
 # ``input_file_name()`` and report the rows-per-file histogram.  The
-# layout is made SQL-predictable on purpose: an explicit
-# ``repartition(64)`` is round-robin, so every file carries floor(n/64)
-# or ceil(n/64) rows — the oracle derives the exact histogram from the
-# row count alone, independently of which physical file got which rows.
+# layout is made SQL-predictable on purpose — see _bucketed_landing for
+# why hash-bucketing (not round-robin) is the deterministic construction.
 # At scale this query is the health check a table-maintenance service
 # runs before scheduling compaction; per-file counting rides the normal
 # scan (input_file_name is free metadata, no extra pass).
@@ -4779,39 +4777,58 @@ def q192_funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
 Q193_FILES = 64
 
 
+def _bucketed_landing(spark: SparkSession, sf_dir: str, name: str,
+                      n_files: int) -> str:
+    """Write events as a fragmented landing zone whose file → row-count
+    mapping is a pure function of the DATA: rows are bucketed on
+    ``event_id % n_files`` and written ``partitionBy`` that bucket after
+    a ``repartition`` ON the bucket column, so each bucket lives wholly
+    in one task and therefore lands in exactly one file — directory
+    ``__b=k`` holds exactly the rows with ``event_id % n_files == k``.
+
+    The previous construction (plain ``repartition(n)``) was round-robin,
+    whose global floor/ceil row multiset only holds when the upstream
+    scan is a SINGLE split: each Spark task round-robins independently
+    from its own pseudorandom start, so at a larger sf (or smaller
+    ``maxPartitionBytes``, or under AQE coalescing) the per-file counts
+    become split-layout-dependent and no SQL oracle can reproduce them.
+    Hash-bucketing removes the dependence on physical split layout — and
+    is the more realistic landing shape anyway (micro-batched ingest
+    partitioned by key hash).  Returns the landing path."""
+    from ..scratch import scratch_dir
+
+    base = scratch_dir(name)
+    landing = f"{base}/events_landing"
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    bucketed = ev.withColumn(
+        "__b", F.pmod(F.col("event_id"), F.lit(n_files)).cast("int")
+    )
+    bucketed.repartition(n_files, F.col("__b")).write.partitionBy(
+        "__b"
+    ).parquet(landing)
+    return landing
+
+
 @register(
     "q193_small_files_audit",
     oracle=f"""
-    WITH n AS (SELECT count(*) AS n FROM events),
-    hist AS (
-      SELECT n // {Q193_FILES} AS rows_per_file,
-             {Q193_FILES} - (n % {Q193_FILES}) AS n_files
-      FROM n
-      UNION ALL
-      SELECT n // {Q193_FILES} + 1, n % {Q193_FILES} FROM n
-      WHERE n % {Q193_FILES} > 0
+    WITH per_file AS (
+      SELECT CAST(count(*) AS BIGINT) AS rows_per_file
+      FROM events GROUP BY event_id % {Q193_FILES}
     )
-    SELECT CAST(rows_per_file AS BIGINT) AS rows_per_file,
-           CAST(n_files AS BIGINT) AS n_files
-    FROM hist
+    SELECT rows_per_file, CAST(count(*) AS BIGINT) AS n_files
+    FROM per_file GROUP BY rows_per_file
     """,
     doc="small-files audit via input_file_name(): rows-per-file "
-    "histogram of a round-robin 64-file landing zone; oracle derives "
-    "the exact histogram from the row count",
+    "histogram of a hash-bucketed 64-file landing zone; oracle derives "
+    "the exact histogram from the bucket-key distribution",
     tags=("analytics", "A4", "layout"),
 )
 def q193_small_files_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
-    from ..scratch import scratch_dir
-
-    # scratch_dir() wipes per call, so the landing zone is rebuilt on
-    # every invocation — the staged-fixture cost is part of this query's
-    # runtime by design (it IS the small-files workload under audit)
-    base = scratch_dir("q193_files")
-    landing = f"{base}/events_landing"
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    ev.repartition(Q193_FILES).write.parquet(landing)
+    # the landing zone is rebuilt on every invocation — the
+    # staged-fixture cost is part of this query's runtime by design (it
+    # IS the small-files workload under audit)
+    landing = _bucketed_landing(spark, sf_dir, "q193_files", Q193_FILES)
     per_file = (
         spark.read.parquet(landing)
         .select(F.input_file_name().alias("file"))
@@ -5439,11 +5456,12 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and the running total uses the q197 decomposition: range partition +
 # per-partition offsets folded via a broadcast theta-join (rows ≤
 # shuffle partitions), zero unpartitioned windows.  The tie-break on
-# file path keeps the
-# sort total; since equal-size files are interchangeable in a running
-# sum, the group AGGREGATES are path-independent — which is exactly why
-# the oracle can reproduce them from the row count alone (the 64-file
-# round-robin zone has floor/ceil row counts only).
+# file path keeps the sort total; since equal-size files are
+# interchangeable in a running sum, the group AGGREGATES are
+# path-independent — which is why the oracle can reproduce them from
+# the per-bucket row counts alone (the landing zone is hash-bucketed on
+# event_id, see _bucketed_landing, so each file's count IS a GROUP BY
+# over the data — deterministic at any upstream split layout).
 
 Q219_FILES = 64
 Q219_GROUPS = 16  # target rows per output group = n // 16 + 1
@@ -5452,26 +5470,25 @@ Q219_GROUPS = 16  # target rows per output group = n // 16 + 1
 @register(
     "q219_compaction_plan",
     oracle=f"""
-    WITH n AS (SELECT count(*) AS n FROM events),
-    params AS (
-      SELECT n, n // {Q219_FILES} AS fl, n % {Q219_FILES} AS r,
-             {Q219_FILES} - (n % {Q219_FILES}) AS a,
-             n // {Q219_GROUPS} + 1 AS t
-      FROM n
+    WITH per_file AS (
+      SELECT event_id % {Q219_FILES} AS b, count(*) AS rows_per_file
+      FROM events GROUP BY event_id % {Q219_FILES}
     ),
-    files AS (
-      SELECT fl AS rows_per_file, (i - 1) * fl AS cum_before, t
-      FROM params, generate_series(1, {Q219_FILES}) AS g(i) WHERE i <= a
-      UNION ALL
-      SELECT fl + 1, a * fl + (i - 1) * (fl + 1), t
-      FROM params, generate_series(1, {Q219_FILES}) AS g(i) WHERE i <= r
+    params AS (SELECT count(*) // {Q219_GROUPS} + 1 AS t FROM events),
+    cum AS (
+      SELECT rows_per_file,
+             COALESCE(SUM(rows_per_file) OVER (
+               ORDER BY rows_per_file, b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per_file
     )
     SELECT CAST(cum_before // t AS BIGINT) AS group_id,
            CAST(count(*) AS BIGINT) AS n_files,
            CAST(sum(rows_per_file) AS BIGINT) AS total_rows,
            CAST(min(rows_per_file) AS BIGINT) AS min_file_rows,
            CAST(max(rows_per_file) AS BIGINT) AS max_file_rows
-    FROM files GROUP BY 1
+    FROM cum, params GROUP BY 1
     """,
     doc="compaction bin-pack planner over file metadata: smallest-first "
     "running-total binning into ~target-row output groups; cumulative "
@@ -5480,12 +5497,7 @@ Q219_GROUPS = 16  # target rows per output group = n // 16 + 1
     tags=("layout", "analytics", "A4"),
 )
 def q219_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scratch import scratch_dir
-
-    base = scratch_dir("q219_files")
-    landing = f"{base}/events_landing"
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
-    ev.repartition(Q219_FILES).write.parquet(landing)
+    landing = _bucketed_landing(spark, sf_dir, "q219_files", Q219_FILES)
     per_file = (
         spark.read.parquet(landing)
         .select(F.input_file_name().alias("file"))

@@ -20,8 +20,9 @@ Defaults: /root/testdata/sf0.1 -> /tmp/sfsynth1 with K=10 (a synthetic
 "sf1").  Round-7 finding from this sweep: DuckDB's DECIMAL->DOUBLE cast
 double-rounds (exact int128 -> double, then / 10^scale) and diverges
 from Spark's single-rounded BigDecimal cast by 1 ulp once the scaled
-integer exceeds 2^53 — the affected oracles single-round through a
-VARCHAR cast instead (see plans/analytics.py `_d2s`).
+integer exceeds 2^53 — the affected oracles single-round by inlining
+a VARCHAR round-trip, ``CAST(CAST(expr AS VARCHAR) AS DOUBLE)``, at
+each decimal->double site (see plans/analytics.py module docstring).
 """
 
 from __future__ import annotations
