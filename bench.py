@@ -3,6 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The stdout line is SIZE-BUDGETED: the driver records only a 2000-char
+tail of stdout, so full-registry runs (233 queries + spread ≈ 80 KB)
+write the complete record to ``bench_snapshots/last_run_full.json`` and
+print a truncated-but-parseable line (total over ALL queries, slowest
+queries shown, truncation explicit — see :func:`shape_stdout`).  Small
+runs print the complete record unchanged.
+
 Each query is timed end-to-end with FULL materialization: results are
 written to the `noop` sink, which executes every projected expression and
 every final operator (unlike `count()`, under which Catalyst prunes
@@ -179,8 +186,64 @@ def main() -> None:
             }
             for name, r in runs.items()
         }
-    print(json.dumps(out))
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_snapshots",
+        "last_run_full.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "w", encoding="utf-8") as fh:
+            json.dump(out, fh)
+    except OSError:
+        full_path = None  # read-only checkout: stdout shaping still applies
+    print(shape_stdout(out, full_path))
     spark.stop()
+
+
+#: The driver records only the last 2000 characters of stdout and
+#: parses the JSON line out of that tail — a full 233-query map plus
+#: spread is ~40x larger, so rounds 3-7 shipped an unparseable BENCH
+#: record.  Budget leaves headroom for the trailing newline.
+STDOUT_BUDGET = 1900
+
+
+def shape_stdout(out: dict, full_path: str | None,
+                 budget: int = STDOUT_BUDGET) -> str:
+    """Fit the bench record into the driver's stdout-tail budget.
+
+    Small runs (SPARK_GRAFT_BENCH_ONLY profiling, the contract tests)
+    emit the COMPLETE record unchanged.  When it exceeds ``budget``,
+    the spread is dropped first (it lives in ``full_path``), then the
+    per-query map is truncated to the slowest queries that still fit,
+    with ``queries_omitted``/``n_queries`` making the truncation
+    explicit and ``queries_full`` pointing at the complete record.
+    ``value`` stays the total across ALL queries either way."""
+    line = json.dumps(out)
+    if len(line) <= budget:
+        return line
+    slim = {k: v for k, v in out.items() if k != "queries_spread"}
+    slim["n_queries"] = len(out["queries"])
+    if full_path:
+        slim["queries_full"] = os.path.relpath(
+            full_path, os.path.dirname(os.path.abspath(__file__))
+        )
+    line = json.dumps(slim)
+    if len(line) <= budget:
+        return line
+    # slowest-first, name tiebreak: the queries worth seeing in a tail
+    ranked = sorted(out["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+    shown: dict[str, float] = {}
+    slim["queries"] = shown
+    slim["queries_omitted"] = len(ranked)
+    for name, sec in ranked:
+        shown[name] = sec
+        slim["queries_omitted"] = len(ranked) - len(shown)
+        if len(json.dumps(slim)) > budget:
+            del shown[name]
+            slim["queries_omitted"] = len(ranked) - len(shown)
+            break
+    return json.dumps(slim)
 
 
 if __name__ == "__main__":

@@ -63,3 +63,48 @@ def test_bench_repeat_reports_median_and_spread():
     # headline per-query value IS the median (and value = sum of medians)
     assert rec["queries"]["q01_pricing_summary"] == spread["median"]
     assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
+
+
+def test_shape_stdout_fits_driver_tail_budget():
+    """The driver keeps only the last 2000 chars of stdout; a full
+    233-query record is ~40x that, so the printed line must shrink —
+    slowest queries first, truncation explicit — while small runs pass
+    through COMPLETELY unchanged (the two subprocess tests above pin
+    that via json.loads equality with the full contract keys)."""
+    import bench
+
+    queries = {f"q{i:03d}_name_of_query_{i}": round(0.01 * i, 4) for i in range(233)}
+    out = {
+        "metric": "declared_query_set_total_runtime",
+        "value": round(sum(queries.values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "repeat": 3,
+        "queries_spread": {
+            n: {"median": s, "min": s, "max": s, "runs": [s, s, s]}
+            for n, s in queries.items()
+        },
+    }
+    line = bench.shape_stdout(out, "/root/repo/bench_snapshots/last_run_full.json")
+    assert len(line) <= bench.STDOUT_BUDGET
+    rec = json.loads(line)
+    assert set(rec) >= {"metric", "value", "unit", "queries", "sf"}
+    assert rec["value"] == out["value"]  # total across ALL queries
+    assert rec["n_queries"] == 233
+    assert rec["queries_omitted"] == 233 - len(rec["queries"])
+    assert rec["queries_full"] == "bench_snapshots/last_run_full.json"
+    # slowest queries survive truncation
+    slowest = max(queries, key=queries.get)
+    assert slowest in rec["queries"]
+    assert "queries_spread" not in rec
+
+    # small run: byte-identical passthrough
+    small = {
+        "metric": "declared_query_set_total_runtime",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {"q01": 1.0},
+        "sf": 0.001,
+    }
+    assert json.loads(bench.shape_stdout(small, None)) == small
