@@ -5832,9 +5832,7 @@ def q227_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q233_BUCKET_S = 3600
 
 
-@register(
-    "q233_concurrent_sessions",
-    oracle=f"""
+_Q233_ORACLE = f"""
     WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
     flag AS (
       SELECT user_id, ts,
@@ -5866,12 +5864,32 @@ Q233_BUCKET_S = 3600
            COALESCE(c.n_concurrent, 0) AS n_concurrent
     FROM sess s LEFT JOIN conc c
       ON c.user_id = s.user_id AND c.s_start = s.s_start
-    """,
+    """
+
+
+@register(
+    "q233_concurrent_sessions",
+    oracle=_Q233_ORACLE,
     doc="large-large interval join via 1h bucket blocking + residual range "
     "filter (theta-join oracle verifies the bucket-cover algebra)",
     tags=("join", "session", "window", "T5"),
 )
 def q233_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _concurrent_sessions_plan(spark, sf_dir, "q233_sessions", n_salts=0)
+
+
+def _concurrent_sessions_plan(
+    spark: SparkSession, sf_dir: str, sub_name: str, n_salts: int
+) -> DataFrame:
+    """Shared q233/q234 plan.  ``n_salts`` > 0 salts the bucket join:
+    points get a deterministic salt, covers replicate ``n_salts``× (the
+    operators/skew.py pattern), so a HOT HOUR's points split across
+    ``n_salts`` shuffle partitions instead of one straggler task.  Rows
+    produced are exactly those of the unsalted join — each point holds
+    one salt value and each cover carries all of them, so every
+    (point, cover) bucket match still meets exactly once; q234 proves
+    the identity by running against q233's verbatim oracle."""
+    from ..operators.skew import salted_equi_join
     from ..scratch import materialize
 
     ev = load_tables(spark, sf_dir, ["events"])["events"]
@@ -5884,7 +5902,7 @@ def q233_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("s_end"),
             "n_events",
         ),
-        "q233_sessions",
+        sub_name,
     )
     covers = sess.select(
         F.col("user_id").alias("s_user"),
@@ -5902,9 +5920,13 @@ def q233_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr(f"unix_timestamp(ts) div {Q233_BUCKET_S}").alias("bkt"),
     )
+    joined = (
+        salted_equi_join(pts, covers, ["bkt"], n_salts=n_salts)
+        if n_salts
+        else covers.join(pts, "bkt")
+    )
     conc = (
-        covers.join(pts, "bkt")
-        .filter(
+        joined.filter(
             (F.col("p_user") != F.col("s_user"))
             & (F.col("ts") >= F.col("s_start"))
             & (F.col("ts") < F.col("s_end"))
@@ -5921,4 +5943,36 @@ def q233_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.coalesce(F.col("n_concurrent"), F.lit(0)).cast("bigint").alias("n_concurrent"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234 — the SALTED form of q233's interval join, proving the skew
+# remedy the q233 scale note promises.  A hot hour (product launch,
+# midnight batch) concentrates both points and interval covers on one
+# bucket id; at 1000 executors that bucket is a single straggler task.
+# Salting splits it: points take a deterministic salt in [0, S), covers
+# replicate S×, the join key becomes (bkt, salt) — the operators/skew.py
+# pattern.  Result identity with the unsalted plan is not asserted, it
+# is PROVEN: q234 registers q233's oracle verbatim, so the driver
+# hash-compares the salted plan against the undecomposed theta join.
+# tests/test_plan_invariants.py additionally plan-asserts the salted
+# shuffle (hashpartitioning on __salt).
+
+Q234_SALTS = 8
+
+
+@register(
+    "q234_concurrent_sessions_salted",
+    oracle=_Q233_ORACLE,
+    doc="skew-salted variant of q233: bucket join key extended with a "
+    "deterministic salt (points salted, covers replicated 8x); same "
+    "theta-join oracle proves result identity",
+    tags=("join", "session", "skew", "T5"),
+)
+def q234_concurrent_sessions_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _concurrent_sessions_plan(
+        spark, sf_dir, "q234_sessions", n_salts=Q234_SALTS
     )

@@ -198,3 +198,29 @@ def test_driver_first_calls_are_single_row_bounds_only():
         "workflow_queries.py",
         "workflow_queries.py",
     ], sites
+
+
+def test_salted_interval_join_shuffles_on_salt(plans):
+    """q234's whole point is the shuffle key: the bucket join must
+    exchange on (bkt, __salt) — if the salt column falls out of the
+    partitioning (e.g. an optimizer rewrite drops it from the join key)
+    the query silently degrades to the unsalted straggler plan while
+    still returning correct rows."""
+    p = plans["q234_concurrent_sessions_salted"]
+    assert "__salt" in p
+    # the salt must be part of the equi-join KEY (alongside bkt).  At
+    # test SF the tiny covers side broadcasts, so there is no exchange
+    # to inspect — but a key of (bkt, __salt) is exactly what becomes
+    # hashpartitioning(bkt, __salt) once both sides are shuffle-sized;
+    # accept either physical form, require the salted key.
+    salted_joins = [
+        ln for ln in p.splitlines()
+        if "Join [" in ln and "__salt" in ln and "bkt" in ln
+    ]
+    salted_exchanges = [
+        ln for ln in p.splitlines()
+        if "hashpartitioning" in ln and "__salt" in ln and "bkt" in ln
+    ]
+    assert salted_joins or salted_exchanges, p
+    # and the unsalted baseline stays salt-free
+    assert "__salt" not in plans["q233_concurrent_sessions"]
