@@ -2139,3 +2139,200 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w_keep) == 1).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — SemDeDup with LEARNED centroids: q231 upgraded from fixed-sample
+# centroids to the paper's actual k-means step (Abbas et al. 2023 run
+# k-means over the embedding space, then dedup within each cluster).
+# Composition of two already-oracle-checked pieces: q94's exact-integer
+# Lloyd refinement (seeded by the same 16 sample vectors q231 used as
+# fixed centroids, run for Q235_ITERS rounds) feeds the cluster
+# assignment, and q231's within-cluster closure (pair cosine ≥ threshold
+# → CC → keep rule) runs over the LEARNED clusters.
+#
+# Determinism: the Lloyd argmin uses q94's convention — squared distance
+# to a mean centroid cs/n compared as the n²-scaled integer
+# Σ_d (n·xq − cs_d)², an exact DECIMAL sum both engines evaluate
+# bit-identically (ties toward the lower cluster id).  The keep rule
+# orders on that same scaled distance DESC (farthest-from-centroid =
+# the paper's low-centroid-similarity keep), which is scale-safe
+# because edges never cross clusters, so every member of a component
+# shares one cluster and therefore one n² factor — within a component
+# the scaled order IS the true order.  Pair cosines reuse the left-fold
+# double dot (module docstring).  No floats are emitted: the output is
+# ids + booleans.
+#
+# Scale shape: everything q94 and q231 already argue, composed — the
+# xq substrate is materialized once and feeds all Lloyd passes; centroid
+# tables stay K·DIM rows (broadcast); the pair stage shuffles once on
+# the learned cluster id; CC touches edge endpoints only.  K scales
+# ~sqrt(N) by widening the seed list — the knob q231's docstring
+# prescribes, exercised at the synthetic-sf1 sweep.
+
+Q235_ITERS = 2  # Lloyd rounds, unrolled in the oracle
+
+
+def _duck_semdedup_learned_oracle() -> str:
+    seed_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
+    sqdiff = (
+        "CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
+        " * CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
+    )
+    return f"""
+    WITH RECURSIVE
+    xq AS (
+      SELECT vec_id,
+             unnest(list_transform(range(0, len(embedding)),
+                                   i -> CAST(i AS INT))) AS dim,
+             unnest(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE})
+                              AS BIGINT))) AS xq
+      FROM embeddings
+    ),
+    c1 AS (SELECT vec_id AS cluster, dim, xq AS cs, CAST(1 AS BIGINT) AS n
+           FROM xq WHERE vec_id IN ({seed_list})),
+    d1 AS (
+      SELECT x.vec_id, c.cluster, sum({sqdiff}) AS dist
+      FROM xq x JOIN c1 c USING (dim) GROUP BY 1, 2
+    ),
+    a1 AS (SELECT vec_id, cluster FROM (
+             SELECT vec_id, cluster,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) AS rn
+             FROM d1) WHERE rn = 1),
+    c2 AS (SELECT a.cluster, x.dim, CAST(sum(x.xq) AS BIGINT) AS cs,
+                  count(*) AS n
+           FROM xq x JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+    d2 AS (
+      SELECT x.vec_id, c.cluster, sum({sqdiff}) AS dist
+      FROM xq x JOIN c2 c USING (dim) GROUP BY 1, 2
+    ),
+    a2 AS (SELECT vec_id, cluster, dist FROM (
+             SELECT vec_id, cluster, dist,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cluster) AS rn
+             FROM d2) WHERE rn = 1),
+    v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM v),
+    m AS (SELECT a.vec_id, a.cluster, a.dist, x.e, x.nrm
+          FROM a2 a JOIN vn x ON x.vec_id = a.vec_id),
+    ed AS (
+      SELECT a.vec_id AS u, b.vec_id AS v2
+      FROM m a JOIN m b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_duck_dot('a.e', 'b.e')} / (a.nrm * b.nrm) >= {SEMDEDUP_COS}
+    ),
+    bidir AS (SELECT u, v2 FROM ed UNION SELECT v2 AS u, u AS v2 FROM ed),
+    members AS (SELECT DISTINCT u AS id FROM bidir),
+    reach(id, label) AS (
+      SELECT id, id FROM members
+      UNION
+      SELECT b.u, r.label FROM bidir b JOIN reach r ON r.id = b.v2
+    ),
+    cc AS (SELECT id, min(label) AS component FROM reach GROUP BY id)
+    SELECT a.vec_id, a.cluster AS cluster_id, cc.component,
+           row_number() OVER (PARTITION BY cc.component
+                              ORDER BY a.dist DESC, a.vec_id ASC) = 1
+             AS keep
+    FROM cc JOIN a2 a ON a.vec_id = cc.id
+    """
+
+
+@register(
+    "q235_semantic_dedup_learned",
+    oracle=_duck_semdedup_learned_oracle(),
+    doc="SemDeDup over LEARNED k-means clusters: exact-integer Lloyd "
+    "rounds (q94 convention) produce the centroids, then within-cluster "
+    "cosine closure with a farthest-from-centroid keep rule",
+    tags=("similarity", "dedup", "llm", "graph", "iterative"),
+)
+def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    xq = materialize(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        ),
+        "q235_xq",
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = (F.col("n") * F.col("xq") - F.col("cs")).cast("decimal(19,0)")
+        dists = (
+            xq.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        return (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"),
+                    F.col("m.dist").alias("dist"))
+        )
+
+    cent = xq.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+        F.col("vec_id").alias("cluster"),
+        "dim",
+        F.col("xq").alias("cs"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    for _ in range(Q235_ITERS - 1):
+        cent = (
+            xq.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(F.sum("xq").alias("cs"), F.count(F.lit(1)).alias("n"))
+        )
+    vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    # final assignment feeds both pair-join sides, CC membership and the
+    # keep ordering — one substrate, materialized once (q231 pattern)
+    m = materialize(
+        assign(cent).join(vn, "vec_id"), "q235_assign"
+    )
+    a = m.select(
+        F.col("vec_id").alias("u"),
+        F.col("cluster").alias("cid"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("v"),
+        F.col("cluster").alias("cid"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, "cid")
+        .filter(F.col("u") < F.col("v"))
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select("u", "v")
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    from ..operators.graph import connected_components
+
+    cc = connected_components(
+        nodes, edges, SEMDEDUP_CC_ROUNDS, scratch_prefix="q235_cc"
+    )
+    w_keep = Window.partitionBy("component").orderBy(
+        F.desc("dist"), F.asc("vec_id")
+    )
+    return (
+        cc.select(F.col("id").alias("vec_id"), F.col("cluster_id").alias("component"))
+        .join(m.select("vec_id", "cluster", "dist"), "vec_id")
+        .select(
+            "vec_id",
+            F.col("cluster").alias("cluster_id"),
+            "component",
+            (F.row_number().over(w_keep) == 1).alias("keep"),
+        )
+    )
