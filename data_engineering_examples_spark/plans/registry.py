@@ -68,32 +68,29 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots, r7 = third tranche) ----------
+    # first-time driver evidence (25 slots, r8 = fourth tranche) ---------
     # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
     # rotate each round to queries with no driver-green row yet
-    # (cumulative driver evidence after r6: 93 distinct queries; the r6
-    # first-timers — graph, layout, streaming, DataSource, IVF-PQ —
-    # rotate out to the locally-verified tail).
-    # corpus / training-prep family
-    "q78_pii_scrub", "q79_decontamination", "q80_doc_chunks",
-    "q81_source_mix", "q82_sequence_pack", "q98_train_split",
-    "q99_token_curriculum", "q100_jsonl_roundtrip",
-    "q102_pretrain_pipeline", "q105_split_leakage_audit",
-    "q115_training_order_shards",
-    # sketch family
-    "q85_kmv_distinct", "q103_countmin_terms",
-    "q155_bitmap_audience_overlap",
-    "q163_rolling_distinct_users",
-    # r7 newcomers: perceptual near-dup over decoded media payloads
-    # (q117/q156 ceded their slots — q115 and q85/q103/q155/q163 keep
-    # those families' driver anchors; both stay locally oracle-checked)
-    "q224_image_phash_neardup", "q225_audio_envelope_neardup",
-    # stateful-streaming pair
-    "q83_stateful_progress", "q84_stream_dedup",
-    # r6/r7 newcomers (governance, quality gates, serving fidelity)
-    "q203_k_anonymity_audit", "q205_blocking_quality",
-    "q208_dimension_time_travel", "q211_ivf_index_persistence",
-    "q212_periodicity_audit", "q213_merge_rerun_idempotence",
+    # (cumulative driver evidence after r7: 118 distinct queries; the r7
+    # first-timers — corpus/training, sketch, stateful-streaming,
+    # governance, perceptual near-dup — rotate out to the
+    # locally-verified tail).
+    # r7 newcomers, never driver-checked (text/ANN/sketch/governance)
+    "q214_boilerplate_ngrams", "q215_source_overlap_matrix",
+    "q216_repetition_signals", "q217_filtered_ann", "q218_hll_distinct",
+    "q219_compaction_plan", "q220_zorder_layout",
+    "q221_embedding_power_iteration", "q222_image_decode_audit",
+    "q223_audio_decode_audit", "q226_canonical_media",
+    "q227_cuped_adjustment", "q228_neardup_kcore",
+    "q229_twopass_quantiles", "q230_embedding_dim_stats",
+    "q231_semantic_dedup", "q232_quality_classifier",
+    "q233_concurrent_sessions",
+    # r8 newcomers (skew-salted interval join, learned-centroid SemDeDup)
+    "q234_concurrent_sessions_salted", "q235_semantic_dedup_learned",
+    # layout family + streaming drains (VERDICT r7 ask #1)
+    "q111_partition_pruning", "q114_compaction_roundtrip",
+    "q122_orc_roundtrip", "q120_stream_sessions",
+    "q130_stream_rollup_merge",
 )
 
 
