@@ -448,8 +448,8 @@ def _decode_jpeg(payload: bytes) -> DecodedImage:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (height, width, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+        elif marker == 0xC2:  # SOF2: hand the whole stream to the
+            return _decode_jpeg_progressive(payload)  # multi-scan path
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{marker:02X} (non-baseline) not supported"
@@ -538,6 +538,20 @@ def _decode_jpeg(payload: bytes) -> DecodedImage:
                             )
             mcu_count += 1
 
+    return _jpeg_planes_to_rgb(width, height, comps, planes, strides, hmax, vmax)
+
+
+def _jpeg_planes_to_rgb(
+    width: int,
+    height: int,
+    comps: list,
+    planes: dict,
+    strides: dict,
+    hmax: int,
+    vmax: int,
+) -> DecodedImage:
+    """Upsample component planes and convert (Y / YCbCr) to RGB —
+    shared by the baseline and progressive decode paths."""
     out = bytearray(width * height * 3)
     if len(comps) == 1:
         cid = comps[0][0]
@@ -575,19 +589,326 @@ def _decode_jpeg(payload: bytes) -> DecodedImage:
     return DecodedImage(width, height, bytes(out))
 
 
+# --- progressive JPEG (SOF2, spectral selection + successive
+# approximation, ITU-T T.81 Annex G decode procedures) ----------------------
+#
+# The multi-scan path keeps a per-component COEFFICIENT buffer (zigzag
+# order, raw quantized values) that successive scans refine: a first DC
+# scan delivers DC >> Al, later DC scans append one bit per block; first
+# AC scans deliver a spectral band's coefficients at reduced precision
+# with EOB-RUN coding across blocks (symbols EOB0..EOB14), and AC
+# refinement scans append one correction bit to every already-nonzero
+# coefficient while inserting newly-nonzero ±1<<Al values.  Dequantize +
+# IDCT happen once, after EOI.  The refinement protocol (who receives a
+# correction bit, and when a ZRL run counts only zero-history positions)
+# follows T.81 G.1.2/G.2 exactly — the encoder twin in
+# tools/media_encoders.py:jpeg_encode_progressive emits the standard
+# 10-scan script and the round-trip test pins bit-exact pixel equality
+# with the baseline path at the same quantizer.
+
+
+def _decode_jpeg_progressive(payload: bytes) -> DecodedImage:
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    coefs: dict[int, list[list[int]]] = {}  # cid -> blocks of 64 zigzag ints
+    geom: dict = {}
+
+    while pos + 1 < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    qtabs[tq] = [
+                        int.from_bytes(seg[i + 2 * k : i + 2 * k + 2], "big")
+                        for k in range(64)
+                    ]
+                    i += 128
+                else:
+                    qtabs[tq] = list(seg[i : i + 64])
+                    i += 64
+        elif marker == 0xC4:  # tables may be redefined BETWEEN scans
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = seg[i + 1 : i + 17]
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huffman(
+                    counts, symbols
+                )
+                i += 17 + n
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise NotImplementedError("only 8-bit JPEG is supported")
+            height = int.from_bytes(seg[1:3], "big")
+            width = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (height, width, comps)
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError(
+                    "JPEG sampling factors above 2 not supported"
+                )
+            mcux = (width + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+            for cid, h, v, tq in comps:
+                # MCU-padded block grid; non-interleaved scans address
+                # the unpadded prefix of each block row
+                bw, bh = mcux * h, mcuy * v
+                coefs[cid] = [[0] * 64 for _ in range(bw * bh)]
+                cw = -(-width * h // hmax)
+                ch = -(-height * v // vmax)
+                geom[cid] = (bw, bh, -(-cw // 8), -(-ch // 8), h, v, tq)
+            geom["_frame"] = (mcux, mcuy, hmax, vmax)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("mixed/invalid SOF in a progressive stream")
+        elif marker == 0xDD:
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = seg[0]
+            scomps = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            pos = _jpeg_prog_scan(
+                payload, pos + seglen, scomps, ss, se, ah, al,
+                coefs, geom, huff_dc, huff_ac, restart_interval,
+            )
+            continue
+        pos += seglen
+
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    height, width, comps = frame
+    if not (0 < width and 0 < height):
+        raise ValueError(f"invalid JPEG dimensions {width}x{height}")
+    mcux, mcuy, hmax, vmax = geom["_frame"]
+    planes: dict[int, bytearray] = {}
+    strides: dict[int, int] = {}
+    for cid, h, v, tq in comps:
+        bw, bh = geom[cid][0], geom[cid][1]
+        q = qtabs[tq]
+        stride = bw * 8
+        strides[cid] = stride
+        plane = bytearray(stride * bh * 8)
+        planes[cid] = plane
+        for bi, zz in enumerate(coefs[cid]):
+            coef = [0.0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[_JPEG_ZIGZAG[k]] = zz[k] * q[k]
+            pixels = _jpeg_idct_8x8(coef)
+            x0, y0 = (bi % bw) * 8, (bi // bw) * 8
+            for yy in range(8):
+                row = (y0 + yy) * stride + x0
+                plane[row : row + 8] = bytes(pixels[yy * 8 : yy * 8 + 8])
+    return _jpeg_planes_to_rgb(width, height, comps, planes, strides, hmax, vmax)
+
+
+def _jpeg_prog_scan(
+    payload: bytes,
+    pos: int,
+    scomps: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    coefs: dict,
+    geom: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan in place; returns the offset of the
+    next marker after the entropy-coded data."""
+    reader = _JpegBitReader(payload, pos)
+    mcux, mcuy, _hmax, _vmax = geom["_frame"]
+    state = {"eobrun": 0, "pred": {cid: 0 for cid, _, _ in scomps}}
+
+    def dc_first(blk, cid, td):
+        t = _jpeg_huff_decode(reader, huff_dc[td])
+        diff = _jpeg_extend(reader.read_bits(t), t) if t else 0
+        state["pred"][cid] += diff
+        blk[0] = state["pred"][cid] << al
+
+    def dc_refine(blk):
+        if reader.read_bit():
+            blk[0] |= 1 << al
+
+    p1 = 1 << al
+
+    def _refine_one(blk, k):
+        if reader.read_bit() and (blk[k] & p1) == 0:
+            blk[k] += p1 if blk[k] >= 0 else -p1
+
+    def ac_first(blk, ta):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_huff_decode(reader, huff_ac[ta])
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.read_bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index overrun in progressive scan")
+            blk[k] = _jpeg_extend(reader.read_bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, ta):
+        # T.81 G.2 / figure G.7: runs count only zero-HISTORY positions;
+        # every already-nonzero coefficient passed over (including those
+        # in blocks merely covered by an EOB run) receives a correction
+        # bit in stream order.
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, huff_ac[ta])
+                r, s = rs >> 4, rs & 15
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (
+                            reader.read_bits(r) if r else 0
+                        )
+                        break
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "AC refinement symbol with size != 1"
+                        )
+                    newval = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    if blk[k] != 0:
+                        _refine_one(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[k] = newval
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_one(blk, k)
+                k += 1
+            state["eobrun"] -= 1
+
+    def maybe_restart(unit_count):
+        if (
+            restart_interval
+            and unit_count
+            and unit_count % restart_interval == 0
+        ):
+            reader.byte_align()
+            if (
+                reader.pos + 1 < len(payload)
+                and payload[reader.pos] == 0xFF
+                and 0xD0 <= payload[reader.pos + 1] <= 0xD7
+            ):
+                reader.pos += 2
+            state["eobrun"] = 0
+            state["pred"] = {cid: 0 for cid, _, _ in scomps}
+
+    if ss == 0:  # DC scan: interleaved over the (padded) MCU grid
+        if se != 0:
+            raise ValueError("DC scan must have Se = 0")
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(n)
+                for cid, td, _ta in scomps:
+                    bw, _bh, _ubw, _ubh, h, v, _tq = geom[cid]
+                    for byi in range(v):
+                        for bxi in range(h):
+                            bi = (my * v + byi) * bw + mx * h + bxi
+                            blk = coefs[cid][bi]
+                            if ah == 0:
+                                dc_first(blk, cid, td)
+                            else:
+                                dc_refine(blk)
+                n += 1
+    else:  # AC scan: exactly one component, unpadded block grid
+        if len(scomps) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cid, _td, ta = scomps[0]
+        bw, _bh, ubw, ubh, _h, _v, _tq = geom[cid]
+        n = 0
+        for by in range(ubh):
+            for bx in range(ubw):
+                maybe_restart(n)
+                blk = coefs[cid][by * bw + bx]
+                if ah == 0:
+                    ac_first(blk, ta)
+                else:
+                    ac_refine(blk, ta)
+                n += 1
+
+    # position at the next true marker (skip entropy remainder + RSTs)
+    p = reader.pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
+
+
 def decode_image(
     payload: bytes, decoder: Callable[[bytes], object] | None = None
 ) -> object:
     """Decode an image payload to a :class:`DecodedImage`.
 
     Executable without any external library for 24-bit BMP, binary PPM,
-    8-bit non-interlaced PNG (stdlib zlib + scanline unfilter), and
-    baseline sequential JPEG (from-the-spec Huffman + IDCT decoder,
-    4:4:4/4:2:2/4:2:0/grayscale, restart markers).  Progressive or
-    arithmetic-coded JPEG still requires an injected ``decoder`` (e.g. a
-    PIL.Image.open wrapper) — and at production throughput a native
-    codec should be injected for ALL formats; the stdlib decoders pin
-    the semantics."""
+    8-bit non-interlaced PNG (stdlib zlib + scanline unfilter), and both
+    JPEG DCT modes: baseline sequential (SOF0/1) and progressive (SOF2,
+    spectral selection + successive approximation with EOB-run and
+    refinement-bit decoding) — 4:4:4/4:2:2/4:2:0/grayscale, restart
+    markers, fill bytes.  Arithmetic-coded or hierarchical JPEG still
+    requires an injected ``decoder`` (e.g. a PIL.Image.open wrapper) —
+    and at production throughput a native codec should be injected for
+    ALL formats; the stdlib decoders pin the semantics."""
     if decoder is not None:
         return decoder(payload)
     if payload[:2] == b"BM":
@@ -600,8 +921,8 @@ def decode_image(
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "built-in decode covers 24-bit BMP, P6 PPM, 8-bit PNG, and "
-        "baseline JPEG only; inject a decoder for other formats (no "
-        "PIL/opencv in this environment)"
+        "baseline/progressive JPEG only; inject a decoder for other "
+        "formats (no PIL/opencv in this environment)"
     )
 
 

@@ -424,11 +424,50 @@ def test_builtin_jpeg_grayscale_and_restart_markers():
     assert _max_diff(img2.pixels, rgb) <= 6
 
 
-def test_builtin_jpeg_rejects_progressive():
+def test_builtin_jpeg_progressive_matches_baseline_pixels():
+    """The progressive path must reconstruct EXACTLY the coefficients
+    the baseline encoder ships at the same quantizer, so pixels are
+    bit-identical — covering spectral selection, DC/AC successive
+    approximation, EOB runs and refinement correction bits across
+    4:4:4, 4:2:0, grayscale and non-multiple-of-8 dimensions."""
+    from tools.media_encoders import jpeg_encode_progressive
+
+    cases = [
+        (16, 16, {}),
+        (19, 13, {}),  # padded partial MCUs
+        (24, 16, {"subsample": True}),
+        (18, 10, {"subsample": True}),
+        (15, 9, {"gray": True}),
+        (39, 37, {"q": 3}),
+    ]
+    for w, h, kw in cases:
+        n = w * h if kw.get("gray") else w * h * 3
+        rgb = bytes((i * 2654435761) % 256 for i in range(n))
+        base = decode_image(_jpeg_encode(rgb, w, h, **kw))
+        prog = decode_image(jpeg_encode_progressive(rgb, w, h, **kw))
+        assert (prog.width, prog.height) == (base.width, base.height)
+        assert prog.pixels == base.pixels, (w, h, kw)
+
+
+def test_builtin_jpeg_progressive_long_eob_runs():
+    """A uniform image makes every AC band all-zero: the whole scan is
+    one EOB run per pass, and refinement passes exercise the
+    correction-bit buffering with zero newly-nonzero coefficients."""
+    from tools.media_encoders import jpeg_encode_progressive
+
+    rgb = bytes([77, 128, 200]) * (32 * 24)
+    base = decode_image(_jpeg_encode(rgb, 32, 24))
+    prog = decode_image(jpeg_encode_progressive(rgb, 32, 24))
+    assert prog.pixels == base.pixels
+
+
+def test_builtin_jpeg_rejects_malformed_progressive():
+    """A baseline-shaped SOS (full band, no approximation) under an
+    SOF2 frame is spec-invalid: a progressive DC scan must have Se=0."""
     payload = bytearray(_jpeg_encode(_gradient_rgb(8, 8), 8, 8))
     i = payload.index(bytes([0xFF, 0xC0]))
     payload[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(bytes(payload))
 
 

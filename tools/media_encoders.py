@@ -273,3 +273,312 @@ def jpeg_encode(
         put(1, 1)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def jpeg_encode_progressive(
+    rgb: bytes,
+    w: int,
+    h: int,
+    subsample: bool = False,
+    q: int = 1,
+    gray: bool = False,
+) -> bytes:
+    """Progressive JPEG (T.81 SOF2): same color/FDCT/quant pipeline as
+    :func:`jpeg_encode`, emitted as the libjpeg standard 10-scan script
+    (DC at Al=1 then refined; luma AC split 1-5/6-63 at Al=2 with two
+    refinement passes; chroma AC at Al=1 with one refinement).  This
+    exercises spectral selection, successive approximation (DC and AC
+    paths), EOB-RUN coding across blocks and refinement correction-bit
+    buffering — every Annex G decode procedure.  A decoder must
+    reconstruct EXACTLY the coefficients the baseline encoder would ship
+    at the same quantizer, so the round-trip test compares pixels
+    against the baseline decode bit-for-bit."""
+
+    def fdct(block):
+        tmp = [
+            [sum(_JPEG_M[u][x] * block[y * 8 + x] for x in range(8)) for u in range(8)]
+            for y in range(8)
+        ]
+        out = [0.0] * 64
+        for u in range(8):
+            col = [tmp[y][u] for y in range(8)]
+            for v in range(8):
+                out[v * 8 + u] = sum(_JPEG_M[v][y] * col[y] for y in range(8))
+        return out
+
+    if gray:
+        planes = [[rgb[i] for i in range(w * h)]]
+        samp = [(1, 1)]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(w * h):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            ys.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+            cbs.append(
+                min(255, max(0, round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)))
+            )
+            crs.append(
+                min(255, max(0, round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)))
+            )
+        if subsample:
+            cw, chh = (w + 1) // 2, (h + 1) // 2
+
+            def box(p):
+                out = []
+                for yy in range(chh):
+                    for xx in range(cw):
+                        acc = n = 0
+                        for dy in range(2):
+                            for dx in range(2):
+                                sy = min(h - 1, 2 * yy + dy)
+                                sx = min(w - 1, 2 * xx + dx)
+                                acc += p[sy * w + sx]
+                                n += 1
+                        out.append(round(acc / n))
+                return out
+
+            planes = [ys, box(cbs), box(crs)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [ys, cbs, crs]
+            samp = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    dims = [(-(-w * hi // hmax), -(-h * vi // vmax)) for hi, vi in samp]
+    qtab = [q] * 64
+
+    def sample(plane, cw, chh, x, y):
+        return plane[min(chh - 1, y) * cw + min(cw - 1, x)]
+
+    # quantized zigzag coefficient blocks, MCU-padded grid per component
+    blocks: list[list[list[int]]] = []
+    bgrid: list[tuple[int, int, int, int]] = []  # bw, bh, unpadded bw/bh
+    for ci, (hi, vi) in enumerate(samp):
+        cw, chh = dims[ci]
+        bw, bh = mcux * hi, mcuy * vi
+        bgrid.append((bw, bh, -(-cw // 8), -(-chh // 8)))
+        comp_blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                block = [
+                    sample(planes[ci], cw, chh, bx * 8 + xx, by * 8 + yy) - 128.0
+                    for yy in range(8)
+                    for xx in range(8)
+                ]
+                coef = fdct(block)
+                comp_blocks.append(
+                    [round(coef[_JPEG_ZIGZAG[k]] / qtab[k]) for k in range(64)]
+                )
+        blocks.append(comp_blocks)
+
+    # tables: DC symbols 0..11 @4 bits; AC symbols = 160 run/size codes
+    # + EOB0..EOB14 + ZRL, all @8 bits (canonical, Kraft-valid)
+    dc_syms = list(range(12))
+    ac_syms = [r << 4 | s for r in range(16) for s in range(1, 11)] + [
+        r << 4 for r in range(15)
+    ] + [0xF0]
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+    dc_code = {sym: (i, 4) for i, sym in enumerate(dc_syms)}
+    ac_code = {sym: (i, 8) for i, sym in enumerate(ac_syms)}
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0]) + bytes(qtab))
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for i, (hi, vi) in enumerate(samp):
+        sof += bytes([i + 1, hi << 4 | vi, 0])
+    seg(0xC2, sof)
+    seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms))
+    seg(0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms))
+
+    acc = [0, 0]
+
+    def put(v, n):
+        for i in range(n - 1, -1, -1):
+            acc[0] = (acc[0] << 1) | ((v >> i) & 1)
+            acc[1] += 1
+            if acc[1] == 8:
+                out.append(acc[0])
+                if acc[0] == 0xFF:
+                    out.append(0x00)
+                acc[0] = acc[1] = 0
+
+    def put_code(table, sym):
+        code, n = table[sym]
+        put(code, n)
+
+    def flush_bits():
+        while acc[1]:
+            put(1, 1)
+
+    def mag_bits(v):
+        t, a = 0, abs(v)
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])
+        body += bytes([ss, se, ah << 4 | al])
+        seg(0xDA, body)
+
+    def dc_scan(comp_ids, ah, al):
+        sos_header(comp_ids, 0, 0, ah, al)
+        pred = {ci: 0 for ci in comp_ids}
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in comp_ids:
+                    hi, vi = samp[ci]
+                    bw = bgrid[ci][0]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            zz0 = blocks[ci][(my * vi + byi) * bw + mx * hi + bxi][0]
+                            if ah == 0:
+                                v = zz0 >> al  # arithmetic shift (T.81 DC)
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                t = mag_bits(diff)
+                                put_code(dc_code, t)
+                                if t:
+                                    put(diff if diff > 0 else diff + (1 << t) - 1, t)
+                            else:
+                                put((zz0 >> al) & 1, 1)
+        flush_bits()
+
+    def ac_first_scan(ci, ss, se, al):
+        sos_header([ci], ss, se, 0, al)
+        bw, _bh, ubw, ubh = bgrid[ci]
+        eobrun = [0]
+
+        def flush_eobrun():
+            if eobrun[0]:
+                n = eobrun[0].bit_length() - 1
+                put_code(ac_code, n << 4)
+                if n:
+                    put(eobrun[0] & ((1 << n) - 1), n)
+                eobrun[0] = 0
+
+        for by in range(ubh):
+            for bx in range(ubw):
+                zz = blocks[ci][by * bw + bx]
+                band = [
+                    (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+                    for k in range(ss, se + 1)
+                ]
+                last = max((i for i, v in enumerate(band) if v), default=-1)
+                if last < 0:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                r = 0
+                for i in range(last + 1):
+                    v = band[i]
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        put_code(ac_code, 0xF0)
+                        r -= 16
+                    s = mag_bits(v)
+                    put_code(ac_code, r << 4 | s)
+                    put(v if v > 0 else v + (1 << s) - 1, s)
+                    r = 0
+                if last < se - ss:
+                    eobrun[0] += 1
+                    if eobrun[0] == 0x7FFF:
+                        flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+
+    def ac_refine_scan(ci, ss, se, ah):
+        al = ah - 1
+        sos_header([ci], ss, se, ah, al)
+        bw, _bh, ubw, ubh = bgrid[ci]
+        eobrun = [0]
+        be_bits: list[int] = []  # correction bits pending with the EOB run
+
+        def flush_eobrun():
+            if eobrun[0]:
+                n = eobrun[0].bit_length() - 1
+                put_code(ac_code, n << 4)
+                if n:
+                    put(eobrun[0] & ((1 << n) - 1), n)
+                eobrun[0] = 0
+            for b in be_bits:
+                put(b, 1)
+            be_bits.clear()
+
+        for by in range(ubh):
+            for bx in range(ubw):
+                zz = blocks[ci][by * bw + bx]
+                absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+                # index (band-relative) of the last NEWLY-nonzero coef
+                eob = -1
+                for i, v in enumerate(absv):
+                    if v == 1:
+                        eob = i
+                r = 0
+                br: list[int] = []  # this block's pending correction bits
+                for i, temp in enumerate(absv):
+                    if temp == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eobrun()
+                        put_code(ac_code, 0xF0)
+                        r -= 16
+                        for b in br:
+                            put(b, 1)
+                        br = []
+                    if temp > 1:
+                        br.append(temp & 1)  # history coef: correction bit
+                        continue
+                    flush_eobrun()
+                    put_code(ac_code, r << 4 | 1)
+                    put(1 if zz[ss + i] >= 0 else 0, 1)
+                    for b in br:
+                        put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun[0] += 1
+                    be_bits.extend(br)
+                    if eobrun[0] == 0x7FFF or len(be_bits) > 900:
+                        flush_eobrun()
+        flush_eobrun()
+        flush_bits()
+
+    if ncomp == 1:
+        dc_scan([0], 0, 1)
+        ac_first_scan(0, 1, 63, 2)
+        ac_refine_scan(0, 1, 63, 2)
+        dc_scan([0], 1, 0)
+        ac_refine_scan(0, 1, 63, 1)
+    else:
+        dc_scan([0, 1, 2], 0, 1)
+        ac_first_scan(0, 1, 5, 2)
+        ac_first_scan(2, 1, 63, 1)
+        ac_first_scan(1, 1, 63, 1)
+        ac_first_scan(0, 6, 63, 2)
+        ac_refine_scan(0, 1, 63, 2)
+        dc_scan([0, 1, 2], 1, 0)
+        ac_refine_scan(2, 1, 63, 1)
+        ac_refine_scan(1, 1, 63, 1)
+        ac_refine_scan(0, 1, 63, 1)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
