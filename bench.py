@@ -186,7 +186,13 @@ def main() -> None:
             }
             for name, r in runs.items()
         }
-    full_path = os.path.join(
+    # The full per-query record (spread included) goes to a side file so
+    # the driver's 2000-char stdout tail never loses it.  The path is
+    # overridable so the bench-contract tests (which run this script as
+    # a subprocess) can point it at a tmpdir instead of clobbering the
+    # round's real record — last_run_full.json is gitignored either way,
+    # the durable copies are the committed bench_snapshots/rNN.json.
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_FULL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "bench_snapshots",
         "last_run_full.json",

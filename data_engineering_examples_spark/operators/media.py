@@ -822,7 +822,14 @@ def _jpeg_prog_scan(
                             break
                         r -= 1
                     k += 1
-                if newval and k <= se:
+                if newval:
+                    if k > se:
+                        # match ac_first: a run that exhausts the band
+                        # with a decoded coefficient still pending is a
+                        # corrupt stream, never silently droppable
+                        raise ValueError(
+                            "JPEG AC index overrun in progressive scan"
+                        )
                     blk[k] = newval
                 k += 1
         if state["eobrun"] > 0:
@@ -848,24 +855,44 @@ def _jpeg_prog_scan(
             state["eobrun"] = 0
             state["pred"] = {cid: 0 for cid, _, _ in scomps}
 
-    if ss == 0:  # DC scan: interleaved over the (padded) MCU grid
+    if ss == 0:  # DC scan
         if se != 0:
             raise ValueError("DC scan must have Se = 0")
-        n = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                maybe_restart(n)
-                for cid, td, _ta in scomps:
-                    bw, _bh, _ubw, _ubh, h, v, _tq = geom[cid]
-                    for byi in range(v):
-                        for bxi in range(h):
-                            bi = (my * v + byi) * bw + mx * h + bxi
-                            blk = coefs[cid][bi]
-                            if ah == 0:
-                                dc_first(blk, cid, td)
-                            else:
-                                dc_refine(blk)
-                n += 1
+        if len(scomps) == 1:
+            # Non-interleaved DC scan (Ns = 1): T.81 A.2.2 — the MCU is
+            # one data unit and the scan walks the component's OWN
+            # unpadded block grid, NOT the interleaved MCU-padded grid.
+            # On a subsampled multi-component frame the two orders
+            # differ, so routing this through the interleaved walk
+            # would decode to silently wrong pixels.
+            cid, td, _ta = scomps[0]
+            bw, _bh, ubw, ubh, _h, _v, _tq = geom[cid]
+            n = 0
+            for by in range(ubh):
+                for bx in range(ubw):
+                    maybe_restart(n)
+                    blk = coefs[cid][by * bw + bx]
+                    if ah == 0:
+                        dc_first(blk, cid, td)
+                    else:
+                        dc_refine(blk)
+                    n += 1
+        else:  # interleaved over the (padded) MCU grid
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    maybe_restart(n)
+                    for cid, td, _ta in scomps:
+                        bw, _bh, _ubw, _ubh, h, v, _tq = geom[cid]
+                        for byi in range(v):
+                            for bxi in range(h):
+                                bi = (my * v + byi) * bw + mx * h + bxi
+                                blk = coefs[cid][bi]
+                                if ah == 0:
+                                    dc_first(blk, cid, td)
+                                else:
+                                    dc_refine(blk)
+                    n += 1
     else:  # AC scan: exactly one component, unpadded block grid
         if len(scomps) != 1:
             raise ValueError("progressive AC scan must be non-interleaved")

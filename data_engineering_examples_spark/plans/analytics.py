@@ -4813,8 +4813,12 @@ def _bucketed_landing(spark: SparkSession, sf_dir: str, name: str,
     "q193_small_files_audit",
     oracle=f"""
     WITH per_file AS (
+      -- ((x % n) + n) % n == Spark pmod(x, n) even for negative ids
+      -- (DuckDB % is sign-following); fixtures are non-negative today
+      -- but the oracle must not silently diverge if that changes.
       SELECT CAST(count(*) AS BIGINT) AS rows_per_file
-      FROM events GROUP BY event_id % {Q193_FILES}
+      FROM events
+      GROUP BY ((event_id % {Q193_FILES}) + {Q193_FILES}) % {Q193_FILES}
     )
     SELECT rows_per_file, CAST(count(*) AS BIGINT) AS n_files
     FROM per_file GROUP BY rows_per_file
@@ -5471,8 +5475,12 @@ Q219_GROUPS = 16  # target rows per output group = n // 16 + 1
     "q219_compaction_plan",
     oracle=f"""
     WITH per_file AS (
-      SELECT event_id % {Q219_FILES} AS b, count(*) AS rows_per_file
-      FROM events GROUP BY event_id % {Q219_FILES}
+      -- pmod-equivalent bucketing: matches Spark pmod(event_id, n)
+      -- even if event_id goes negative (DuckDB % is sign-following)
+      SELECT ((event_id % {Q219_FILES}) + {Q219_FILES}) % {Q219_FILES} AS b,
+             count(*) AS rows_per_file
+      FROM events
+      GROUP BY ((event_id % {Q219_FILES}) + {Q219_FILES}) % {Q219_FILES}
     ),
     params AS (SELECT count(*) // {Q219_GROUPS} + 1 AS t FROM events),
     cum AS (

@@ -12,12 +12,15 @@ import subprocess
 import sys
 
 
-def test_bench_prints_one_json_line_with_contract_keys():
+def test_bench_prints_one_json_line_with_contract_keys(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_BENCH_ONLY"] = "q01_pricing_summary,q03_top_orders"
     env["SPARK_GRAFT_BENCH_REPEAT"] = "1"  # cover the no-spread branch
     env["SPARK_GRAFT_CPUS"] = "4"
+    # NEVER write into the repo's bench_snapshots/ from a test: that
+    # would overwrite the round's real full-record artifact.
+    env["SPARK_GRAFT_BENCH_FULL_PATH"] = str(tmp_path / "full.json")
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,
@@ -37,14 +40,18 @@ def test_bench_prints_one_json_line_with_contract_keys():
     assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
     # per-query timings go to stderr, never stdout
     assert "q01_pricing_summary" in out.stderr
+    # the full record landed at the env-var path, NOT in the repo tree
+    full = json.loads((tmp_path / "full.json").read_text())
+    assert full["queries"] == rec["queries"]
 
 
-def test_bench_repeat_reports_median_and_spread():
+def test_bench_repeat_reports_median_and_spread(tmp_path):
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_BENCH_ONLY"] = "q01_pricing_summary"
     env["SPARK_GRAFT_BENCH_REPEAT"] = "3"
     env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_BENCH_FULL_PATH"] = str(tmp_path / "full.json")
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True,

@@ -449,6 +449,29 @@ def test_builtin_jpeg_progressive_matches_baseline_pixels():
         assert prog.pixels == base.pixels, (w, h, kw)
 
 
+def test_builtin_jpeg_progressive_noninterleaved_dc_scans():
+    """Spec-valid Ns=1 DC scans (T.81 A.2.2) walk the component's OWN
+    unpadded block grid — on a 4:2:0 frame with partial MCUs that order
+    differs from the interleaved MCU walk, so a decoder that reuses the
+    interleaved path produces silently wrong pixels.  Pixels must stay
+    bit-identical with the baseline decode (both first and refinement
+    DC passes are emitted non-interleaved)."""
+    from tools.media_encoders import jpeg_encode_progressive
+
+    cases = [
+        (24, 16, {"subsample": True}),
+        (18, 10, {"subsample": True}),  # padded partial MCUs: orders differ
+        (19, 13, {}),
+    ]
+    for w, h, kw in cases:
+        rgb = bytes((i * 2654435761) % 256 for i in range(w * h * 3))
+        base = decode_image(_jpeg_encode(rgb, w, h, **kw))
+        prog = decode_image(
+            jpeg_encode_progressive(rgb, w, h, dc_noninterleaved=True, **kw)
+        )
+        assert prog.pixels == base.pixels, (w, h, kw)
+
+
 def test_builtin_jpeg_progressive_long_eob_runs():
     """A uniform image makes every AC band all-zero: the whole scan is
     one EOB run per pass, and refinement passes exercise the

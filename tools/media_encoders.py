@@ -282,6 +282,7 @@ def jpeg_encode_progressive(
     subsample: bool = False,
     q: int = 1,
     gray: bool = False,
+    dc_noninterleaved: bool = False,
 ) -> bytes:
     """Progressive JPEG (T.81 SOF2): same color/FDCT/quant pipeline as
     :func:`jpeg_encode`, emitted as the libjpeg standard 10-scan script
@@ -438,24 +439,37 @@ def jpeg_encode_progressive(
     def dc_scan(comp_ids, ah, al):
         sos_header(comp_ids, 0, 0, ah, al)
         pred = {ci: 0 for ci in comp_ids}
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci in comp_ids:
-                    hi, vi = samp[ci]
-                    bw = bgrid[ci][0]
-                    for byi in range(vi):
-                        for bxi in range(hi):
-                            zz0 = blocks[ci][(my * vi + byi) * bw + mx * hi + bxi][0]
-                            if ah == 0:
-                                v = zz0 >> al  # arithmetic shift (T.81 DC)
-                                diff = v - pred[ci]
-                                pred[ci] = v
-                                t = mag_bits(diff)
-                                put_code(dc_code, t)
-                                if t:
-                                    put(diff if diff > 0 else diff + (1 << t) - 1, t)
-                            else:
-                                put((zz0 >> al) & 1, 1)
+
+        def emit(ci, bi):
+            zz0 = blocks[ci][bi][0]
+            if ah == 0:
+                v = zz0 >> al  # arithmetic shift (T.81 DC)
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = mag_bits(diff)
+                put_code(dc_code, t)
+                if t:
+                    put(diff if diff > 0 else diff + (1 << t) - 1, t)
+            else:
+                put((zz0 >> al) & 1, 1)
+
+        if len(comp_ids) == 1:
+            # Non-interleaved (Ns=1) scan: T.81 A.2.2 — walk the
+            # component's own UNPADDED block grid, not the MCU grid.
+            ci = comp_ids[0]
+            bw, _bh, ubw, ubh = bgrid[ci]
+            for by in range(ubh):
+                for bx in range(ubw):
+                    emit(ci, by * bw + bx)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for ci in comp_ids:
+                        hi, vi = samp[ci]
+                        bw = bgrid[ci][0]
+                        for byi in range(vi):
+                            for bxi in range(hi):
+                                emit(ci, (my * vi + byi) * bw + mx * hi + bxi)
         flush_bits()
 
     def ac_first_scan(ci, ss, se, al):
@@ -570,13 +584,28 @@ def jpeg_encode_progressive(
         dc_scan([0], 1, 0)
         ac_refine_scan(0, 1, 63, 1)
     else:
-        dc_scan([0, 1, 2], 0, 1)
+        # dc_noninterleaved exercises the spec-valid Ns=1 DC scan shape
+        # (T.81 A.2.2): per-component scans in the component's own
+        # unpadded block order — on a subsampled frame this order
+        # DIFFERS from the interleaved MCU walk, which is exactly the
+        # decoder path the round-trip test needs to pin.
+        if dc_noninterleaved:
+            dc_scan([0], 0, 1)
+            dc_scan([1], 0, 1)
+            dc_scan([2], 0, 1)
+        else:
+            dc_scan([0, 1, 2], 0, 1)
         ac_first_scan(0, 1, 5, 2)
         ac_first_scan(2, 1, 63, 1)
         ac_first_scan(1, 1, 63, 1)
         ac_first_scan(0, 6, 63, 2)
         ac_refine_scan(0, 1, 63, 2)
-        dc_scan([0, 1, 2], 1, 0)
+        if dc_noninterleaved:
+            dc_scan([0], 1, 0)
+            dc_scan([1], 1, 0)
+            dc_scan([2], 1, 0)
+        else:
+            dc_scan([0, 1, 2], 1, 0)
         ac_refine_scan(2, 1, 63, 1)
         ac_refine_scan(1, 1, 63, 1)
         ac_refine_scan(0, 1, 63, 1)
