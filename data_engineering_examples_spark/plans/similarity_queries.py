@@ -20,7 +20,13 @@ Float determinism: all dot products fold LEFT-TO-RIGHT IN DOUBLE
 oracles below use the explicit double form.
 
 Everything is built-in higher-order Column expressions — no UDFs; the
-vector math runs inside codegen on the JVM.
+vector math runs inside codegen on the JVM.  One measured exception:
+q235's within-cluster pair stage (quadratic in the dominant cluster
+size) uses an Arrow-batched ``applyInPandas`` kernel — a BLAS matmul
+candidate screen with a rigorous error margin, then the EXACT
+left-to-right fold re-evaluated on the boundary band — because the
+interpreted higher-order fold costs ~140µs per pair and the pair count
+is 10× q231's (see ``_semdedup_edges_arrow``).
 """
 
 from __future__ import annotations
@@ -2109,8 +2115,15 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nb"),
     )
     pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # broadcast the probe side: a shuffled join on cid puts EVERY pair
+    # of a cluster on one task, so one dominant cluster serializes the
+    # whole quadratic pair stage on a single core; with b broadcast the
+    # pair enumeration parallelizes over a's partitions no matter how
+    # skewed the cluster sizes are.  (At corpus scale, where the table
+    # outgrows a broadcast, the equivalent is salting a's cluster keys —
+    # q234's pattern — but here the pair side is N rows by definition.)
     edges = (
-        a.join(b, "cid")
+        a.join(F.broadcast(b), "cid")
         .filter(F.col("u") < F.col("v"))
         .filter(pair_cos >= SEMDEDUP_COS)
         .select("u", "v")
@@ -2168,9 +2181,77 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tables stay K·DIM rows (broadcast); the pair stage shuffles once on
 # the learned cluster id; CC touches edge endpoints only.  K scales
 # ~sqrt(N) by widening the seed list — the knob q231's docstring
-# prescribes, exercised at the synthetic-sf1 sweep.
+# prescribes (see bench_snapshots/README.md synthetic-sf1 section for
+# the measured scaling record).
 
 Q235_ITERS = 2  # Lloyd rounds, unrolled in the oracle
+
+#: Candidate-screen slack for the BLAS pairwise dot.  The exact
+#: predicate is fold(a·b)/(|a||b|) >= t where fold is the sequential
+#: left-to-right sum; the screen uses a BLAS matmul whose summation
+#: order differs.  Both are within k·eps of the true dot:
+#: |fold − matmul| ≤ 2k·eps·Σ|a_i·b_i| ≤ 2·64·2.2e-16·|a||b|  (Cauchy-
+#: Schwarz), i.e. the COSINE gap is ≤ ~3e-14.  A 1e-9 margin is 4.5
+#: orders of magnitude wider, so no pair the exact fold would accept
+#: can be screened out; everything inside the band is re-evaluated with
+#: the exact fold, which is the predicate that decides.
+_SEMDEDUP_SCREEN_SLACK = 1e-9
+
+
+def _semdedup_edges_arrow(m: DataFrame, threshold: float) -> DataFrame:
+    """Within-cluster cosine edges (u < v) via a grouped Arrow kernel.
+
+    ``m`` holds one row per vector: (vec_id, cluster, e: array<double>,
+    nrm: double).  The JVM formulation — self-join on cluster + the
+    higher-order ``aggregate(zip_with(...))`` fold per pair — is
+    interpreted (CodegenFallback), ~140µs/pair·core measured at sf0.1;
+    with one Lloyd round collapsing 80% of vectors into one cluster the
+    1.3M candidate pairs cost ~6s.  Here each cluster ships ONCE
+    (N rows total, not N² pair rows), BLAS computes all pairwise dots,
+    and only the pairs inside the screen band (see
+    ``_SEMDEDUP_SCREEN_SLACK``) re-run the exact sequential fold that
+    defines the predicate — bit-identical to the JVM/DuckDB fold, which
+    numpy ``cumsum`` reproduces (element products are single IEEE ops;
+    cumsum accumulates strictly left-to-right).
+
+    Scale note: one group = one task, so the dominant cluster's O(n²)
+    screen runs single-task — but as a dgemm, ~50ms per 1.6k×1.6k
+    cluster.  At corpus scale the same kernel applies per cluster after
+    the k-means K is widened ~sqrt(N) (q231's knob), which bounds n.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lo = threshold - _SEMDEDUP_SCREEN_SLACK
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame({
+            "u": pd.Series(dtype="int64"), "v": pd.Series(dtype="int64"),
+        })
+        if n < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        emb = np.vstack(pdf["e"].to_numpy())
+        nrm = pdf["nrm"].to_numpy(dtype="float64")
+        cos_fast = (emb @ emb.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(n, k=1)
+        band = cos_fast[iu, ju] >= lo
+        ci, cj = iu[band], ju[band]
+        if ci.size == 0:
+            return empty
+        # exact left-to-right fold on the candidates only
+        dots = np.cumsum(emb[ci] * emb[cj], axis=1)[:, -1]
+        keep = (dots / (nrm[ci] * nrm[cj])) >= threshold
+        uu = ids[ci[keep]]
+        vv = ids[cj[keep]]
+        return pd.DataFrame({
+            "u": np.minimum(uu, vv), "v": np.maximum(uu, vv),
+        })
+
+    return m.select("vec_id", "cluster", "e", "nrm").groupBy(
+        "cluster"
+    ).applyInPandas(pairs, "u long, v long")
 
 
 def _duck_semdedup_learned_oracle() -> str:
@@ -2280,11 +2361,20 @@ def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xq").alias("cs"),
         F.lit(1).cast("bigint").alias("n"),
     )
-    for _ in range(Q235_ITERS - 1):
-        cent = (
-            xq.join(assign(cent).select("vec_id", "cluster"), "vec_id")
+    for it in range(Q235_ITERS - 1):
+        # materialize the updated centroid table (K·DIM rows — tiny)
+        # between Lloyd rounds: without this the next round's broadcast
+        # re-executes the ENTIRE prior chain (xq join + assignment +
+        # re-aggregation) inside its own plan, tripling the runtime
+        # the assignment is N rows (one per vector) — broadcast it so
+        # the N·DIM substrate never shuffles for the centroid update
+        cent = materialize(
+            xq.join(
+                F.broadcast(assign(cent).select("vec_id", "cluster")), "vec_id"
+            )
             .groupBy("cluster", "dim")
-            .agg(F.sum("xq").alias("cs"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("xq").alias("cs"), F.count(F.lit(1)).alias("n")),
+            f"q235_cent_{it}",
         )
     vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
         "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
@@ -2294,25 +2384,12 @@ def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = materialize(
         assign(cent).join(vn, "vec_id"), "q235_assign"
     )
-    a = m.select(
-        F.col("vec_id").alias("u"),
-        F.col("cluster").alias("cid"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = m.select(
-        F.col("vec_id").alias("v"),
-        F.col("cluster").alias("cid"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    edges = (
-        a.join(b, "cid")
-        .filter(F.col("u") < F.col("v"))
-        .filter(pair_cos >= SEMDEDUP_COS)
-        .select("u", "v")
-    )
+    # one Lloyd round collapses most vectors into a dominant cluster
+    # (measured 1607/2000 at sf0.1 → 1.3M candidate pairs, 10× q231's),
+    # so the pair stage runs as the grouped Arrow kernel: BLAS screen +
+    # exact-fold recheck, identical edge set to the JVM fold by the
+    # margin argument at _SEMDEDUP_SCREEN_SLACK
+    edges = _semdedup_edges_arrow(m, SEMDEDUP_COS)
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
