@@ -68,29 +68,35 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots, r8 = fourth tranche) ---------
+    # first-time driver evidence (25 slots, r9 = fifth tranche) ----------
     # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
     # rotate each round to queries with no driver-green row yet
-    # (cumulative driver evidence after r7: 118 distinct queries; the r7
-    # first-timers — corpus/training, sketch, stateful-streaming,
-    # governance, perceptual near-dup — rotate out to the
-    # locally-verified tail).
-    # r7 newcomers, never driver-checked (text/ANN/sketch/governance)
-    "q214_boilerplate_ngrams", "q215_source_overlap_matrix",
-    "q216_repetition_signals", "q217_filtered_ann", "q218_hll_distinct",
-    "q219_compaction_plan", "q220_zorder_layout",
-    "q221_embedding_power_iteration", "q222_image_decode_audit",
-    "q223_audio_decode_audit", "q226_canonical_media",
-    "q227_cuped_adjustment", "q228_neardup_kcore",
-    "q229_twopass_quantiles", "q230_embedding_dim_stats",
-    "q231_semantic_dedup", "q232_quality_classifier",
-    "q233_concurrent_sessions",
-    # r8 newcomers (skew-salted interval join, learned-centroid SemDeDup)
-    "q234_concurrent_sessions_salted", "q235_semantic_dedup_learned",
-    # layout family + streaming drains (VERDICT r7 ask #1)
-    "q111_partition_pruning", "q114_compaction_roundtrip",
-    "q122_orc_roundtrip", "q120_stream_sessions",
-    "q130_stream_rollup_merge",
+    # (cumulative driver evidence after r8: 140 distinct queries; the r8
+    # first-timers — boilerplate/repetition text signals, filtered ANN,
+    # HLL, compaction/Z-order layout, SemDeDup, salted interval join,
+    # streaming drains — rotate out to the locally-verified tail).
+    # VERDICT r8 ask #1 families with ZERO driver evidence:
+    # correlated-subquery OLAP shapes
+    "q176_delta_join_view", "q177_part_value_share",
+    "q178_dormant_rich_customers", "q179_dominant_part_suppliers",
+    "q180_sole_supplier_orders",
+    # OLAP report family (pivot/unpivot/cube/grouping-sets)
+    "q125_pivot_event_matrix", "q126_unpivot_event_matrix",
+    "q127_cube_order_stats", "q137_grouping_sets_report",
+    # governance
+    "q131_patient_linkage", "q132_erasure_cascade",
+    "q150_write_audit_publish",
+    # streaming
+    "q97_stream_attribution", "q185_ods_zip_stream",
+    # ML-adjacent (q94 is q235's own Lloyd dependency)
+    "q94_kmeans_refine", "q101_pq_codes", "q106_hard_negatives",
+    "q107_embedding_drift",
+    # external-send / retrieval / vocab
+    "q86_external_send_audit", "q87_ranked_retrieval", "q88_vocab_build",
+    # breadth fill: layout audit (oracle touched r9), surprisal (r8
+    # drift-flagged), media features, tf-idf
+    "q193_small_files_audit", "q135_lm_surprisal_filter",
+    "q44_media_features", "q73_tfidf_terms",
 )
 
 
