@@ -311,13 +311,18 @@ def q160_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_image_decode_audit",
     oracle=f"""
     SELECT media_id, format,
-           CAST(width AS INT) AS decoded_width,
-           CAST(height AS INT) AS decoded_height
+           format NOT IN ('png-adam7', 'webp') AS decode_ok,
+           CASE WHEN format NOT IN ('png-adam7', 'webp')
+                THEN CAST(width AS INT) END AS decoded_width,
+           CASE WHEN format NOT IN ('png-adam7', 'webp')
+                THEN CAST(height AS INT) END AS decoded_height
     FROM read_parquet('{FX}/media.parquet')
     WHERE kind = 'image'
     """,
     doc="image decode audit: stdlib decode of every BMP/PPM/PNG/JPEG "
-    "payload in mapInPandas; dimensions must match declared metadata",
+    "payload in mapInPandas; dimensions must match declared metadata; "
+    "unsupported-but-valid formats (Adam7 PNG, WebP) surface as "
+    "decode_ok=false rows, never a crash",
     tags=("multimodal", "llm", "mapInPandas"),
 )
 def q222_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,16 +342,28 @@ def q222_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid, fmt, payload in zip(
                 pdf["media_id"], pdf["format"], pdf["payload"]
             ):
-                img = decode_image(bytes(payload))
-                out.append((mid, fmt, img.width, img.height))
+                # NotImplementedError = recognized-but-unsupported
+                # format: an audit row, not a pipeline crash.
+                # ValueError (corrupt stream) still raises — silent
+                # tolerance of corruption is how wrong pixels ship.
+                try:
+                    img = decode_image(bytes(payload))
+                except NotImplementedError:
+                    out.append((mid, fmt, False, None, None))
+                else:
+                    out.append((mid, fmt, True, img.width, img.height))
             yield pd.DataFrame(
                 out,
-                columns=["media_id", "format", "decoded_width", "decoded_height"],
+                columns=[
+                    "media_id", "format", "decode_ok",
+                    "decoded_width", "decoded_height",
+                ],
             )
 
     return m.mapInPandas(
         decode,
-        "media_id bigint, format string, decoded_width int, decoded_height int",
+        "media_id bigint, format string, decode_ok boolean, "
+        "decoded_width int, decoded_height int",
     )
 
 
@@ -450,14 +467,28 @@ def _phash_pairs(spark: SparkSession, scratch_name: str) -> DataFrame:
     def hash_batch(batches):
         import pandas as pd
 
+        def safe_dhash(p):
+            # unsupported-but-valid formats (Adam7 PNG, WebP seam
+            # fixtures) carry no perceptual hash and simply can't
+            # near-dup; corrupt streams (ValueError) still raise
+            try:
+                return dhash(decode_image(bytes(p)))
+            except NotImplementedError:
+                return None
+
         for pdf in batches:
+            hashes = [safe_dhash(p) for p in pdf["payload"]]
+            keep = [h is not None for h in hashes]
+            # build from filtered lists, NOT a notna() mask on a mixed
+            # column: None would coerce the int64 hashes to float64 and
+            # corrupt any value above 2^53
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "format": pdf["format"],
-                    "dhash": [
-                        dhash(decode_image(bytes(p))) for p in pdf["payload"]
-                    ],
+                    "media_id": pdf["media_id"][keep].to_numpy(),
+                    "format": pdf["format"][keep].to_numpy(),
+                    "dhash": pd.Series(
+                        [h for h in hashes if h is not None], dtype="int64"
+                    ),
                 }
             )
 

@@ -484,6 +484,45 @@ def test_builtin_jpeg_progressive_long_eob_runs():
     assert prog.pixels == base.pixels
 
 
+def test_adam7_and_webp_seam_payloads_skip_gracefully(spark):
+    """The fixture corpus carries one Adam7-interlaced PNG and one WebP
+    container — spec-shaped payloads the built-in decoder deliberately
+    does not decode.  They must flow through the media queries as
+    decode_ok=false / hash-skipped rows, never a crash (a real corpus
+    shard WILL contain such files)."""
+    from tools.media_encoders import png_encode_adam7, webp_container
+
+    rgb = bytes(range(13 * 9 * 3 % 256)) * 0 + bytes(
+        (i * 37) % 256 for i in range(13 * 9 * 3)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_image(png_encode_adam7(rgb, 13, 9))
+    with pytest.raises(NotImplementedError):
+        decode_image(webp_container(b"\x01\x02\x03"))
+
+    from data_engineering_examples_spark.plans import all_specs
+
+    q222 = all_specs()["q222_image_decode_audit"].fn
+    rows = {
+        r.format: r
+        for r in q222(spark, "unused").collect()
+        if r.format in ("png-adam7", "webp")
+    }
+    assert set(rows) == {"png-adam7", "webp"}, "seam fixtures missing"
+    for r in rows.values():
+        assert r.decode_ok is False
+        assert r.decoded_width is None and r.decoded_height is None
+
+    # perceptual near-dup skips the seam rows instead of crashing, and
+    # still hashes everything else
+    q224 = all_specs()["q224_image_phash_neardup"].fn
+    pairs = q224(spark, "unused").collect()
+    ids = {r.a_id for r in pairs} | {r.b_id for r in pairs}
+    seam_ids = {rows["png-adam7"].media_id, rows["webp"].media_id}
+    assert not (ids & seam_ids)
+    assert len(pairs) > 0
+
+
 def test_builtin_jpeg_rejects_malformed_progressive():
     """A baseline-shaped SOS (full band, no approximation) under an
     SOF2 frame is spec-invalid: a progressive DC scan must have Se=0."""
@@ -581,7 +620,10 @@ def test_q224_band_join_matches_quadratic_truth(spark):
 
     rows = (
         _media(spark)
+        # seam fixtures (Adam7 PNG, WebP) are undecodable by design and
+        # carry no dhash — the quadratic truth skips them like the query
         .filter(F.col("kind") == "image")
+        .filter(F.col("dhash").isNotNull())
         .select("media_id", "dhash")
         .collect()
     )

@@ -520,7 +520,39 @@ def gen_media(rng: random.Random):
         })
     rows.extend(_gen_media_families(rng, next_id=len(rows)))
     rows.extend(_gen_audio_families(rng, next_id=len(rows)))
+    rows.extend(_gen_undecodable_images(rng, next_id=len(rows)))
     _stamp_media_dhash(rows)
+    return rows
+
+
+def _gen_undecodable_images(rng: random.Random, next_id: int) -> list:
+    """Two spec-shaped payloads the built-in decoder deliberately does
+    NOT decode — an Adam7-interlaced PNG (valid PNG, interlace=1) and a
+    WebP container (valid RIFF framing, opaque codec bytes).  They pin
+    the graceful-skip seam: the decode audit reports decode_ok=false
+    and the perceptual-hash queries skip them, instead of any of those
+    crashing on a real corpus shard that contains such files.  The
+    ``format`` metadata names the seam ('png-adam7', 'webp') so oracles
+    can express the skip without parsing bytes."""
+    from tools.media_encoders import png_encode_adam7, webp_container
+
+    w, h = 13, 9  # partial Adam7 passes on both axes
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    rows = [{
+        "media_id": next_id,
+        "doc_id": rng.randrange(500),
+        "kind": "image",
+        "format": "png-adam7",
+        "payload": png_encode_adam7(rgb, w, h),
+        "width": w, "height": h, "duration_ms": None,
+    }, {
+        "media_id": next_id + 1,
+        "doc_id": rng.randrange(500),
+        "kind": "image",
+        "format": "webp",
+        "payload": webp_container(bytes(rng.randrange(256) for _ in range(96))),
+        "width": 16, "height": 12, "duration_ms": None,
+    }]
     return rows
 
 
@@ -734,9 +766,17 @@ def _stamp_media_dhash(rows: list) -> None:
         envelope_hash,
     )
 
+    def _img_dhash(payload: bytes):
+        # undecodable seam formats (Adam7 PNG, WebP) carry NO dhash —
+        # the perceptual-hash queries skip them the same way
+        try:
+            return dhash(decode_image(payload))
+        except NotImplementedError:
+            return None
+
     for row in rows:
         row["dhash"] = (
-            dhash(decode_image(row["payload"])) if row["kind"] == "image" else None
+            _img_dhash(row["payload"]) if row["kind"] == "image" else None
         )
         row["ahash"] = (
             envelope_hash(decode_audio(row["payload"]))
@@ -757,7 +797,9 @@ def _stamp_media_dhash(rows: list) -> None:
                 assert ham <= 3, (a["media_id"], b["media_id"], ham)
             else:
                 assert ham >= 4, (a["media_id"], b["media_id"], ham)
-    imgs = [r for r in rows if r["kind"] == "image"]
+    imgs = [
+        r for r in rows if r["kind"] == "image" and r["dhash"] is not None
+    ]
     for i, a in enumerate(imgs):
         for b in imgs[i + 1 :]:
             ham = bin((a["dhash"] ^ b["dhash"]) & ((1 << 64) - 1)).count("1")

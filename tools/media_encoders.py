@@ -74,6 +74,63 @@ def png_encode(rgb: bytes, w: int, h: int) -> bytes:
     )
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass — PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def png_encode_adam7(rgb: bytes, w: int, h: int) -> bytes:
+    """8-bit truecolor PNG with Adam7 interlacing (IHDR interlace=1):
+    the seven reduced images serialized pass-by-pass, each reduced
+    scanline prefixed with filter type 0, empty passes omitted — PNG
+    spec §8.2.  Spec-valid output; the repo's decoder deliberately does
+    NOT implement Adam7 (documented seam, ``operators/media.py``), so
+    this encoder exists to pin the graceful-skip path through the media
+    queries, not a decode round-trip."""
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+        ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        for j in range(ph):
+            y = y0 + j * dy
+            raw.append(0)  # filter type 0 per reduced scanline
+            for i in range(pw):
+                x = x0 + i * dx
+                raw += rgb[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def webp_container(codec_payload: bytes) -> bytes:
+    """Minimal RIFF/WEBP container wrapping a ``VP8 `` chunk.  The RIFF
+    framing (fourccs, little-endian sizes, even-byte padding) is real;
+    the codec payload is caller-supplied opaque bytes — no VP8 encoder
+    exists here.  The fixture built on this pins that an unsupported
+    codec flows through the media queries as decode_ok=false rather
+    than a crash."""
+    body = codec_payload + (b"\x00" if len(codec_payload) % 2 else b"")
+    chunk = b"VP8 " + struct.pack("<I", len(codec_payload)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def wav_encode(frames: list[int], rate: int = 8000, n_ch: int = 1) -> bytes:
     """16-bit PCM RIFF/WAVE; ``frames`` is the interleaved sample list."""
     data = b"".join(struct.pack("<h", s) for s in frames)
