@@ -26,15 +26,33 @@ from pyspark.sql import functions as F
 from ..scratch import materialize
 
 
+#: Hard cap on CC iterations.  Min-label propagation with pointer
+#: jumping roughly halves the label-tree depth per round, so 64 rounds
+#: covers any graph that fits in an int64 id space; hitting the cap
+#: means the iteration is broken, not the graph big.
+_CC_MAX_ROUNDS = 64
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, rounds: int, scratch_prefix: str = "cc"
 ) -> DataFrame:
     """``nodes``: one column ``id``; ``edges``: columns ``u``, ``v``
     (one direction suffices — both are added here). Returns
     ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
-    node id. ``rounds`` must cover log2(component diameter); callers
-    pair this with an oracle that computes the full closure so an
-    insufficient round count fails loudly.
+    node id.
+
+    Iterates TO CONVERGENCE: ``rounds`` is the expected budget (a floor
+    on how many rounds run without checking), after which each round
+    pays one scalar aggregate on the already-materialized label table
+    to test the fixpoint.  Labels only ever decrease, so the exact
+    DECIMAL sum is strictly monotone and "sum unchanged" == "no label
+    moved" == converged.  A fixed round count matched to the test
+    fixture is NOT scale-safe — the r9 synthetic-sf1 sweep caught
+    exactly that: 10× data produced components whose diameter exceeded
+    the 4-round budget q235 shipped with, and the full-closure oracle
+    flagged the truncated labels.  The one-row fetch per checked round
+    is a convergence gate, not a data path (same category as q150's
+    audit verdict fetch; pinned in test_plan_invariants).
 
     ``scratch_prefix`` keys this caller's materialized substrates: two
     DIFFERENT callers in one process (doc dedup, patient linkage) must
@@ -50,7 +68,8 @@ def connected_components(
         f"{scratch_prefix}_edges",
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
-    for rnd in range(rounds):
+    prev_sum = None
+    for rnd in range(_CC_MAX_ROUNDS):
         neighbour_min = (
             bidir.join(labels, bidir.v == labels.id)
             .groupBy("u")
@@ -70,7 +89,24 @@ def connected_components(
             ),
             f"{scratch_prefix}_labels_r{rnd}",
         )
-    return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))
+        # skip the fixpoint probe while inside the expected budget (the
+        # first rounds almost never converge; don't pay the scalar agg)
+        if rnd + 2 < rounds:
+            continue
+        cur_sum = (
+            labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).first()
+        ).s
+        if prev_sum is not None and cur_sum == prev_sum:
+            return labels.groupBy("id").agg(F.min("label").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components did not converge within {_CC_MAX_ROUNDS} "
+        f"rounds (scratch_prefix={scratch_prefix!r}) — monotone min-label "
+        "propagation with pointer jumping must fix within log2(id-space); "
+        "this indicates a broken edge table, not a large graph"
+    )
 
 
 def k_core(edges: DataFrame, k: int, rounds: int, scratch_prefix: str = "kcore") -> DataFrame:

@@ -203,6 +203,32 @@ def test_embedding_drift_zero_for_mirrored_batches(spark, tmp_path):
         assert r.drift_sq == 0.0
 
 
+def test_cc_converges_past_round_hint_on_long_path(spark):
+    """The r9 synthetic-sf1 sweep caught a fixed CC round budget
+    silently truncating large-diameter components (q235 at 10× data).
+    connected_components must now iterate to the FIXPOINT regardless of
+    the ``rounds`` hint: a 200-node path graph (diameter 199) with a
+    hint of 2 must still collapse to one component labeled by the
+    minimum id."""
+    from data_engineering_examples_spark.operators.graph import (
+        connected_components,
+    )
+
+    n = 200
+    nodes = spark.range(n).select(F.col("id"))
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    )
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            nodes, edges, rounds=2, scratch_prefix="t_ccpath"
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+
+
 def test_cc_scratch_isolation_across_callers(spark):
     """Two different connected_components callers in ONE process must
     not overwrite each other's materialized label substrates: build
