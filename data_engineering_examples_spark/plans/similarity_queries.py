@@ -2234,17 +2234,31 @@ def _semdedup_edges_arrow(m: DataFrame, threshold: float) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         emb = np.vstack(pdf["e"].to_numpy())
         nrm = pdf["nrm"].to_numpy(dtype="float64")
-        cos_fast = (emb @ emb.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(n, k=1)
-        band = cos_fast[iu, ju] >= lo
-        ci, cj = iu[band], ju[band]
-        if ci.size == 0:
+        # row-block the screen: the full n×n cosine matrix (plus
+        # triu index arrays) is O(n²·8B) — ~2 GB per 16k-row cluster,
+        # which the sf1 sweep measured as allocator thrash.  A 512-row
+        # block keeps peak memory at block×n doubles (~64 MB) with the
+        # same dgemm throughput.
+        blk = 512
+        out_u, out_v = [], []
+        for s in range(0, n - 1, blk):
+            e = min(s + blk, n)
+            cos_fast = (emb[s:e] @ emb.T) / np.outer(nrm[s:e], nrm)
+            bi, bj = np.nonzero(cos_fast >= lo)
+            gi = bi + s
+            upper = bj > gi  # strict upper triangle, global indices
+            ci, cj = gi[upper], bj[upper]
+            if ci.size == 0:
+                continue
+            # exact left-to-right fold on the candidates only
+            dots = np.cumsum(emb[ci] * emb[cj], axis=1)[:, -1]
+            keep = (dots / (nrm[ci] * nrm[cj])) >= threshold
+            out_u.append(ids[ci[keep]])
+            out_v.append(ids[cj[keep]])
+        if not out_u:
             return empty
-        # exact left-to-right fold on the candidates only
-        dots = np.cumsum(emb[ci] * emb[cj], axis=1)[:, -1]
-        keep = (dots / (nrm[ci] * nrm[cj])) >= threshold
-        uu = ids[ci[keep]]
-        vv = ids[cj[keep]]
+        uu = np.concatenate(out_u)
+        vv = np.concatenate(out_v)
         return pd.DataFrame({
             "u": np.minimum(uu, vv), "v": np.maximum(uu, vv),
         })
