@@ -243,6 +243,102 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q236 — train/eval contamination detection (decontamination scan).
+# The standard pre-training hygiene pass (GPT-3 appendix C shape):
+# every document of a small held-out EVAL set is checked for n-gram
+# CONTAINMENT in the training corpus — an eval doc whose shingles
+# largely reappear in some training doc is contaminated and the train
+# doc must be dropped before training.  Containment, not Jaccard: a
+# short eval doc embedded in a long train doc has low Jaccard but
+# containment ~1, which is exactly the leak signal.
+#
+# The eval set is the deterministic ~1% slice doc_id % EVAL_MOD == 0
+# (a real pipeline would ship a benchmark fingerprint table; the slice
+# keeps the query self-contained over the fixture corpus).
+#
+# Scale shape — the part that matters at 100 TB of training text: the
+# candidate join BROADCASTS the eval-side shingle set (eval suites are
+# millions of n-grams at most) against the training substrate, so the
+# training corpus is scanned ONCE with scan-local hash probes — no
+# shuffle of the big side at all.  The only full exchange is the
+# df-cap window on the shingle key (shared discipline with q23: a
+# boilerplate shingle in d train docs fans out d× per eval occurrence,
+# so ubiquitous shingles are cut on BOTH sides, keeping containment a
+# true fraction over the informative-shingle space).  The final
+# (eval_doc, train_doc) aggregation groups the broadcast-join output —
+# partial aggregation collapses it map-side to at most
+# |eval docs| × |matched train docs| rows.
+
+EVAL_MOD = 97
+CONTAMINATION_MIN_SHARED = 2
+
+
+@register(
+    "q236_eval_contamination",
+    oracle=f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    shf AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+      ) WHERE df <= {MAX_SHINGLE_DF}
+    ),
+    ev AS (SELECT doc_id, sh FROM shf WHERE doc_id % {EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, sh FROM shf WHERE doc_id % {EVAL_MOD} <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+    inter AS (
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc,
+             count(*) AS shared
+      FROM ev e JOIN tr t ON e.sh = t.sh
+      GROUP BY 1, 2 HAVING count(*) >= {CONTAMINATION_MIN_SHARED}
+    )
+    SELECT i.eval_doc, i.train_doc, i.shared,
+           CAST(i.shared AS DOUBLE) / s.n AS containment
+    FROM inter i JOIN sizes s ON s.doc_id = i.eval_doc
+    """,
+    doc="train/eval contamination scan: eval-set shingles broadcast "
+    "against the df-capped training substrate, n-gram containment per "
+    "(eval, train) pair — the decontamination pass a pre-training "
+    "pipeline runs before every training run",
+    tags=("dedup", "llm", "governance"),
+)
+def q236_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("shingle")
+    # one shuffle on the shingle key for the df cap (q23's discipline),
+    # materialized once: eval split, train split and the size lookup
+    # all read it
+    sh = materialize(
+        _hashed_shingles(spark, sf_dir)
+        .withColumnRenamed("sh", "shingle")
+        .withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .drop("df"),
+        "q236_shingles",
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_doc"), "shingle"
+    )
+    tr = sh.filter(~is_eval).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    sizes = ev.groupBy("eval_doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        # broadcast the SMALL eval fingerprint set: the training
+        # substrate streams through scan-local probes, never shuffles
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("eval_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= CONTAMINATION_MIN_SHARED)
+    )
+    return inter.join(F.broadcast(sizes), "eval_doc").select(
+        "eval_doc",
+        "train_doc",
+        "shared",
+        (F.col("shared").cast("double") / F.col("n")).alias("containment"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # q24 — MinHash-LSH candidate pairs. Fully deterministic: md5-derived
 # shingle ints, 16 affine permutations mod 2^31-1, 8 bands x 2 rows,
 # within-bucket self-join. The DuckDB oracle reproduces every step.

@@ -94,9 +94,11 @@ _PRIORITY: tuple = (
     # external-send / retrieval / vocab
     "q86_external_send_audit", "q87_ranked_retrieval", "q88_vocab_build",
     # breadth fill: layout audit (oracle touched r9), surprisal (r8
-    # drift-flagged), media features, tf-idf
+    # drift-flagged), media features, and the round's new operator
+    # (train/eval contamination scan — new queries get driver evidence
+    # in their birth round, the q234/q235 precedent)
     "q193_small_files_audit", "q135_lm_surprisal_filter",
-    "q44_media_features", "q73_tfidf_terms",
+    "q44_media_features", "q236_eval_contamination",
 )
 
 

@@ -68,6 +68,48 @@ def test_jaccard_ranks_near_dup_high(spark, dup_corpus):
     assert j[(0, 3)] > 0.7
 
 
+def test_eval_contamination_flags_planted_leak(spark, tmp_path_factory):
+    """q236: an eval doc whose text reappears (verbatim and lightly
+    edited) in training docs must surface with high containment; a
+    clean eval doc must not pair with anything.  Eval membership is
+    doc_id % 97 == 0, so ids 0 and 97 are eval, everything else is
+    training."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    edited = base.replace("echo", "exxo")  # keeps most shingles
+    docs = [
+        (0, base, "en", "eval"),            # eval doc, leaked
+        (97, "totally unrelated words only here nothing shared at all",
+         "en", "eval"),                      # eval doc, clean
+        (1, base, "en", "train"),            # verbatim leak
+        (2, edited, "en", "train"),          # near-verbatim leak
+        (3, "unshared training content goes here entirely", "en", "train"),
+    ]
+    d = tmp_path_factory.mktemp("contamsf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = all_specs()["q236_eval_contamination"].fn(spark, str(d)).collect()
+    c = {(r.eval_doc, r.train_doc): r.containment for r in rows}
+    assert c[(0, 1)] == 1.0                      # verbatim: full containment
+    assert 0.5 < c[(0, 2)] < 1.0                 # edited: high but partial
+    assert not any(e == 97 for e, _ in c)        # clean eval doc stays clean
+    shared = {(r.eval_doc, r.train_doc): r.shared for r in rows}
+    n_shingles = len(base.split()) - 2
+    assert shared[(0, 1)] == n_shingles          # exact shingle arithmetic
+
+
 def test_ann_recall_vs_brute_force(spark):
     """LSH ANN must recover a reasonable fraction of the true top-10."""
     sf = "/root/testdata/sf0.001"
