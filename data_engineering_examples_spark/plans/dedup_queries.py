@@ -252,6 +252,14 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # short eval doc embedded in a long train doc has low Jaccard but
 # containment ~1, which is exactly the leak signal.
 #
+# Relationship to q79 (corpus_queries): q79 answers "which TRAIN docs
+# touch the pooled eval shingle set at all" — a boolean drop-list, one
+# row per train doc, no attribution.  q236 answers the audit question
+# q79 can't: WHICH eval doc leaks into WHICH train doc and how badly
+# (per-pair containment fraction), with the df-cap discipline q79
+# deliberately omits.  A real pipeline runs q79's shape to cut and
+# q236's shape to report.
+#
 # The eval set is the deterministic ~1% slice doc_id % EVAL_MOD == 0
 # (a real pipeline would ship a benchmark fingerprint table; the slice
 # keeps the query self-contained over the fixture corpus).
