@@ -61,6 +61,16 @@ def connected_components(
     collect silently reads the wrong graph's labels. Repeated
     invocations of the SAME caller intentionally reuse the paths (the
     scratch module's wipe-per-call space-reuse contract)."""
+    if rounds > _CC_MAX_ROUNDS - 2:
+        # the fixpoint needs two probed rounds to be OBSERVED; a hint
+        # at/above the hard cap would suppress every probe and turn a
+        # converged graph into a guaranteed RuntimeError — reject it at
+        # call time instead
+        raise ValueError(
+            f"rounds hint {rounds} leaves no probe budget under the "
+            f"{_CC_MAX_ROUNDS}-round cap; pointer-jumped min-label "
+            "propagation never needs anywhere near this many rounds"
+        )
     bidir = materialize(
         edges.select("u", "v").union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -93,9 +103,17 @@ def connected_components(
         # first rounds almost never converge; don't pay the scalar agg)
         if rnd + 2 < rounds:
             continue
+        # coalesce: SUM over ZERO rows is NULL, and None == None never
+        # fires the equality guard — an empty node set (no edge reaches
+        # the threshold) must converge immediately, not burn the cap
+        # and raise.  Conflating NULL with 0 is safe: the test is
+        # "unchanged between rounds", and an empty table stays empty.
         cur_sum = (
             labels.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+                F.coalesce(
+                    F.sum(F.col("label").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("s")
             ).first()
         ).s
         if prev_sum is not None and cur_sum == prev_sum:

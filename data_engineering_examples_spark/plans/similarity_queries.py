@@ -2239,6 +2239,18 @@ def _semdedup_edges_arrow(m: DataFrame, threshold: float) -> DataFrame:
         # which the sf1 sweep measured as allocator thrash.  A 512-row
         # block keeps peak memory at block×n doubles (~64 MB) with the
         # same dgemm throughput.
+        # Zero-norm embeddings make every pair cosine 0/0.  The JVM
+        # path fails LOUDLY on that input (Spark 4 ANSI mode raises
+        # divideByZeroError — q231 does exactly this), and numpy would
+        # instead quietly produce NaN and drop the pairs; mirror the
+        # engine's contract so q235 can never silently diverge from
+        # q231 on degenerate vectors.
+        if (nrm == 0.0).any():
+            raise ValueError(
+                "zero-norm embedding in SemDeDup pair stage (cosine is "
+                "0/0); the JVM path raises ANSI divideByZeroError on "
+                "the same input — clean the corpus first"
+            )
         blk = 512
         out_u, out_v = [], []
         for s in range(0, n - 1, blk):

@@ -229,6 +229,72 @@ def test_cc_converges_past_round_hint_on_long_path(spark):
     assert got == {(i, 0) for i in range(n)}
 
 
+def test_cc_empty_graph_converges_immediately(spark):
+    """A node set that comes out empty (no edge reached the threshold)
+    must return an empty result, not burn the 64-round cap and raise —
+    SUM over zero rows is NULL and the fixpoint probe must treat that
+    as converged (r9 review finding)."""
+    from data_engineering_examples_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.range(0).select(F.col("id"))
+    edges = spark.createDataFrame([], "u long, v long")
+    got = connected_components(
+        nodes, edges, rounds=2, scratch_prefix="t_ccempty"
+    ).collect()
+    assert got == []
+
+
+def test_cc_rejects_round_hint_that_starves_probes(spark):
+    """A rounds hint at/above the hard cap would suppress every
+    fixpoint probe and turn ANY graph into a guaranteed RuntimeError;
+    it must be rejected at call time instead."""
+    import pytest as _pytest
+
+    from data_engineering_examples_spark.operators.graph import (
+        _CC_MAX_ROUNDS,
+        connected_components,
+    )
+
+    nodes = spark.range(2).select(F.col("id"))
+    edges = spark.createDataFrame([(0, 1)], "u long, v long")
+    with _pytest.raises(ValueError, match="probe budget"):
+        connected_components(
+            nodes, edges, rounds=_CC_MAX_ROUNDS, scratch_prefix="t_cchint"
+        )
+
+
+def test_semdedup_zero_norm_vector_fails_loudly_on_both_paths(spark, tmp_path):
+    """A zero-norm embedding makes every pair cosine 0/0.  Spark 4's
+    ANSI mode raises divideByZeroError on q231's JVM fold path; q235's
+    Arrow kernel would instead quietly compute NaN and DROP the pairs —
+    a silent divergence.  Both paths must fail loudly on the same
+    degenerate input (r9 review finding)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        SEMDEDUP_CENT_IDS,
+    )
+
+    rows = []
+    for i in range(max(SEMDEDUP_CENT_IDS) + 3):
+        vec = [float((i % 5) + 1)] * 64  # 5 duplicate families, cos=1
+        rows.append((i, vec))
+    zero_id = max(SEMDEDUP_CENT_IDS) + 2
+    rows[zero_id] = (zero_id, [0.0] * 64)  # the degenerate vector
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    sf = str(tmp_path)
+
+    for qname in ("q231_semantic_dedup", "q235_semantic_dedup_learned"):
+        with _pytest.raises(Exception, match="DIVIDE_BY_ZERO|zero-norm"):
+            all_specs()[qname].fn(spark, sf).count()
+
+
 def test_cc_scratch_isolation_across_callers(spark):
     """Two different connected_components callers in ONE process must
     not overwrite each other's materialized label substrates: build

@@ -492,9 +492,7 @@ def test_adam7_and_webp_seam_payloads_skip_gracefully(spark):
     shard WILL contain such files)."""
     from tools.media_encoders import png_encode_adam7, webp_container
 
-    rgb = bytes(range(13 * 9 * 3 % 256)) * 0 + bytes(
-        (i * 37) % 256 for i in range(13 * 9 * 3)
-    )
+    rgb = bytes((i * 37) % 256 for i in range(13 * 9 * 3))
     with pytest.raises(NotImplementedError):
         decode_image(png_encode_adam7(rgb, 13, 9))
     with pytest.raises(NotImplementedError):
