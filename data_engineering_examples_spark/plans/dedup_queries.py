@@ -347,6 +347,103 @@ def q236_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q237 — repeated-span CUT PLAN (ExactSubstr-style substring dedup).
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove every substring that appears more than once in the
+# corpus; the reference implementation builds a suffix array.  At
+# corpus scale the standard approximation is token k-gram rolling
+# windows: a position is duplicated iff its k-token window occurs ≥ 2
+# times ANYWHERE (another doc or the same one), and maximal runs of
+# consecutive duplicated positions become the spans to cut.  q206
+# measures the RATE of such duplication and q134 catches prefix dups;
+# this query emits the actionable artifact — (doc_id, span_start,
+# span_end, n_tokens) per maximal repeated span — which is what a
+# trimming pass actually consumes.
+#
+# Scale shape: the gram table is O(total tokens) rows carrying an
+# 8-byte hash; duplicate marking is ONE exchange (count window on the
+# hash key, q23's discipline — no join back); span merging is the
+# gaps-and-islands pattern under a per-doc window (second exchange,
+# keyed on doc_id).  No pair joins anywhere, so corpus-wide verbatim
+# boilerplate cannot blow the plan up — fan-out is linear in positions.
+
+Q237_K = 8  # tokens per window
+
+
+@register(
+    "q237_repeated_span_cuts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {Q237_K} + 2)) AS p
+      FROM tok WHERE len(t) >= {Q237_K}
+    ),
+    g AS (
+      SELECT doc_id, p,
+             {_duck_md5_int(
+                 f"array_to_string(t[CAST(p AS INT):CAST(p AS INT) + {Q237_K} - 1], ' ')"
+             )} AS h
+      FROM pos
+    ),
+    marked AS (
+      SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS n FROM g
+    ),
+    isl AS (
+      SELECT doc_id, p,
+             p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM marked WHERE n >= 2
+    )
+    SELECT doc_id,
+           CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + {Q237_K} - 1 AS BIGINT) AS span_end,
+           CAST(max(p) - min(p) + {Q237_K} AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc=f"ExactSubstr-style repeated-span cut plan: {Q237_K}-token "
+    "rolling windows, a position is duplicated iff its window occurs "
+    ">=2 times corpus-wide, maximal duplicated runs emitted as "
+    "(doc, span) cuts — the artifact a trimming pass consumes",
+    tags=("dedup", "llm", "text"),
+)
+def q237_repeated_span_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = scale_out(
+        load_tables(spark, sf_dir, ["documents"])["documents"]
+    ).select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= Q237_K
+    )
+    g = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - Q237_K + 1)).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "p",
+        _md5_int(F.array_join(F.slice("t", F.col("p"), Q237_K), " ")).alias("h"),
+    )
+    # duplicate marking: one exchange on the hash key (count window,
+    # never a join back); within-doc repeats count — Lee et al. cut
+    # ANY substring that appears twice, same doc or not
+    n = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dup = g.withColumn("n", n).filter(F.col("n") >= 2).select("doc_id", "p")
+    # gaps-and-islands: consecutive duplicated positions share
+    # p - row_number(), so one per-doc window + groupBy yields the
+    # maximal spans
+    grp = F.col("p") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")
+    )
+    return (
+        dup.withColumn("grp", grp)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("p").cast("bigint").alias("span_start"),
+            (F.max("p") + Q237_K - 1).cast("bigint").alias("span_end"),
+            (F.max("p") - F.min("p") + Q237_K).cast("bigint").alias("n_tokens"),
+        )
+        .drop("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q24 — MinHash-LSH candidate pairs. Fully deterministic: md5-derived
 # shingle ints, 16 affine permutations mod 2^31-1, 8 bands x 2 rows,
 # within-bucket self-join. The DuckDB oracle reproduces every step.

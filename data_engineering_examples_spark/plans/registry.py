@@ -93,12 +93,12 @@ _PRIORITY: tuple = (
     "q107_embedding_drift",
     # external-send / retrieval / vocab
     "q86_external_send_audit", "q87_ranked_retrieval", "q88_vocab_build",
-    # breadth fill: layout audit (oracle touched r9), surprisal (r8
-    # drift-flagged), media features, and the round's new operator
-    # (train/eval contamination scan — new queries get driver evidence
-    # in their birth round, the q234/q235 precedent)
-    "q193_small_files_audit", "q135_lm_surprisal_filter",
-    "q44_media_features", "q236_eval_contamination",
+    # breadth fill: layout audit (oracle touched r9), media features,
+    # and the round's two new operators (train/eval contamination scan
+    # + repeated-span cut plan — new queries get driver evidence in
+    # their birth round, the q234/q235 precedent)
+    "q193_small_files_audit", "q44_media_features",
+    "q236_eval_contamination", "q237_repeated_span_cuts",
 )
 
 

@@ -110,6 +110,51 @@ def test_eval_contamination_flags_planted_leak(spark, tmp_path_factory):
     assert shared[(0, 1)] == n_shingles          # exact shingle arithmetic
 
 
+def test_repeated_span_cuts_exact_boundaries(spark, tmp_path_factory):
+    """q237: a 10-token span shared by two docs must be cut in both with
+    EXACT token boundaries (maximal run of duplicated 8-token windows);
+    a within-doc repetition also cuts (Lee et al. semantics: any window
+    occurring twice anywhere); a unique doc emits nothing."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"  # 10 tokens
+    docs = [
+        # shared span at token positions 3..12 of doc 0
+        (0, "a1 a2 " + shared + " a3 a4 a5", "en", "w"),
+        # same span at positions 1..10 of doc 1
+        (1, shared + " b1 b2 b3 b4 b5 b6", "en", "w"),
+        # within-doc repetition: the same 8 tokens twice in doc 2
+        (2, "r1 r2 r3 r4 r5 r6 r7 r8 zzz r1 r2 r3 r4 r5 r6 r7 r8", "en", "w"),
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", "en", "w"),  # unique
+    ]
+    d = tmp_path_factory.mktemp("spansf")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": [r[1] for r in docs],
+                "lang": [r[2] for r in docs],
+                "source": [r[3] for r in docs],
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    rows = all_specs()["q237_repeated_span_cuts"].fn(spark, str(d)).collect()
+    spans = {}
+    for r in rows:
+        spans.setdefault(r.doc_id, set()).add(
+            (r.span_start, r.span_end, r.n_tokens)
+        )
+    # doc 0: windows at positions 3..5 are duplicated (10-token span =
+    # 3 overlapping 8-token windows), merged span covers tokens 3..12
+    assert spans[0] == {(3, 12, 10)}
+    assert spans[1] == {(1, 10, 10)}
+    # doc 2: only the windows at p=1 and p=10 match (those crossing the
+    # 'zzz' separator are unique) — two NON-adjacent islands, two cuts
+    assert spans[2] == {(1, 8, 8), (10, 17, 8)}
+    assert 3 not in spans
+    assert sum(len(s) for s in spans.values()) == 4
+
+
 def test_ann_recall_vs_brute_force(spark):
     """LSH ANN must recover a reasonable fraction of the true top-10."""
     sf = "/root/testdata/sf0.001"
