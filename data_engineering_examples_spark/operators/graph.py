@@ -32,6 +32,14 @@ from ..scratch import materialize
 #: means the iteration is broken, not the graph big.
 _CC_MAX_ROUNDS = 64
 
+#: Always start fixpoint probes by this round even when the caller's
+#: ``rounds`` hint is larger: each probe is a one-row scalar aggregate
+#: on the ALREADY-materialized label parquet (microseconds of real
+#: work), while an un-probed round after convergence pays two joins
+#: plus a full label materialization.  An overestimated hint should
+#: cost its caller probes, not wasted rounds.
+_CC_PROBE_AFTER = 3
+
 
 def connected_components(
     nodes: DataFrame, edges: DataFrame, rounds: int, scratch_prefix: str = "cc"
@@ -101,7 +109,10 @@ def connected_components(
         )
         # skip the fixpoint probe while inside the expected budget (the
         # first rounds almost never converge; don't pay the scalar agg)
-        if rnd + 2 < rounds:
+        # — but never defer past _CC_PROBE_AFTER: an overestimated hint
+        # must not buy converged-graph rounds (each is two joins + a
+        # materialization) to save a one-row probe
+        if rnd + 2 < rounds and rnd < _CC_PROBE_AFTER:
             continue
         # coalesce: SUM over ZERO rows is NULL, and None == None never
         # fires the equality guard — an empty node set (no edge reaches

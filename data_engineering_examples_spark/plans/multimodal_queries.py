@@ -96,11 +96,10 @@ def q43_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # recomputes it independently: hex() renders each payload byte as two hex
 # chars, the regexp keeps every odd-position char (= the high nibble, b>>4),
 # and per-digit character counts over that string are exactly the 16 buckets.
+# The registered query posexplodes the feature vector to (dim, value) rows —
+# the driver's canonicalizer hashes scalar cells only, so no array<> column
+# may reach it (r9 verdict: the array output crashed its pandas sort path).
 _HEX_DIGITS = "0123456789ABCDEF"
-_FEATURE_EXPRS = ", ".join(
-    f"CAST(length(hi) - length(replace(hi, '{d}', '')) AS DOUBLE) / n_bytes"
-    for d in _HEX_DIGITS
-)
 
 
 @register(
@@ -110,17 +109,27 @@ _FEATURE_EXPRS = ", ".join(
       SELECT media_id, kind, CAST(octet_length(payload) AS INT) AS n_bytes,
              regexp_replace(hex(payload), '(.).', '\\1', 'g') AS hi
       FROM read_parquet('{FX}/media.parquet')
-    )
-    SELECT media_id, kind, n_bytes,
-           CASE WHEN n_bytes = 0 THEN [{", ".join(["0.0"] * 16)}]
-                ELSE [{_FEATURE_EXPRS}] END AS features
-    FROM m
+    ),
+    d AS (SELECT CAST(unnest(range(16)) AS INT) AS dim)
+    SELECT m.media_id, m.kind, m.n_bytes, d.dim,
+           CASE WHEN m.n_bytes = 0 THEN 0.0
+                ELSE CAST(length(hi) - length(replace(hi,
+                          substring('{_HEX_DIGITS}', d.dim + 1, 1), '')) AS DOUBLE)
+                     / m.n_bytes END AS value
+    FROM m, d
     """,
-    doc="Arrow-batched byte-histogram featurizer (stand-in encoder stage)",
+    doc="Arrow-batched byte-histogram featurizer (stand-in encoder stage), "
+    "exploded to (dim, value) rows for scalar-only output",
     tags=("multimodal", "llm", "mapInPandas"),
 )
 def q44_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(_media(spark))
+    feats = extract_features(_media(spark))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.posexplode("features").alias("dim", "value"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2026,6 +2026,48 @@ SEMDEDUP_CENT_IDS = [
 SEMDEDUP_COS = 0.40
 SEMDEDUP_CC_ROUNDS = 4
 
+#: Row cap for broadcasting the SemDeDup pair-probe side.  Each row is
+#: a 64-double embedding (512 B) + id/norm/key (~100 B with row
+#: overhead); 1M rows ≈ 0.6 GB serialized — comfortably under the JVM's
+#: 8 GB broadcast hard limit and the 16 GB driver heap, with margin for
+#: the deserialized relation.  Past the cap the pair stage switches to
+#: the salted-cluster-key join (no broadcast of an unbounded table, per
+#: the r9 advisor note).
+_SEMDEDUP_BROADCAST_MAX_ROWS = 1_000_000
+
+#: Salt fan-out for the over-cap path: the probe side replicates
+#: SALT-fold (map-side explode, no extra shuffle stage) and each build
+#: row draws one deterministic salt, so a dominant cluster's quadratic
+#: pair enumeration spreads across SALT tasks instead of one.
+_SEMDEDUP_PAIR_SALT = 32
+
+
+def _semdedup_pair_edges(a: DataFrame, b: DataFrame, pair_cos, n_rows: int) -> DataFrame:
+    """Within-cluster pair edges (u < v, cosine ≥ threshold) for the
+    JVM-fold SemDeDup path.  ``a``/``b`` are the two aliased assignment
+    projections (columns u/cid/ea/na and v/cid/eb/nb); ``pair_cos`` is
+    the cosine expression over them.  Broadcast-joins the probe side
+    while it provably fits (``n_rows`` from the materialized substrate's
+    footer count), else salts the cluster key: ``a`` takes a
+    deterministic hash-salt, ``b`` explodes across all salts, and the
+    join shuffles on (cid, __salt) so no single task owns a whole
+    dominant cluster.  Both shapes emit the identical edge set — the
+    salt never reaches the predicate or the output."""
+    if n_rows <= _SEMDEDUP_BROADCAST_MAX_ROWS:
+        joined = a.join(F.broadcast(b), "cid")
+    else:
+        salts = F.array(*[F.lit(i) for i in range(_SEMDEDUP_PAIR_SALT)])
+        a_s = a.withColumn(
+            "__salt", F.pmod(F.hash("u"), F.lit(_SEMDEDUP_PAIR_SALT)).cast("int")
+        )
+        b_s = b.withColumn("__salt", F.explode(salts))
+        joined = a_s.join(b_s, ["cid", "__salt"])
+    return (
+        joined.filter(F.col("u") < F.col("v"))
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select("u", "v")
+    )
+
 
 def _duck_semdedup_oracle() -> str:
     cent_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
@@ -2119,15 +2161,13 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of a cluster on one task, so one dominant cluster serializes the
     # whole quadratic pair stage on a single core; with b broadcast the
     # pair enumeration parallelizes over a's partitions no matter how
-    # skewed the cluster sizes are.  (At corpus scale, where the table
-    # outgrows a broadcast, the equivalent is salting a's cluster keys —
-    # q234's pattern — but here the pair side is N rows by definition.)
-    edges = (
-        a.join(F.broadcast(b), "cid")
-        .filter(F.col("u") < F.col("v"))
-        .filter(pair_cos >= SEMDEDUP_COS)
-        .select("u", "v")
-    )
+    # skewed the cluster sizes are.  The explicit hint bypasses
+    # autoBroadcastJoinThreshold, so it is GATED on the substrate's row
+    # count (a parquet-footer metadata read — assign is materialized):
+    # past the cap the same pair stage runs as the salted-cluster-key
+    # join (q234's skew pattern) instead of OOMing the driver on an
+    # oversized broadcast.
+    edges = _semdedup_pair_edges(a, b, pair_cos, n_rows=assign.count())
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))

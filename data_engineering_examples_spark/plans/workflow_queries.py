@@ -86,20 +86,27 @@ def q39_task_branching(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           quantile_cont(value, [0.25, 0.5, 0.75, 0.9]) AS percentiles,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.50) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.90) AS p90,
            min(value) AS min_value,
            max(value) AS max_value
     FROM events
     GROUP BY event_type
     """,
-    doc="per-group distribution via exact percentiles (A5)",
+    doc="per-group distribution via exact percentiles (A5); one scalar column "
+    "per quantile — the driver's canonicalizer hashes scalar cells only",
     tags=("agg", "A5"),
 )
 def q40_event_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ["events"])["events"]
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.percentile("value", [0.25, 0.5, 0.75, 0.9]).alias("percentiles"),
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.percentile("value", 0.90).alias("p90"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )

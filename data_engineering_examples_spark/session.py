@@ -40,6 +40,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark 4 defaults ANSI on, but the fail-loudly contract (double
+        # x/0 RAISES divideByZeroError rather than yielding NULL) is load-
+        # bearing: q231's JVM cosine fold and q235's numpy kernel both
+        # raise on zero-norm embeddings, and with ANSI off the JVM side
+        # would instead silently drop pairs — exactly the divergence the
+        # kernel guard exists to prevent. Pin it so a config drift or a
+        # future default flip can't change engine semantics underneath us.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # local[N] runs driver + all executor threads in ONE JVM: 8g heap

@@ -309,3 +309,40 @@ def test_cc_scratch_isolation_across_callers(spark):
     all_specs()["q131_patient_linkage"].fn(spark, SF_SMOKE).count()  # rewrites ITS scratch
     got = {(r.doc_id, r.cluster_id) for r in df72_deferred.collect()}
     assert got == expected
+
+
+def test_semdedup_pair_stage_salted_fallback_matches_broadcast(spark, monkeypatch):
+    """q231's pair stage broadcasts the probe side only while the
+    substrate row count is under _SEMDEDUP_BROADCAST_MAX_ROWS; past the
+    cap it must fall back to the salted-cluster-key join (r9 advisor:
+    an ungated F.broadcast of the full N-row vector table is a driver
+    OOM at scale, not a shuffle fallback).  Force the cap to 0 and pin
+    that the salted shape (a) actually salts the plan and (b) emits the
+    IDENTICAL result set."""
+    from data_engineering_examples_spark.plans import similarity_queries as sq
+
+    sf = "/root/testdata/sf0.001"
+    spec = all_specs()["q231_semantic_dedup"]
+    baseline = {tuple(r) for r in spec.fn(spark, sf).collect()}
+
+    monkeypatch.setattr(sq, "_SEMDEDUP_BROADCAST_MAX_ROWS", 0)
+    salted = {tuple(r) for r in spec.fn(spark, sf).collect()}
+    assert salted == baseline
+
+    # the final q231 plan reads CC labels back from scratch parquet, so
+    # the pair join's shape must be asserted on the edges frame itself
+    a = spark.createDataFrame(
+        [(1, 10, [1.0, 0.0], 1.0), (2, 10, [1.0, 0.0], 1.0), (3, 11, [0.0, 1.0], 1.0)],
+        "u long, cid long, ea array<double>, na double",
+    )
+    b = a.select(
+        F.col("u").alias("v"), "cid", F.col("ea").alias("eb"), F.col("na").alias("nb")
+    )
+    cos = F.lit(1.0)
+    over_cap = sq._semdedup_pair_edges(a, b, cos, n_rows=10**9)
+    plan = over_cap._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    under_cap = sq._semdedup_pair_edges(a, b, cos, n_rows=1)
+    assert {tuple(r) for r in over_cap.collect()} == {
+        tuple(r) for r in under_cap.collect()
+    } == {(1, 2)}

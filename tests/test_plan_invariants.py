@@ -18,11 +18,16 @@ SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
-def plans(spark):
-    out = {}
-    for name, spec in all_specs().items():
-        out[name] = spec.fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
-    return out
+def built(spark):
+    return {name: spec.fn(spark, SF) for name, spec in all_specs().items()}
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in built.items()
+    }
 
 
 def test_no_cartesian_product(plans):
@@ -228,3 +233,23 @@ def test_salted_interval_join_shuffles_on_salt(plans):
     assert salted_joins or salted_exchanges, p
     # and the unsalted baseline stays salt-free
     assert "__salt" not in plans["q233_concurrent_sessions"]
+
+
+def test_output_schemas_are_scalar_only(built):
+    """The driver's correctness harness canonicalizes results through a
+    pandas sort/unique path that only accepts hashable scalar cells — an
+    array<>/map<>/struct<>/binary top-level column crashes it (r9: q44's
+    ``features array<double>`` recorded err, not pass, despite being
+    oracle-exact).  Every registered query must therefore emit scalar
+    columns only; vector-valued results posexplode to (dim, value) rows
+    (q44) or split into one column per element (q40's quantiles)."""
+    from pyspark.sql import types as T
+
+    banned = (T.ArrayType, T.MapType, T.StructType, T.BinaryType)
+    offenders = {
+        name: [f"{f.name}: {f.dataType.simpleString()}" for f in df.schema.fields
+               if isinstance(f.dataType, banned)]
+        for name, df in built.items()
+    }
+    offenders = {n: cols for n, cols in offenders.items() if cols}
+    assert offenders == {}, offenders
