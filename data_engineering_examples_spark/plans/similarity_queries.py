@@ -2042,6 +2042,30 @@ _SEMDEDUP_BROADCAST_MAX_ROWS = 1_000_000
 _SEMDEDUP_PAIR_SALT = 32
 
 
+def _semdedup_seed_frame(emb: DataFrame, n_rows: int) -> DataFrame:
+    """K-means seed ids for the learned-centroid SemDeDup, with K wired
+    to the corpus size: K = ceil(sqrt(N)) (the SemDeDup paper's shape —
+    per-cluster pair work O(N²/K) balances against K·N assignment work
+    at K ~ √N, bounding the dominant cluster's quadratic screen).  Seeds
+    are the K vec_ids ranked by (md5(vec_id), vec_id): a deterministic
+    pseudo-shuffle both engines reproduce exactly, evaluated as a
+    distributed top-K (TakeOrderedAndProject — never a global sort).
+    ``n_rows`` comes from the caller's one-row count of the source table
+    (a convergence-gate-category bound fetch, not a data path)."""
+    import math
+
+    k = int(math.ceil(math.sqrt(float(n_rows)))) if n_rows else 1
+    return (
+        emb.select(
+            "vec_id",
+            F.md5(F.col("vec_id").cast("string").cast("binary")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(max(k, 1))
+        .select("vec_id")
+    )
+
+
 def _semdedup_pair_edges(a: DataFrame, b: DataFrame, pair_cos, n_rows: int) -> DataFrame:
     """Within-cluster pair edges (u < v, cosine ≥ threshold) for the
     JVM-fold SemDeDup path.  ``a``/``b`` are the two aliased assignment
@@ -2199,10 +2223,10 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroids to the paper's actual k-means step (Abbas et al. 2023 run
 # k-means over the embedding space, then dedup within each cluster).
 # Composition of two already-oracle-checked pieces: q94's exact-integer
-# Lloyd refinement (seeded by the same 16 sample vectors q231 used as
-# fixed centroids, run for Q235_ITERS rounds) feeds the cluster
-# assignment, and q231's within-cluster closure (pair cosine ≥ threshold
-# → CC → keep rule) runs over the LEARNED clusters.
+# Lloyd refinement (seeded by the K = ceil(sqrt(N)) md5-ranked sample
+# vectors of _semdedup_seed_frame, run for Q235_ITERS rounds) feeds the
+# cluster assignment, and q231's within-cluster closure (pair cosine ≥
+# threshold → CC → keep rule) runs over the LEARNED clusters.
 #
 # Determinism: the Lloyd argmin uses q94's convention — squared distance
 # to a mean centroid cs/n compared as the n²-scaled integer
@@ -2219,10 +2243,11 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: everything q94 and q231 already argue, composed — the
 # xq substrate is materialized once and feeds all Lloyd passes; centroid
 # tables stay K·DIM rows (broadcast); the pair stage shuffles once on
-# the learned cluster id; CC touches edge endpoints only.  K scales
-# ~sqrt(N) by widening the seed list — the knob q231's docstring
-# prescribes (see bench_snapshots/README.md synthetic-sf1 section for
-# the measured scaling record).
+# the learned cluster id; CC touches edge endpoints only.  K is WIRED to
+# ~sqrt(N) (r10; _semdedup_seed_frame) so the dominant cluster's
+# quadratic screen stays bounded as the corpus grows — the dial the r9
+# synthetic-sf1 sweep measured (bench_snapshots/README.md) is now the
+# code path, not a note.
 
 Q235_ITERS = 2  # Lloyd rounds, unrolled in the oracle
 
@@ -2321,11 +2346,14 @@ def _semdedup_edges_arrow(m: DataFrame, threshold: float) -> DataFrame:
 
 
 def _duck_semdedup_learned_oracle() -> str:
-    seed_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
     sqdiff = (
         "CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
         " * CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
     )
+    # seeds: the K = ceil(sqrt(N)) vec_ids ranked by (md5(vec_id), vec_id)
+    # — the SAME corpus-size-derived rule the Spark side computes (see
+    # _semdedup_seed_frame); sqrt is a correctly-rounded IEEE op, so both
+    # engines derive an identical K from an identical N.
     return f"""
     WITH RECURSIVE
     xq AS (
@@ -2337,8 +2365,19 @@ def _duck_semdedup_learned_oracle() -> str:
                               AS BIGINT))) AS xq
       FROM embeddings
     ),
-    c1 AS (SELECT vec_id AS cluster, dim, xq AS cs, CAST(1 AS BIGINT) AS n
-           FROM xq WHERE vec_id IN ({seed_list})),
+    kk AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS k
+           FROM embeddings),
+    sd AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rk
+        FROM embeddings) r, kk
+      WHERE r.rk <= kk.k
+    ),
+    c1 AS (SELECT x.vec_id AS cluster, x.dim, x.xq AS cs,
+                  CAST(1 AS BIGINT) AS n
+           FROM xq x JOIN sd USING (vec_id)),
     d1 AS (
       SELECT x.vec_id, c.cluster, sum({sqdiff}) AS dist
       FROM xq x JOIN c1 c USING (dim) GROUP BY 1, 2
@@ -2421,7 +2460,11 @@ def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("m.dist").alias("dist"))
         )
 
-    cent = xq.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+    # K ~ sqrt(N) seed rule (see _semdedup_seed_frame): the count is a
+    # one-row bound fetch on the source scan; the seed top-K broadcasts
+    # into the xq substrate so seeding never shuffles the N·DIM rows
+    seeds = _semdedup_seed_frame(emb, emb.count())
+    cent = xq.join(F.broadcast(seeds), "vec_id").select(
         F.col("vec_id").alias("cluster"),
         "dim",
         F.col("xq").alias("cs"),

@@ -29,18 +29,24 @@ def test_salted_interval_join_matches_unsalted_rows(spark):
 
 
 def _python_semdedup_learned(vecs: dict[int, list[float]]):
+    import hashlib
+
     from data_engineering_examples_spark.plans.similarity_queries import (
         KMEANS_SCALE,
         Q235_ITERS,
-        SEMDEDUP_CENT_IDS,
         SEMDEDUP_COS,
     )
 
     xq = {
         vid: [math.floor(x * KMEANS_SCALE) for x in v] for vid, v in vecs.items()
     }
-    # seed centroids: (cs, n) per cluster
-    cents = {vid: (list(xq[vid]), 1) for vid in SEMDEDUP_CENT_IDS}
+    # seed centroids: the K = ceil(sqrt(N)) vec_ids ranked by
+    # (md5(vec_id), vec_id) — the r10 corpus-size-wired rule
+    k = max(1, math.ceil(math.sqrt(float(len(vecs)))))
+    seed_ids = sorted(
+        vecs, key=lambda vid: (hashlib.md5(str(vid).encode()).hexdigest(), vid)
+    )[:k]
+    cents = {vid: (list(xq[vid]), 1) for vid in seed_ids}
 
     def assign_all():
         out = {}
