@@ -11,8 +11,9 @@ decoding libraries (PIL/opencv) are NOT installed, so
 
 * ``decode_image``/``resize_image`` carry a REAL stdlib implementation
   for the formats a pure-Python parser can own — 24-bit BI_RGB BMP,
-  binary P6 PPM, 8-bit non-interlaced PNG (stdlib zlib inflate +
-  per-scanline unfilter), and baseline sequential JPEG (from-the-spec
+  binary P6 PPM, 8-bit PNG — non-interlaced AND Adam7-interlaced
+  (stdlib zlib inflate + per-scanline unfilter + §8.2 deinterlace,
+  r10) — and baseline sequential JPEG (from-the-spec
   T.81 Huffman + IDCT decode: 4:4:4/4:2:2/4:2:0/grayscale, restart
   markers) — and raise ``NotImplementedError`` for anything else
   (progressive/arithmetic JPEG, WebP, …) unless a decoder is injected;
@@ -123,6 +124,15 @@ def _decode_ppm(payload: bytes) -> DecodedImage:
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass — PNG spec §8.2.  Each
+#: pass is a reduced image, filtered independently (its own scanlines,
+#: its own prev-row context), whose samples scatter back onto the full
+#: grid at (x0 + i·dx, y0 + j·dy).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
 
 def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     """Reverse the per-scanline PNG filters (spec §9: None/Sub/Up/
@@ -168,12 +178,41 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
     return out
 
 
+def _adam7_deinterlace(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
+    """Adam7 deinterlace (PNG spec §8.2): the inflated stream holds the
+    seven reduced images in pass order, each filtered independently
+    (``_png_unfilter`` with the pass's own reduced dimensions), whose
+    samples scatter back onto the full-size grid.  Empty passes (a
+    dimension smaller than the pass origin) contribute zero bytes."""
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        span = ph * (1 + pw * bpp)
+        if len(raw) < pos + span:
+            raise ValueError("truncated PNG pixel data (Adam7 pass)")
+        sub = _png_unfilter(raw[pos : pos + span], pw, ph, bpp)
+        pos += span
+        for j in range(ph):
+            row_base = j * pw * bpp
+            y = y0 + j * dy
+            for i in range(pw):
+                dst = (y * width + x0 + i * dx) * bpp
+                src = row_base + i * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+    return out
+
+
 def _decode_png(payload: bytes) -> DecodedImage:
-    """8-bit non-interlaced PNG → RGB, pure stdlib (zlib inflate + §9
-    scanline unfilter).  Color types: 0 gray, 2 RGB, 3 palette, 4
+    """8-bit PNG → RGB, pure stdlib (zlib inflate + §9 scanline
+    unfilter), non-interlaced AND Adam7-interlaced (§8.2 pass-by-pass
+    deinterlace, r10).  Color types: 0 gray, 2 RGB, 3 palette, 4
     gray+alpha, 6 RGBA — alpha is stripped (the featurizer contract is
-    an opaque RGB buffer).  16-bit depth and Adam7 interlace raise
-    ``NotImplementedError``; a real corpus shard with those goes through
+    an opaque RGB buffer).  16-bit depth raises
+    ``NotImplementedError``; a real corpus shard with that goes through
     the injected-decoder seam."""
     import zlib
 
@@ -207,17 +246,20 @@ def _decode_png(payload: bytes) -> DecodedImage:
         raise ValueError(f"invalid PNG dimensions {width}x{height}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color}")
     if depth != 8:
         raise NotImplementedError(f"only 8-bit PNG is supported (depth={depth})")
     raw = zlib.decompress(bytes(idat))
-    if len(raw) < height * (1 + width * channels):
-        raise ValueError("truncated PNG pixel data")
-    samples = _png_unfilter(raw, width, height, channels)
+    if interlace == 1:
+        samples = _adam7_deinterlace(raw, width, height, channels)
+    else:
+        if len(raw) < height * (1 + width * channels):
+            raise ValueError("truncated PNG pixel data")
+        samples = _png_unfilter(raw, width, height, channels)
     n = width * height
     out = bytearray(n * 3)
     if color == 2:  # RGB straight through
@@ -928,7 +970,8 @@ def decode_image(
     """Decode an image payload to a :class:`DecodedImage`.
 
     Executable without any external library for 24-bit BMP, binary PPM,
-    8-bit non-interlaced PNG (stdlib zlib + scanline unfilter), and both
+    8-bit PNG, non-interlaced and Adam7-interlaced (stdlib zlib +
+    scanline unfilter + deinterlace), and both
     JPEG DCT modes: baseline sequential (SOF0/1) and progressive (SOF2,
     spectral selection + successive approximation with EOB-run and
     refinement-bit decoding) — 4:4:4/4:2:2/4:2:0/grayscale, restart

@@ -162,16 +162,40 @@ def q22_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Hot-shingle guard: a shingle present in d documents contributes
 # O(d²) candidate pairs, so ONE boilerplate trigram shared by 10⁶ docs
-# would emit ~10¹² pairs. Shingles with document frequency above
-# MAX_SHINGLE_DF are dropped from the candidate substrate (and,
-# symmetrically, from the per-doc set sizes, so jaccard stays a true
-# Jaccard over the pruned shingle space). Ubiquitous shingles carry no
-# near-dup signal — this is the df-cap standard in MinHash/shingling
-# practice. The cap bounds any shingle's pair fan-out at ~cap²/2.
-# Measured df max at sf0.1 is 25, so 512 is semantics-preserving at
-# test SF while capping the blowup at corpus scale.
+# would emit ~10¹² pairs. Shingles with document frequency above the
+# cap are dropped from the candidate substrate (and, symmetrically,
+# from the per-doc set sizes, so jaccard stays a true Jaccard over the
+# pruned shingle space). Ubiquitous shingles carry no near-dup signal —
+# this is the df-cap standard in MinHash/shingling practice.
+#
+# The cap is N-RELATIVE (r10; the r9 sf1 sweep measured the dial: the
+# old absolute 512 emitted 11.4M pairs/17.3s at 10× data where 64 gave
+# 226k/2.7s): a shingle is "boilerplate" when it appears in more than
+# SHINGLE_DF_PPM parts-per-million of the corpus, floored at
+# SHINGLE_DF_MIN_CAP so tiny fixtures keep their full shingle space.
+# 1280 ppm reproduces the measured-good 64 at the 50k-doc synthetic sf1
+# and is a no-op below it (floor binds; measured df max at sf0.1 is
+# 25 < 64).  Relative, not absolute, because a legitimate duplicate
+# CLUSTER of d docs shares all its shingles at df = d — an absolute cap
+# frozen at test scale would silently delete every large dup cluster
+# from the candidate space at corpus scale.  The arithmetic is pure
+# integer (ceil via (n·ppm + 999999) // 10⁶) so both engines derive an
+# identical cap from an identical N.  Per-shingle pair fan-out is then
+# bounded at ~cap²/2; past the SF where that bound matters, q24's
+# MinHash-LSH is the documented scale path for near-dup candidates.
 
-MAX_SHINGLE_DF = 512
+SHINGLE_DF_PPM = 1280
+SHINGLE_DF_MIN_CAP = 64
+
+#: the same computed cap, as a DuckDB scalar subquery over the corpus
+_DUCK_DF_CAP = (
+    f"(SELECT greatest({SHINGLE_DF_MIN_CAP},"
+    f" (count(*) * {SHINGLE_DF_PPM} + 999999) // 1000000) FROM documents)"
+)
+
+
+def _shingle_df_cap(n_docs: int) -> int:
+    return max(SHINGLE_DF_MIN_CAP, (n_docs * SHINGLE_DF_PPM + 999999) // 1_000_000)
 
 
 @register(
@@ -181,7 +205,7 @@ MAX_SHINGLE_DF = 512
     shf AS (
       SELECT doc_id, sh FROM (
         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
-      ) WHERE df <= {MAX_SHINGLE_DF}
+      ) WHERE df <= {_DUCK_DF_CAP}
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
     inter AS (
@@ -209,11 +233,13 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chain (measured: 4 copies of a 2-exchange pipeline). This is the
     # "substrate materialized once, bucketed by shingle" pattern from the
     # module docstring, expressed as a checkpoint at query scope.
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cap = _shingle_df_cap(docs.count())  # footer-count bound fetch
     sh = materialize(
         _hashed_shingles(spark, sf_dir)
         .withColumnRenamed("sh", "shingle")
         .withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") <= cap)
         .drop("df"),
         "q23_shingles",
     )
@@ -288,7 +314,7 @@ CONTAMINATION_MIN_SHARED = 2
     shf AS (
       SELECT doc_id, sh FROM (
         SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
-      ) WHERE df <= {MAX_SHINGLE_DF}
+      ) WHERE df <= {_DUCK_DF_CAP}
     ),
     ev AS (SELECT doc_id, sh FROM shf WHERE doc_id % {EVAL_MOD} = 0),
     tr AS (SELECT doc_id, sh FROM shf WHERE doc_id % {EVAL_MOD} <> 0),
@@ -314,11 +340,13 @@ def q236_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one shuffle on the shingle key for the df cap (q23's discipline),
     # materialized once: eval split, train split and the size lookup
     # all read it
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    cap = _shingle_df_cap(docs.count())  # footer-count bound fetch
     sh = materialize(
         _hashed_shingles(spark, sf_dir)
         .withColumnRenamed("sh", "shingle")
         .withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .filter(F.col("df") <= cap)
         .drop("df"),
         "q236_shingles",
     )

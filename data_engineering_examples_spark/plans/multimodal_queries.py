@@ -320,18 +320,18 @@ def q160_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q222_image_decode_audit",
     oracle=f"""
     SELECT media_id, format,
-           format NOT IN ('png-adam7', 'webp') AS decode_ok,
-           CASE WHEN format NOT IN ('png-adam7', 'webp')
+           format <> 'webp' AS decode_ok,
+           CASE WHEN format <> 'webp'
                 THEN CAST(width AS INT) END AS decoded_width,
-           CASE WHEN format NOT IN ('png-adam7', 'webp')
+           CASE WHEN format <> 'webp'
                 THEN CAST(height AS INT) END AS decoded_height
     FROM read_parquet('{FX}/media.parquet')
     WHERE kind = 'image'
     """,
-    doc="image decode audit: stdlib decode of every BMP/PPM/PNG/JPEG "
-    "payload in mapInPandas; dimensions must match declared metadata; "
-    "unsupported-but-valid formats (Adam7 PNG, WebP) surface as "
-    "decode_ok=false rows, never a crash",
+    doc="image decode audit: stdlib decode of every BMP/PPM/PNG (incl. "
+    "Adam7, r10)/JPEG payload in mapInPandas; dimensions must match "
+    "declared metadata; unsupported-but-valid formats (WebP) surface "
+    "as decode_ok=false rows, never a crash",
     tags=("multimodal", "llm", "mapInPandas"),
 )
 def q222_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,9 +477,9 @@ def _phash_pairs(spark: SparkSession, scratch_name: str) -> DataFrame:
         import pandas as pd
 
         def safe_dhash(p):
-            # unsupported-but-valid formats (Adam7 PNG, WebP seam
-            # fixtures) carry no perceptual hash and simply can't
-            # near-dup; corrupt streams (ValueError) still raise
+            # unsupported-but-valid formats (the WebP seam fixture)
+            # carry no perceptual hash and simply can't near-dup;
+            # corrupt streams (ValueError) still raise
             try:
                 return dhash(decode_image(bytes(p)))
             except NotImplementedError:

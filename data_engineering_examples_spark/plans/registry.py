@@ -68,37 +68,35 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots, r9 = fifth tranche) ----------
+    # first-time driver evidence (25 slots, r10 = sixth tranche) ---------
     # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
     # rotate each round to queries with no driver-green row yet
-    # (cumulative driver evidence after r8: 140 distinct queries; the r8
-    # first-timers — boilerplate/repetition text signals, filtered ANN,
-    # HLL, compaction/Z-order layout, SemDeDup, salted interval join,
-    # streaming drains — rotate out to the locally-verified tail).
-    # VERDICT r8 ask #1 families with ZERO driver evidence:
-    # correlated-subquery OLAP shapes
-    "q176_delta_join_view", "q177_part_value_share",
-    "q178_dormant_rich_customers", "q179_dominant_part_suppliers",
-    "q180_sole_supplier_orders",
-    # OLAP report family (pivot/unpivot/cube/grouping-sets)
-    "q125_pivot_event_matrix", "q126_unpivot_event_matrix",
-    "q127_cube_order_stats", "q137_grouping_sets_report",
-    # governance
-    "q131_patient_linkage", "q132_erasure_cascade",
-    "q150_write_audit_publish",
-    # streaming
-    "q97_stream_attribution", "q185_ods_zip_stream",
-    # ML-adjacent (q94 is q235's own Lloyd dependency)
-    "q94_kmeans_refine", "q101_pq_codes", "q106_hard_negatives",
-    "q107_embedding_drift",
-    # external-send / retrieval / vocab
-    "q86_external_send_audit", "q87_ranked_retrieval", "q88_vocab_build",
-    # breadth fill: layout audit (oracle touched r9), media features,
-    # and the round's two new operators (train/eval contamination scan
-    # + repeated-span cut plan — new queries get driver evidence in
-    # their birth round, the q234/q235 precedent)
-    "q193_small_files_audit", "q44_media_features",
-    "q236_eval_contamination", "q237_repeated_span_cuts",
+    # (cumulative driver evidence after r9: 165 distinct queries; the r9
+    # first-timers — correlated-subquery OLAP, pivot/cube family,
+    # governance, kmeans/PQ, retrieval/vocab — rotate out to the
+    # locally-verified tail).
+    # r9 VERDICT ask #1: q44 stays in-window until its driver row is
+    # green post-reshape; q40 rotates in post-reshape (the other former
+    # array-output query, never driver-checked)
+    "q44_media_features", "q40_event_value_distribution",
+    # birth-round slot for the round's new operator (q234/q235 precedent)
+    "q238_canonical_neardup",
+    # r9 VERDICT ask #2 priority: LLM local-onlys — dedup
+    "q134_prefix_dups", "q158_ngram_novelty", "q171_fuzzy_name_match",
+    "q206_substring_dup_rate",
+    # similarity
+    "q139_int8_quantize", "q145_cluster_purity",
+    # text
+    "q73_tfidf_terms", "q108_pmi_bigrams", "q173_source_token_hhi",
+    "q204_bpe_apply_merges",
+    # multimodal
+    "q43_media_caption_pairs", "q74_frame_samples",
+    "q148_aspect_ratio_buckets",
+    # breadth fill: corpus prep, sketches, ingest/layout, skew/agg shapes
+    "q77_segment_dedup", "q152_temperature_mix", "q143_pps_token_sample",
+    "q156_kmv_join_estimate", "q124_dirty_csv_ingest",
+    "q110_schema_evolution", "q202_cdc_log_apply",
+    "q113_skew_two_stage_agg", "q96_price_quantiles",
 )
 
 

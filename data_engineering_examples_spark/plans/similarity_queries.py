@@ -292,7 +292,11 @@ def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planes, buckets, candidates, and the threshold exactly.
 
 
-def _duck_neardup_oracle() -> str:
+def _duck_neardup_cte() -> str:
+    """Shared CTE chain (v → sig → bands → cand) for the LSH-banded
+    near-dup oracles: q49 (direct) and q238 (canonical-composed, whose
+    oracle is exactly this naive-order computation — that is the pin
+    that the exact-dedup-first composition is a physical rewrite)."""
     bits = ", ".join(
         f"(CASE WHEN {_duck_dot('e', _duck_plane(PLANES[h]))} > 0 THEN 1 ELSE 0 END) AS bit{h}"
         for h in range(N_PLANES)
@@ -305,7 +309,7 @@ def _duck_neardup_oracle() -> str:
         for j in range(N_BANDS)
     )
     return f"""
-    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
     sig AS (SELECT vec_id, e, {bits} FROM v),
     bands AS ({band_rows}),
     cand AS (
@@ -313,7 +317,12 @@ def _duck_neardup_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
       GROUP BY 1, 2 HAVING count(*) >= 2
-    )
+    )"""
+
+
+def _duck_neardup_oracle() -> str:
+    return f"""
+    WITH {_duck_neardup_cte()}
     SELECT cand.vec_a, cand.vec_b,
            {_duck_dot('p.e', 'c.e')} /
              (sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('c.e', 'c.e')})) AS cosine
@@ -337,6 +346,15 @@ def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never inherit a one-row-group scan's single-partition layout
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    return _neardup_pairs(v)
+
+
+def _neardup_pairs(v: DataFrame) -> DataFrame:
+    """q49's LSH-banded near-dup pipeline over ``v`` = (vec_id,
+    e: array<double>): band-bucket candidates (≥2 shared bands) +
+    exact-fold cosine threshold.  Factored out so q238 can run the SAME
+    pipeline over the exact-dedup CANONICAL vectors (the measured
+    pipeline-ordering dial from the r9 sf1 sweep)."""
     bands = _signatures(v)
 
     # shuffle-hash hint: scale-correct (never broadcast the full band
@@ -375,6 +393,134 @@ def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cv, "vec_b")
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — exact-dedup-FIRST near-dup: the pipeline ORDERING dial the r9
+# synthetic-sf1 sweep measured (bench_snapshots/README.md, q49 section):
+# verbatim-duplicated vectors blow up q49's in-bucket candidate pairs
+# ~quadratically (20k vectors → 54s at sf1), while ONE exact hash-groupBy
+# first collapses the table to its distinct vectors (20k → 2k measured),
+# the LSH near-dup stage runs at the deduplicated cost (~2.8s), and
+# duplicate groups re-expand through the keeper map afterwards — the
+# q22-before-q49 ordering every production corpus pipeline uses.  This
+# registers that ordering as a query with an oracle instead of a bench
+# note: the oracle is the NAIVE-ORDER computation (q49's direct LSH
+# pipeline over all vectors, plus each endpoint's canonical id), so the
+# hash-match IS the proof that the composition is a physical rewrite,
+# not a semantic one.
+#
+# Exactness of the rewrite (why naive == composed, bit-for-bit):
+# members of an exact-dup group share the embedding VALUE, hence the
+# LSH signature, hence every band bucket — so (a) a cross-group member
+# pair is a candidate iff its canonical pair is, with an identical
+# cosine (same input doubles, same fold), and (b) every within-group
+# pair collides in ALL bands (≥ 2) with cosine cos(c,c) — computed via
+# the same x/(√x·√x) expression, NOT assumed to be 1.0 (it is 1±2ulp).
+#
+# Scale shape: stage 1 is q22's one hash-groupBy shuffle (keyed on the
+# vector bytes); stage 2 is q49's banded join over the SMALLER canonical
+# set; stage 3 is two keyed equi-joins of the member map onto the
+# canonical pair set (output-sized — the expansion is the answer, the
+# quadratic work never re-enters the candidate stage).
+
+
+def _duck_canonical_neardup_oracle() -> str:
+    cos = (
+        f"{_duck_dot('p.e', 'c.e')} / "
+        f"(sqrt({_duck_dot('p.e', 'p.e')}) * sqrt({_duck_dot('c.e', 'c.e')}))"
+    )
+    return f"""
+    WITH {_duck_neardup_cte()},
+    g AS (SELECT vec_id, min(vec_id) OVER (PARTITION BY embedding) AS canon
+          FROM embeddings)
+    SELECT cand.vec_a, cand.vec_b,
+           ga.canon AS canon_a, gb.canon AS canon_b,
+           {cos} AS cosine
+    FROM cand
+    JOIN v p ON p.vec_id = cand.vec_a
+    JOIN v c ON c.vec_id = cand.vec_b
+    JOIN g ga ON ga.vec_id = cand.vec_a
+    JOIN g gb ON gb.vec_id = cand.vec_b
+    WHERE {cos} >= {NEARDUP_COS}
+    """
+
+
+@register(
+    "q238_canonical_neardup",
+    oracle=_duck_canonical_neardup_oracle(),
+    doc="exact-dedup-first near-dup: one hash-groupBy collapses verbatim "
+    "duplicates, q49's LSH pipeline runs on canonical vectors only, and "
+    "duplicate groups re-expand by the keeper map; oracle is the "
+    "naive-order computation (the composition is a pure physical rewrite)",
+    tags=("dedup", "similarity", "llm"),
+)
+def q238_canonical_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    # stage 1 — exact dedup (q22's shape over vectors): the keeper map
+    # is a partitioned window-min keyed on the raw vector, one shuffle;
+    # materialized because it feeds the canonical set AND both
+    # re-expansion joins
+    w = Window.partitionBy("embedding")
+    members = materialize(
+        emb.select(
+            "vec_id", "embedding", F.min("vec_id").over(w).alias("canon_id")
+        ),
+        "q238_members",
+    )
+    cv = members.filter(F.col("vec_id") == F.col("canon_id")).select(
+        "vec_id", _to_double("embedding").alias("e")
+    )
+    # stage 2 — q49's pipeline, canonical vectors only
+    cpairs = _neardup_pairs(cv)
+    mm = members.select("vec_id", "canon_id")
+
+    # stage 3a — cross-group expansion: canonical pair × both member
+    # lists (keyed equi-joins); output pair is (least, greatest) with
+    # canon columns following the swap
+    ma = mm.select(F.col("canon_id").alias("vec_a"), F.col("vec_id").alias("m_a"))
+    mb = mm.select(F.col("canon_id").alias("vec_b"), F.col("vec_id").alias("m_b"))
+    a_first = F.col("m_a") <= F.col("m_b")
+    cross = (
+        cpairs.join(ma, "vec_a")
+        .join(mb, "vec_b")
+        .select(
+            F.least("m_a", "m_b").alias("out_a"),
+            F.greatest("m_a", "m_b").alias("out_b"),
+            F.when(a_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("canon_a"),
+            F.when(a_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("canon_b"),
+            "cosine",
+        )
+    )
+    # stage 3b — within-group pairs: all member pairs of each dup group,
+    # cosine = cos(c, c) via the SAME x/(√x·√x) expression the naive
+    # order evaluates (1 ± 2ulp, never assumed 1.0), threshold kept
+    selfcos = _dot(F.col("e"), F.col("e")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    cself = cv.select(F.col("vec_id").alias("canon_id"), selfcos.alias("cosine"))
+    ga = mm.select("canon_id", F.col("vec_id").alias("m_a"))
+    gb = mm.select("canon_id", F.col("vec_id").alias("m_b"))
+    ingroup = (
+        ga.join(gb, "canon_id")
+        .filter(F.col("m_a") < F.col("m_b"))
+        .join(cself, "canon_id")
+        .filter(F.col("cosine") >= NEARDUP_COS)
+        .select(
+            F.col("m_a").alias("out_a"),
+            F.col("m_b").alias("out_b"),
+            F.col("canon_id").alias("canon_a"),
+            F.col("canon_id").alias("canon_b"),
+            "cosine",
+        )
+    )
+    return cross.unionByName(ingroup).select(
+        F.col("out_a").alias("vec_a"),
+        F.col("out_b").alias("vec_b"),
+        "canon_a",
+        "canon_b",
+        "cosine",
     )
 
 

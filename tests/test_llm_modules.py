@@ -204,7 +204,7 @@ def test_short_docs_do_not_crash_shingle_paths(spark, tmp_path):
 
 
 def test_hot_shingle_df_cap_prunes_boilerplate_pairs(spark, tmp_path):
-    """q23's MAX_SHINGLE_DF guard: a shingle shared by more docs than the
+    """q23's shingle-df-cap guard: a shingle shared by more docs than the
     cap contributes NO candidate pairs (the O(d²) blowup guard), while
     genuinely similar docs still pair. Verified by lowering the cap via
     monkeypatched constant semantics — here we build a corpus where one
@@ -242,7 +242,9 @@ def test_hot_shingle_df_cap_prunes_boilerplate_pairs(spark, tmp_path):
         str(d / "documents.parquet"),
     )
 
-    with mock.patch.object(dedup_queries, "MAX_SHINGLE_DF", 4):
+    # force the computed cap to 4 (the r10 cap is N-relative with a
+    # floor; the tiny fixture would otherwise get the floor of 64)
+    with mock.patch.object(dedup_queries, "_shingle_df_cap", lambda n: 4):
         rows = dedup_queries.q23_ngram_jaccard_pairs(spark, str(d)).collect()
     pairs = {(r.doc_a, r.doc_b) for r in rows}
     # boilerplate df=6 > cap=4: it cannot be the pair generator, so the

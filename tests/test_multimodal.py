@@ -233,17 +233,37 @@ def test_builtin_png_color_types_and_seams():
     img = decode_image(_png_encode(idx, 2, 2, color=3, extra=plte))
     assert img.pixels[:6] == bytes([255, 0, 0, 0, 0, 255])
 
-    # the decoder is honest about its limits
+    # Adam7 interlace decodes (r10): 1x1 single-pass round trip, and a
+    # truncated interlaced stream is corruption (ValueError), not a seam
     import struct as _struct
+    import zlib as _zlib
 
+    one = bytes([9, 8, 7])
     interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" + one))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_image(interlaced).pixels == one
+    truncated = (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1))
         + _png_chunk(b"IDAT", b"x\x9c\x03\x00\x00\x00\x00\x01")
         + _png_chunk(b"IEND", b"")
     )
+    with pytest.raises(ValueError):
+        decode_image(truncated)
+
+    # the decoder stays honest about 16-bit depth
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", _zlib.compress(b"\x00" + bytes(6)))
+        + _png_chunk(b"IEND", b"")
+    )
     with pytest.raises(NotImplementedError):
-        decode_image(interlaced)
+        decode_image(deep)
 
     # resize runs over the PNG path too (nearest-neighbor upscale)
     small = _png_encode(bytes([255, 0, 0, 0, 0, 255]), 2, 1, color=2)
@@ -484,17 +504,19 @@ def test_builtin_jpeg_progressive_long_eob_runs():
     assert prog.pixels == base.pixels
 
 
-def test_adam7_and_webp_seam_payloads_skip_gracefully(spark):
-    """The fixture corpus carries one Adam7-interlaced PNG and one WebP
-    container — spec-shaped payloads the built-in decoder deliberately
-    does not decode.  They must flow through the media queries as
-    decode_ok=false / hash-skipped rows, never a crash (a real corpus
-    shard WILL contain such files)."""
-    from tools.media_encoders import png_encode_adam7, webp_container
+def test_adam7_decodes_and_webp_seam_skips_gracefully(spark):
+    """r10: Adam7-interlaced PNG now DECODES (spec §8.2 pass-by-pass
+    deinterlace) pixel-equal to its non-interlaced twin; WebP remains
+    the recognized-but-unsupported seam and must flow through the media
+    queries as a decode_ok=false / hash-skipped row, never a crash (a
+    real corpus shard WILL contain such files)."""
+    from tools.media_encoders import png_encode, png_encode_adam7, webp_container
 
     rgb = bytes((i * 37) % 256 for i in range(13 * 9 * 3))
-    with pytest.raises(NotImplementedError):
-        decode_image(png_encode_adam7(rgb, 13, 9))
+    adam7 = decode_image(png_encode_adam7(rgb, 13, 9))
+    twin = decode_image(png_encode(rgb, 13, 9))
+    assert (adam7.width, adam7.height) == (13, 9)
+    assert adam7.pixels == rgb == twin.pixels
     with pytest.raises(NotImplementedError):
         decode_image(webp_container(b"\x01\x02\x03"))
 
@@ -507,17 +529,21 @@ def test_adam7_and_webp_seam_payloads_skip_gracefully(spark):
         if r.format in ("png-adam7", "webp")
     }
     assert set(rows) == {"png-adam7", "webp"}, "seam fixtures missing"
-    for r in rows.values():
-        assert r.decode_ok is False
-        assert r.decoded_width is None and r.decoded_height is None
+    a7 = rows["png-adam7"]
+    assert a7.decode_ok is True
+    assert (a7.decoded_width, a7.decoded_height) == (13, 9)
+    wp = rows["webp"]
+    assert wp.decode_ok is False
+    assert wp.decoded_width is None and wp.decoded_height is None
 
-    # perceptual near-dup skips the seam rows instead of crashing, and
-    # still hashes everything else
+    # perceptual near-dup skips the WebP row instead of crashing, and
+    # still hashes everything else (incl. the now-decodable Adam7 image,
+    # whose noise pixels pair with nothing — the regenerated fixture's
+    # cross-family Hamming assert pins that)
     q224 = all_specs()["q224_image_phash_neardup"].fn
     pairs = q224(spark, "unused").collect()
     ids = {r.a_id for r in pairs} | {r.b_id for r in pairs}
-    seam_ids = {rows["png-adam7"].media_id, rows["webp"].media_id}
-    assert not (ids & seam_ids)
+    assert wp.media_id not in ids
     assert len(pairs) > 0
 
 
