@@ -79,8 +79,14 @@ _PRIORITY: tuple = (
     # green post-reshape; q40 rotates in post-reshape (the other former
     # array-output query, never driver-checked)
     "q44_media_features", "q40_event_value_distribution",
-    # birth-round slot for the round's new operator (q234/q235 precedent)
-    "q238_canonical_neardup",
+    # birth-round slots for the round's new operators (q234/q235
+    # precedent).  To keep the window at 50, q96_price_quantiles and
+    # q113_skew_two_stage_agg yield their slots to q239/q240: both are
+    # the most redundantly-evidenced shapes in the tranche (exact
+    # quantiles and salted aggregation have driver-green relatives in
+    # A4/W3 and q234) and rotate in next round.
+    "q238_canonical_neardup", "q239_bpe_train_rounds",
+    "q240_linear_probe_gd",
     # r9 VERDICT ask #2 priority: LLM local-onlys — dedup
     "q134_prefix_dups", "q158_ngram_novelty", "q171_fuzzy_name_match",
     "q206_substring_dup_rate",
@@ -96,7 +102,6 @@ _PRIORITY: tuple = (
     "q77_segment_dedup", "q152_temperature_mix", "q143_pps_token_sample",
     "q156_kmv_join_estimate", "q124_dirty_csv_ingest",
     "q110_schema_evolution", "q202_cdc_log_apply",
-    "q113_skew_two_stage_agg", "q96_price_quantiles",
 )
 
 

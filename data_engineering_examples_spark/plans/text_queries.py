@@ -1504,3 +1504,162 @@ def q232_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("score_micros") >= Q232_KEEP_MICROS)
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — multi-round BPE tokenizer TRAINING (the full iterative loop
+# q170 takes one step of): R rounds of (count adjacent symbol pairs
+# weighted by word frequency -> argmax pair with a full deterministic
+# tie-break -> merge that pair in every word form), returning the
+# learned merge table.  This is the tokenizer-training job an LLM data
+# pipeline runs before anything else touches tokens; the reference has
+# no tokenizer surface (its per-cell pandas would collect the corpus),
+# so this extends the engine the same way q94's Lloyd loop does.
+#
+# Scale shape (the reason BPE training is feasible at 100 TB): the
+# corpus collapses to a WORD-FREQUENCY table first — the only
+# corpus-sized shuffle, map-side combinable — and every round after
+# that is vocabulary-sized: pair explosion is O(vocab x word_len),
+# the argmax is orderBy+limit(1) (TakeOrderedAndProject, one-row
+# result), and the merge application is one broadcast nested-loop of
+# the 1-row winner against the vocab table (literal replace, leftmost
+# non-overlapping — identical semantics both engines, q204 precedent).
+# Word forms are materialized per round through the durable scratch
+# seam (Lloyd precedent, q94/q235): without it round r's plan would
+# re-derive every earlier round's replace chain once per consumer and
+# the logical tree doubles per round.
+#
+# All counts integer; symbol strings never leave the JVM.  The oracle
+# unrolls the same R rounds as chained CTEs with scalar-subquery merge
+# patterns, so every round's argmax — and therefore the whole merge
+# table — is bit-identical in Spark and DuckDB.
+
+BPE_TRAIN_ROUNDS = 6
+
+
+def _q239_oracle() -> str:
+    ctes = [
+        "w AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
+        "wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w "
+        "WHERE word <> '' GROUP BY word)",
+        "f0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS form, n "
+        "FROM wc)",
+    ]
+    for r in range(BPE_TRAIN_ROUNDS):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+      SELECT syms[CAST(i AS INT)] AS left_sym,
+             syms[CAST(i AS INT) + 1] AS right_sym, n
+      FROM (SELECT string_split(form, ' ') AS syms, n FROM f{r}),
+           unnest(range(1, len(syms))) AS t(i)
+    )"""
+        )
+        ctes.append(
+            f"m{r} AS MATERIALIZED (SELECT left_sym, right_sym, "
+            f"CAST(sum(n) AS BIGINT) AS pair_count FROM p{r} "
+            "GROUP BY left_sym, right_sym "
+            "ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)"
+        )
+        if r < BPE_TRAIN_ROUNDS - 1:
+            ctes.append(
+                f"""f{r + 1} AS MATERIALIZED (
+      SELECT trim(replace(' ' || form || ' ',
+                  ' ' || (SELECT left_sym FROM m{r}) || ' '
+                      || (SELECT right_sym FROM m{r}) || ' ',
+                  ' ' || (SELECT left_sym FROM m{r})
+                      || (SELECT right_sym FROM m{r}) || ' ')) AS form, n
+      FROM f{r}
+    )"""
+            )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, left_sym, right_sym, "
+        f"left_sym || right_sym AS new_sym, pair_count FROM m{r}"
+        for r in range(BPE_TRAIN_ROUNDS)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register(
+    "q239_bpe_train_rounds",
+    oracle=_q239_oracle(),
+    doc=f"BPE tokenizer training, {BPE_TRAIN_ROUNDS} full merge rounds: "
+    "corpus collapses to a word-frequency table once, then each round is "
+    "vocab-sized (pair argmax via TakeOrdered, broadcast 1-row merge "
+    "application, per-round materialized forms — the Lloyd pattern)",
+    tags=("text", "llm", "vocab", "iterative"),
+)
+def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
+    d = _docs(spark, sf_dir)
+    wc = (
+        d.select(F.explode(F.split(d.text, " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # initial symbolization: one space-separated symbol per character
+    forms = materialize(
+        wc.select(
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("form"), "n"
+        ),
+        "q239_forms_r0",
+    )
+    merges: list[DataFrame] = []
+    for rnd in range(BPE_TRAIN_ROUNDS):
+        # adjacent-pair extraction: vocab-sized explode (guard size >= 2:
+        # Spark's sequence(1, 0) would count DOWN and element_at(_, 0)
+        # raises under ANSI; DuckDB's range(1, 1) is just empty)
+        syms = forms.select(F.split("form", " ").alias("syms"), "n").filter(
+            F.size("syms") >= 2
+        )
+        pairs = syms.select(
+            "n",
+            "syms",
+            F.explode(F.sequence(F.lit(1), F.size("syms") - 1)).alias("i"),
+        ).select(
+            F.element_at("syms", F.col("i")).alias("left_sym"),
+            F.element_at("syms", F.col("i") + 1).alias("right_sym"),
+            "n",
+        )
+        best = materialize(
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("n").cast("bigint").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+            .limit(1),
+            f"q239_best_r{rnd}",  # read twice: merge-table row + application
+        )
+        merges.append(
+            best.select(
+                F.lit(rnd).cast("int").alias("round"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("new_sym"),
+                "pair_count",
+            )
+        )
+        if rnd < BPE_TRAIN_ROUNDS - 1:
+            # apply the winning merge to every form: broadcast 1-row
+            # winner, literal replace (leftmost non-overlapping in both
+            # engines — q204's parity precedent)
+            padded = F.concat(F.lit(" "), F.col("form"), F.lit(" "))
+            pat = F.concat(
+                F.lit(" "),
+                F.col("left_sym"),
+                F.lit(" "),
+                F.col("right_sym"),
+                F.lit(" "),
+            )
+            rep = F.concat(
+                F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" ")
+            )
+            forms = materialize(
+                forms.crossJoin(
+                    F.broadcast(best.select("left_sym", "right_sym"))
+                ).select(F.trim(F.replace(padded, pat, rep)).alias("form"), "n"),
+                f"q239_forms_r{rnd + 1}",
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

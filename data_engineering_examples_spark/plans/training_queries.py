@@ -552,3 +552,159 @@ def q159_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(SPAN_LEN).cast("bigint").alias("span_len"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — linear-probe training via exact sufficient statistics +
+# fixed-point batch gradient descent.  The quality-probe job an LLM
+# pipeline runs constantly (fit a tiny linear model over cheap document
+# features to predict a target signal) — and the canonical demonstration
+# that ITERATIVE training needs only ONE pass over the data when the
+# loss is quadratic: the gradient of ||Xw - y||^2 is A·w - b with
+# A = X^T X (d×d) and b = X^T y (d), so the corpus-sized work is a
+# single map-side-combinable aggregate producing 9 numbers, and every
+# GD round after that is arithmetic on a ONE-ROW frame.  At 100 TB the
+# data pass is one scan+agg; rounds cost nothing regardless of count.
+#
+# Exactness contract (the CUPED/q94 discipline): features are small
+# integers (capped token counts), sufficient statistics accumulate in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), weights live in 1e-6
+# fixed point, and the learning rate is 1/(n·2^18) — 2^18 bounds
+# trace(A)/n = 1 + x1² + x2² ≤ 1 + 2·256², so lr·λmax ≤ 0.5 and the
+# iteration contracts monotonically (no overflow; headroom ~1e17).
+# The update's only division is an integral `div`/`//`, verified
+# truncation-toward-zero in BOTH engines (including negatives), so
+# every round's weights — and therefore the whole trajectory — are
+# bit-identical.  Per-round weights are materialized through the
+# scratch seam (Lloyd precedent): an unbroken 1-row projection chain
+# would nest each round's expressions inside the next's ~4× per round.
+
+Q240_ROUNDS = 8
+Q240_SCALE = 1_000_000  # weight fixed-point denominator
+Q240_LRDEN = 262_144  # lr = 1 / (n * 2^18); 2^18 >= 1 + 2*256^2
+Q240_XCAP = 256
+Q240_YCAP = 4096
+
+
+def _q240_oracle() -> str:
+    ctes = [
+        """feats AS (
+      SELECT least(len(string_split(text, ' ')), 256) AS x1,
+             least(len(list_distinct(string_split(text, ' '))), 256) AS x2,
+             least(n_chars, 4096) AS y
+      FROM documents
+    )""",
+        """st AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS s1,
+             CAST(sum(x2) AS HUGEINT) AS s2,
+             CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+             CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+             CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+             CAST(sum(y) AS HUGEINT) AS b0,
+             CAST(sum(x1 * y) AS HUGEINT) AS b1,
+             CAST(sum(x2 * y) AS HUGEINT) AS b2
+      FROM feats
+    )""",
+        "w0_ AS (SELECT *, CAST(0 AS HUGEINT) AS w0, CAST(0 AS HUGEINT) AS w1, "
+        "CAST(0 AS HUGEINT) AS w2 FROM st)",
+    ]
+    for r in range(1, Q240_ROUNDS + 1):
+        ctes.append(
+            f"""w{r}_ AS (
+      SELECT n, s1, s2, s11, s12, s22, b0, b1, b2,
+             w0 - (g0 // d) AS w0, w1 - (g1 // d) AS w1, w2 - (g2 // d) AS w2
+      FROM (
+        SELECT *, n * {Q240_LRDEN} AS d,
+               n * w0 + s1 * w1 + s2 * w2 - b0 * {Q240_SCALE} AS g0,
+               s1 * w0 + s11 * w1 + s12 * w2 - b1 * {Q240_SCALE} AS g1,
+               s2 * w0 + s12 * w1 + s22 * w2 - b2 * {Q240_SCALE} AS g2
+        FROM w{r - 1}_
+      )
+    )"""
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, CAST(w0 AS BIGINT) AS w0_fp, "
+        f"CAST(w1 AS BIGINT) AS w1_fp, CAST(w2 AS BIGINT) AS w2_fp FROM w{r}_"
+        for r in range(1, Q240_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+_Q240_STATS = ("n", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2")
+
+
+@register(
+    "q240_linear_probe_gd",
+    oracle=_q240_oracle(),
+    doc=f"linear-probe training: ONE data pass builds exact X^T X / X^T y "
+    f"sufficient statistics, then {Q240_ROUNDS} fixed-point GD rounds on a "
+    "one-row frame — bit-identical weight trajectory in both engines",
+    tags=("training", "llm", "iterative"),
+)
+def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    dec = "decimal(38,0)"
+    feats = d.select(
+        F.least(F.size(toks), F.lit(Q240_XCAP)).cast(dec).alias("x1"),
+        F.least(F.size(F.array_distinct(toks)), F.lit(Q240_XCAP))
+        .cast(dec)
+        .alias("x2"),
+        F.least(F.col("n_chars"), F.lit(Q240_YCAP)).cast(dec).alias("y"),
+    )
+    # the ONLY corpus-sized stage: one scan, map-side-combinable aggregate
+    w = materialize(
+        feats.agg(
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("x1").alias("s1"),
+            F.sum("x2").alias("s2"),
+            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+            F.sum("y").alias("b0"),
+            F.sum(F.col("x1") * F.col("y")).alias("b1"),
+            F.sum(F.col("x2") * F.col("y")).alias("b2"),
+        ).select(
+            "*",
+            F.lit(0).cast(dec).alias("w0"),
+            F.lit(0).cast(dec).alias("w1"),
+            F.lit(0).cast(dec).alias("w2"),
+        ),
+        "q240_stats",
+    )
+    rows: list[DataFrame] = []
+    for r in range(1, Q240_ROUNDS + 1):
+        stepped = w.select(
+            *_Q240_STATS,
+            F.expr(f"n * {Q240_LRDEN}").alias("d"),
+            F.expr(f"n * w0 + s1 * w1 + s2 * w2 - b0 * {Q240_SCALE}").alias("g0"),
+            F.expr(f"s1 * w0 + s11 * w1 + s12 * w2 - b1 * {Q240_SCALE}").alias("g1"),
+            F.expr(f"s2 * w0 + s12 * w1 + s22 * w2 - b2 * {Q240_SCALE}").alias("g2"),
+            "w0",
+            "w1",
+            "w2",
+        )
+        w = materialize(
+            stepped.select(
+                *_Q240_STATS,
+                F.expr("CAST(w0 - (g0 div d) AS decimal(38,0))").alias("w0"),
+                F.expr("CAST(w1 - (g1 div d) AS decimal(38,0))").alias("w1"),
+                F.expr("CAST(w2 - (g2 div d) AS decimal(38,0))").alias("w2"),
+            ),
+            f"q240_w_r{r}",
+        )
+        rows.append(
+            w.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("w0").cast("bigint").alias("w0_fp"),
+                F.col("w1").cast("bigint").alias("w1_fp"),
+                F.col("w2").cast("bigint").alias("w2_fp"),
+            )
+        )
+    out = rows[0]
+    for m in rows[1:]:
+        out = out.unionByName(m)
+    return out

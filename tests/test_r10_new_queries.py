@@ -68,3 +68,151 @@ def test_shingle_df_cap_is_n_relative():
     assert _shingle_df_cap(50_000) == 64       # sf1: the measured-good dial
     assert _shingle_df_cap(500_000) == 640     # ppm regime: 1280 ppm of N
     assert _shingle_df_cap(1_000_001) == 1281  # exact integer ceil
+
+
+# ---------------------------------------------------------------------------
+# q239 — BPE trainer: the oracle proves Spark==DuckDB; these prove both
+# match BPE itself (an independent plain-Python trainer) and the
+# monotonicity BPE guarantees (each merged symbol can only appear as
+# often as the pair that built it, so the winning count never rises).
+
+
+def _python_bpe(word_counts: dict[str, int], rounds: int):
+    """Reference BPE trainer: greedy argmax with (count desc, left asc,
+    right asc) tie-break, leftmost non-overlapping merge application."""
+    forms = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(rounds):
+        counts: dict[tuple, int] = {}
+        for syms, n in forms.items():
+            for i in range(len(syms) - 1):
+                counts[syms[i], syms[i + 1]] = counts.get((syms[i], syms[i + 1]), 0) + n
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((l, r, c))
+        new_forms: dict[tuple, int] = {}
+        for syms, n in forms.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_forms[tuple(out)] = new_forms.get(tuple(out), 0) + n
+        forms = new_forms
+    return merges
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    from collections import Counter
+
+    from data_engineering_examples_spark.plans.text_queries import BPE_TRAIN_ROUNDS
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    spec = all_specs()["q239_bpe_train_rounds"]
+    got = {
+        row["round"]: (row["left_sym"], row["right_sym"], row["pair_count"])
+        for row in spec.fn(spark, sf).collect()
+    }
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    wc = Counter(
+        w
+        for row in docs.select("text").collect()
+        for w in row["text"].split(" ")
+        if w
+    )
+    want = _python_bpe(dict(wc), BPE_TRAIN_ROUNDS)
+    assert len(got) == len(want) == BPE_TRAIN_ROUNDS
+    for rnd, (l, r, c) in enumerate(want):
+        assert got[rnd] == (l, r, c), f"round {rnd}: {got[rnd]} != {(l, r, c)}"
+
+
+def test_bpe_winning_counts_never_rise(spark):
+    spec = all_specs()["q239_bpe_train_rounds"]
+    rows = sorted(spec.fn(spark, "/root/testdata/sf0.001").collect(),
+                  key=lambda r: r["round"])
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# q240 — linear-probe GD: both engines agree by the oracle; these prove
+# the trajectory is the TRUE fixed-point GD (arbitrary-precision Python
+# replica, including the trunc-toward-zero division) and that training
+# actually trains (exact SSE strictly decreases along the trajectory).
+
+
+def _q240_feats(spark, sf):
+    from data_engineering_examples_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf, ["documents"])["documents"]
+    rows = docs.select("text", "n_chars").collect()
+    feats = []
+    for r in rows:
+        toks = r["text"].split(" ")
+        feats.append(
+            (min(len(toks), 256), min(len(set(toks)), 256), min(r["n_chars"], 4096))
+        )
+    return feats
+
+
+def test_linear_probe_gd_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.training_queries import (
+        Q240_LRDEN,
+        Q240_ROUNDS,
+        Q240_SCALE,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feats = _q240_feats(spark, sf)
+    n = len(feats)
+    s1 = sum(x1 for x1, _, _ in feats)
+    s2 = sum(x2 for _, x2, _ in feats)
+    s11 = sum(x1 * x1 for x1, _, _ in feats)
+    s12 = sum(x1 * x2 for x1, x2, _ in feats)
+    s22 = sum(x2 * x2 for _, x2, _ in feats)
+    b0 = sum(y for _, _, y in feats)
+    b1 = sum(x1 * y for x1, _, y in feats)
+    b2 = sum(x2 * y for _, x2, y in feats)
+    d = n * Q240_LRDEN
+
+    def tdiv(a: int, b: int) -> int:  # trunc toward zero, like div / //
+        return -((-a) // b) if a < 0 else a // b
+
+    w0 = w1 = w2 = 0
+    want = []
+    for _ in range(Q240_ROUNDS):
+        g0 = n * w0 + s1 * w1 + s2 * w2 - b0 * Q240_SCALE
+        g1 = s1 * w0 + s11 * w1 + s12 * w2 - b1 * Q240_SCALE
+        g2 = s2 * w0 + s12 * w1 + s22 * w2 - b2 * Q240_SCALE
+        w0, w1, w2 = w0 - tdiv(g0, d), w1 - tdiv(g1, d), w2 - tdiv(g2, d)
+        want.append((w0, w1, w2))
+    spec = all_specs()["q240_linear_probe_gd"]
+    got = sorted(spec.fn(spark, sf).collect(), key=lambda r: r["round"])
+    assert [(r["w0_fp"], r["w1_fp"], r["w2_fp"]) for r in got] == want
+
+
+def test_linear_probe_gd_reduces_exact_sse(spark):
+    from fractions import Fraction
+
+    from data_engineering_examples_spark.plans.training_queries import Q240_SCALE
+
+    sf = "/root/testdata/sf0.001"
+    feats = _q240_feats(spark, sf)
+    spec = all_specs()["q240_linear_probe_gd"]
+    got = sorted(spec.fn(spark, sf).collect(), key=lambda r: r["round"])
+
+    def sse(w):
+        w0, w1, w2 = (Fraction(v, Q240_SCALE) for v in w)
+        return sum(
+            (w0 + w1 * x1 + w2 * x2 - y) ** 2 for x1, x2, y in feats
+        )
+
+    losses = [sse((0, 0, 0))] + [
+        sse((r["w0_fp"], r["w1_fp"], r["w2_fp"])) for r in got
+    ]
+    assert all(a > b for a, b in zip(losses, losses[1:])), losses
