@@ -708,3 +708,217 @@ def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q241 — gradient-boosted decision STUMPS (squared loss, shrinkage 1/2),
+# the nonlinear sibling of q240's linear probe: the quality-model family
+# LLM pipelines actually deploy when a linear probe under-fits.  Each
+# boosting round is the histogram method every distributed GBDT
+# implementation uses: ONE corpus pass computes (count, residual-sum)
+# for every (feature, threshold) candidate as conditional aggregates —
+# 4 expressions per candidate inside a single map-side-combinable
+# aggregate, NO row amplification — then split selection, leaf values,
+# and the residual update are arithmetic on broadcast-sized frames.
+# K rounds = K corpus passes + K residual materializations: the honest
+# GBDT cost model, and exactly how it runs at 100 TB.
+#
+# Exactness: residuals live in 1e-3 fixed point; split gain is compared
+# as the exact integer  ((SL²·nR + SR²·nL)·n − S²·nL·nR) // (nL·nR·n)
+# (variance reduction over the common denominator, floor-quantized —
+# both engines floor positives identically, and gain ≥ 0 by Cauchy-
+# Schwarz so the quotient is never negative); leaf values are
+# trunc(S_side / (2·n_side)), the trunc-toward-zero integral division
+# verified identical in both engines including negatives.  Ties break
+# (feature, threshold) ascending.  Magnitude audit at synthetic sf1
+# (N = 5e4, |r| ≤ ~5·4.1e6 after 4 rounds): gain numerator ≤ ~2.5e33,
+# within DECIMAL(38,0) and HUGEINT with 4+ digits of headroom.
+
+Q241_ROUNDS = 4
+Q241_RSCALE = 1_000  # residual fixed-point denominator (milli-units)
+Q241_THRESHOLDS = (32, 64, 96, 128, 160, 192, 224)
+Q241_FEATURES = ("x1", "x2")
+
+
+def _q241_oracle() -> str:
+    cand_rows = ", ".join(
+        f"('{f}', {t})" for f in Q241_FEATURES for t in Q241_THRESHOLDS
+    )
+    ctes = [
+        """feats AS MATERIALIZED (
+      SELECT least(len(string_split(text, ' ')), 256) AS x1,
+             least(len(list_distinct(string_split(text, ' '))), 256) AS x2,
+             least(n_chars, 4096) AS y
+      FROM documents
+    )""",
+        f"cand AS MATERIALIZED (SELECT f, t FROM (VALUES {cand_rows}) c(f, t))",
+        f"r0 AS MATERIALIZED (SELECT x1, x2, "
+        f"CAST(y * {Q241_RSCALE} AS HUGEINT) AS r FROM feats)",
+    ]
+    for k in range(1, Q241_ROUNDS + 1):
+        p = k - 1
+        ctes.append(
+            f"""s{k} AS MATERIALIZED (
+      SELECT c.f, c.t,
+             CAST(coalesce(sum(CASE WHEN (CASE WHEN c.f = 'x1' THEN d.x1
+                                            ELSE d.x2 END) <= c.t
+                                    THEN 1 END), 0) AS HUGEINT) AS nl,
+             CAST(coalesce(sum(CASE WHEN (CASE WHEN c.f = 'x1' THEN d.x1
+                                            ELSE d.x2 END) <= c.t
+                                    THEN d.r END), 0) AS HUGEINT) AS sl,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(d.r) AS HUGEINT) AS s
+      FROM r{p} d, cand c GROUP BY c.f, c.t
+    )"""
+        )
+        ctes.append(
+            f"""b{k} AS MATERIALIZED (
+      SELECT f, t, nl, n - nl AS nr, sl, s - sl AS sr,
+             ((sl * sl * (n - nl) + (s - sl) * (s - sl) * nl) * n
+              - s * s * nl * (n - nl)) // (nl * (n - nl) * n) AS gain,
+             sl // (2 * nl) AS vl, (s - sl) // (2 * (n - nl)) AS vr
+      FROM s{k} WHERE nl > 0 AND n - nl > 0
+      ORDER BY gain DESC, f, t LIMIT 1
+    )"""
+        )
+        if k < Q241_ROUNDS:
+            ctes.append(
+                f"""r{k} AS MATERIALIZED (
+      SELECT d.x1, d.x2,
+             d.r - (CASE WHEN (CASE WHEN b.f = 'x1' THEN d.x1 ELSE d.x2 END)
+                              <= b.t THEN b.vl ELSE b.vr END) AS r
+      FROM r{p} d, b{k} b
+    )"""
+            )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, f AS feature, CAST(t AS INT) "
+        f"AS threshold, CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) "
+        f"AS n_right, CAST(vl AS BIGINT) AS left_value_fp, "
+        f"CAST(vr AS BIGINT) AS right_value_fp FROM b{k}"
+        for k in range(1, Q241_ROUNDS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + unions
+
+
+@register(
+    "q241_gbdt_stumps",
+    oracle=_q241_oracle(),
+    doc=f"gradient-boosted stump training ({Q241_ROUNDS} rounds, shrinkage "
+    "1/2): per round ONE histogram pass (conditional aggregates per "
+    "(feature, threshold) candidate, no row amplification), exact integer "
+    "variance-reduction argmax, trunc-division leaf values, materialized "
+    "residual update — the honest K-pass GBDT cost model",
+    tags=("training", "llm", "iterative"),
+)
+def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    dec = "decimal(38,0)"
+    resid = materialize(
+        d.select(
+            F.least(F.size(toks), F.lit(Q240_XCAP)).cast("long").alias("x1"),
+            F.least(F.size(F.array_distinct(toks)), F.lit(Q240_XCAP))
+            .cast("long")
+            .alias("x2"),
+            (F.least(F.col("n_chars"), F.lit(Q240_YCAP)) * Q241_RSCALE)
+            .cast(dec)
+            .alias("r"),
+        ),
+        "q241_resid_r0",
+    )
+    cands = [(f, t) for f in Q241_FEATURES for t in Q241_THRESHOLDS]
+    rows: list[DataFrame] = []
+    for k in range(1, Q241_ROUNDS + 1):
+        # the histogram pass: one aggregate, 2 conditional expressions per
+        # candidate + the 2 totals — partial aggregation collapses the
+        # corpus map-side, the exchange carries ONE row
+        aggs = [
+            F.count(F.lit(1)).cast(dec).alias("n"),
+            F.sum("r").alias("s"),
+        ]
+        for i, (f, t) in enumerate(cands):
+            side = F.col(f) <= F.lit(t)
+            aggs.append(
+                F.coalesce(F.sum(F.when(side, F.lit(1))), F.lit(0))
+                .cast(dec)
+                .alias(f"nl_{i}")
+            )
+            aggs.append(
+                F.coalesce(F.sum(F.when(side, F.col("r"))), F.lit(0).cast(dec))
+                .alias(f"sl_{i}")
+            )
+        hist = resid.agg(*aggs)
+        # 1-row -> candidate rows via inline(array(struct...)), then the
+        # exact integer argmax over the 14 candidates (TakeOrdered)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(f).alias("f"),
+                    F.lit(t).cast("int").alias("t"),
+                    F.col(f"nl_{i}").alias("nl"),
+                    F.col(f"sl_{i}").alias("sl"),
+                )
+                for i, (f, t) in enumerate(cands)
+            ]
+        )
+        cand_rows = hist.select("n", "s", F.explode(structs).alias("c")).select(
+            "n",
+            "s",
+            F.col("c.f").alias("f"),
+            F.col("c.t").alias("t"),
+            F.col("c.nl").alias("nl"),
+            F.col("c.sl").alias("sl"),
+        )
+        best = materialize(
+            cand_rows.filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
+            .select(
+                "f",
+                "t",
+                "nl",
+                (F.col("n") - F.col("nl")).alias("nr"),
+                "sl",
+                (F.col("s") - F.col("sl")).alias("sr"),
+                F.expr(
+                    "((sl * sl * (n - nl) + (s - sl) * (s - sl) * nl) * n"
+                    " - s * s * nl * (n - nl)) div (nl * (n - nl) * n)"
+                ).alias("gain"),
+                F.expr("sl div (2 * nl)").alias("vl"),
+                F.expr("(s - sl) div (2 * (n - nl))").alias("vr"),
+            )
+            .orderBy(F.desc("gain"), "f", "t")
+            .limit(1),
+            f"q241_best_r{k}",  # read twice: output row + residual update
+        )
+        rows.append(
+            best.select(
+                F.lit(k).cast("int").alias("round"),
+                F.col("f").alias("feature"),
+                F.col("t").cast("int").alias("threshold"),
+                F.col("nl").cast("bigint").alias("n_left"),
+                F.col("nr").cast("bigint").alias("n_right"),
+                F.col("vl").cast("bigint").alias("left_value_fp"),
+                F.col("vr").cast("bigint").alias("right_value_fp"),
+            )
+        )
+        if k < Q241_ROUNDS:
+            # residual update: map-only against the broadcast 1-row split
+            feat_val = F.when(F.col("f") == "x1", F.col("x1")).otherwise(
+                F.col("x2")
+            )
+            step = F.when(feat_val <= F.col("t"), F.col("vl")).otherwise(
+                F.col("vr")
+            )
+            resid = materialize(
+                resid.crossJoin(
+                    F.broadcast(best.select("f", "t", "vl", "vr"))
+                ).select(
+                    "x1", "x2", (F.col("r") - step).cast(dec).alias("r")
+                ),
+                f"q241_resid_r{k}",
+            )
+    out = rows[0]
+    for m in rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -216,3 +216,67 @@ def test_linear_probe_gd_reduces_exact_sse(spark):
         sse((r["w0_fp"], r["w1_fp"], r["w2_fp"])) for r in got
     ]
     assert all(a > b for a, b in zip(losses, losses[1:])), losses
+
+
+# ---------------------------------------------------------------------------
+# q241 — GBDT stumps: pin the full boosting trajectory (splits, leaf
+# values, side counts) to an arbitrary-precision Python replica of the
+# histogram method, and assert the selected split is the true exact
+# variance-reduction argmax each round.
+
+
+def test_gbdt_stumps_match_python_replica(spark):
+    from data_engineering_examples_spark.plans.training_queries import (
+        Q241_FEATURES,
+        Q241_ROUNDS,
+        Q241_RSCALE,
+        Q241_THRESHOLDS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    feats = _q240_feats(spark, sf)  # (x1, x2, y) triples, same capping
+
+    def tdiv(a: int, b: int) -> int:
+        return -((-a) // b) if a < 0 else a // b
+
+    rows = [(x1, x2, y * Q241_RSCALE) for x1, x2, y in feats]
+    want = []
+    for _ in range(Q241_ROUNDS):
+        n = len(rows)
+        s = sum(r for _, _, r in rows)
+        best = None
+        for f in Q241_FEATURES:
+            for t in Q241_THRESHOLDS:
+                side = [
+                    (x1 if f == "x1" else x2) <= t for x1, x2, _ in rows
+                ]
+                nl = sum(side)
+                if nl == 0 or nl == n:
+                    continue
+                sl = sum(r for (_, _, r), m in zip(rows, side) if m)
+                nr, sr = n - nl, s - sl
+                gain = ((sl * sl * nr + sr * sr * nl) * n - s * s * nl * nr) // (
+                    nl * nr * n
+                )
+                key = (-gain, f, t)
+                if best is None or key < best[0]:
+                    best = (key, f, t, nl, nr, tdiv(sl, 2 * nl), tdiv(sr, 2 * nr))
+        _, f, t, nl, nr, vl, vr = best
+        want.append((f, t, nl, nr, vl, vr))
+        rows = [
+            (x1, x2, r - (vl if (x1 if f == "x1" else x2) <= t else vr))
+            for x1, x2, r in rows
+        ]
+    spec = all_specs()["q241_gbdt_stumps"]
+    got = sorted(spec.fn(spark, sf).collect(), key=lambda r: r["round"])
+    assert [
+        (
+            r["feature"],
+            r["threshold"],
+            r["n_left"],
+            r["n_right"],
+            r["left_value_fp"],
+            r["right_value_fp"],
+        )
+        for r in got
+    ] == want
