@@ -1047,9 +1047,14 @@ def q181_sparse_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Each rule glues one adjacent pair into a single token (' a b ' →
 # ' a_b '), applied as a chain of literal (non-regex) replaces in rule
 # order over the space-padded text — left-to-right, non-overlapping,
-# the same sequential-merge semantics a greedy BPE encoder applies per
-# rule, and byte-identical in both engines because `replace` carries no
-# regex dialect.  Token counts fall out of the split length.
+# byte-identical in both engines because `replace` carries no regex
+# dialect.  One precise caveat: the pattern consumes the separator it
+# shares with an immediately following occurrence, so a back-to-back
+# repeat of one rule's pair ('a b a b') merges alternate occurrences
+# only — a deliberate contract for this fixed-rule compression metric
+# (both engines agree by construction).  q239's trainer, where true
+# greedy application matters, uses the double-space representation
+# instead.  Token counts fall out of the split length.
 #
 # Scale shape: map-only string work inside whole-stage codegen — no
 # explode, no shuffle; scales with scan bandwidth like q26/q48.  The
@@ -1529,6 +1534,20 @@ def q232_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-derive every earlier round's replace chain once per consumer and
 # the logical tree doubles per round.
 #
+# Symbols are separated by TWO spaces, not one.  A single-space
+# pattern ' L R ' consumes the separator it shares with the next
+# occurrence, so back-to-back repeats of the winning pair (the 'b a b a'
+# and self-pair 'a a a a' shapes) merge only alternate occurrences —
+# the scan resumes after the replacement and the next occurrence has
+# lost its leading space.  Classic BPE sidesteps this with lookaround
+# regex ((?<!\S)L R(?!\S)), which DuckDB's RE2 doesn't support.  With
+# doubled separators the pattern ' L  R ' takes exactly ONE space from
+# each boundary pair and the replacement ' LR ' puts both back, so
+# adjacency survives the substitution and literal replace IS greedy
+# leftmost non-overlapping BPE application — pinned against a plain
+# Python reference trainer (incl. the run shapes) in
+# tests/test_r10_new_queries.py.
+#
 # All counts integer; symbol strings never leave the JVM.  The oracle
 # unrolls the same R rounds as chained CTEs with scalar-subquery merge
 # patterns, so every round's argmax — and therefore the whole merge
@@ -1542,7 +1561,7 @@ def _q239_oracle() -> str:
         "w AS MATERIALIZED (SELECT unnest(string_split(text, ' ')) AS word FROM documents)",
         "wc AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w "
         "WHERE word <> '' GROUP BY word)",
-        "f0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS form, n "
+        "f0 AS MATERIALIZED (SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS form, n "
         "FROM wc)",
     ]
     for r in range(BPE_TRAIN_ROUNDS):
@@ -1550,7 +1569,7 @@ def _q239_oracle() -> str:
             f"""p{r} AS MATERIALIZED (
       SELECT syms[CAST(i AS INT)] AS left_sym,
              syms[CAST(i AS INT) + 1] AS right_sym, n
-      FROM (SELECT string_split(form, ' ') AS syms, n FROM f{r}),
+      FROM (SELECT string_split(form, '  ') AS syms, n FROM f{r}),
            unnest(range(1, len(syms))) AS t(i)
     )"""
         )
@@ -1564,7 +1583,7 @@ def _q239_oracle() -> str:
             ctes.append(
                 f"""f{r + 1} AS MATERIALIZED (
       SELECT trim(replace(' ' || form || ' ',
-                  ' ' || (SELECT left_sym FROM m{r}) || ' '
+                  ' ' || (SELECT left_sym FROM m{r}) || '  '
                       || (SELECT right_sym FROM m{r}) || ' ',
                   ' ' || (SELECT left_sym FROM m{r})
                       || (SELECT right_sym FROM m{r}) || ' ')) AS form, n
@@ -1598,10 +1617,12 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    # initial symbolization: one space-separated symbol per character
+    # initial symbolization: one symbol per character, DOUBLE-space
+    # separated (the adjacency-preserving representation — see the
+    # module comment above)
     forms = materialize(
         wc.select(
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("form"), "n"
+            F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("form"), "n"
         ),
         "q239_forms_r0",
     )
@@ -1610,7 +1631,7 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         # adjacent-pair extraction: vocab-sized explode (guard size >= 2:
         # Spark's sequence(1, 0) would count DOWN and element_at(_, 0)
         # raises under ANSI; DuckDB's range(1, 1) is just empty)
-        syms = forms.select(F.split("form", " ").alias("syms"), "n").filter(
+        syms = forms.select(F.split("form", "  ").alias("syms"), "n").filter(
             F.size("syms") >= 2
         )
         pairs = syms.select(
@@ -1640,13 +1661,17 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if rnd < BPE_TRAIN_ROUNDS - 1:
             # apply the winning merge to every form: broadcast 1-row
-            # winner, literal replace (leftmost non-overlapping in both
-            # engines — q204's parity precedent)
+            # winner, literal replace.  ' L  R ' -> ' LR ' takes one
+            # space from each doubled boundary and gives both back, so
+            # the NEXT occurrence keeps its leading space and the scan
+            # is exactly greedy leftmost non-overlapping (see module
+            # comment; q204's single-space chain drops alternate
+            # occurrences on back-to-back repeats)
             padded = F.concat(F.lit(" "), F.col("form"), F.lit(" "))
             pat = F.concat(
                 F.lit(" "),
                 F.col("left_sym"),
-                F.lit(" "),
+                F.lit("  "),
                 F.col("right_sym"),
                 F.lit(" "),
             )

@@ -280,3 +280,41 @@ def test_gbdt_stumps_match_python_replica(spark):
         )
         for r in got
     ] == want
+
+
+def test_bpe_trainer_is_greedy_on_repeated_pair_runs(spark, tmp_path):
+    """The shapes the single-space replace chain gets WRONG: self-pair
+    runs ('a a a a') and back-to-back repeats ('b a b a') lose alternate
+    merges when the pattern consumes the shared separator.  The
+    double-space representation must match the greedy reference trainer
+    exactly on these."""
+    import pandas as pd
+
+    texts = ["aaaa ababab aaaa", "ababab aaaa", "aaaa"]
+    sf = tmp_path / "runcorpus"
+    sf.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(sf / "documents.parquet")
+    )
+    from collections import Counter
+
+    from data_engineering_examples_spark.plans.text_queries import BPE_TRAIN_ROUNDS
+
+    wc = Counter(w for t in texts for w in t.split() if w)
+    want = _python_bpe(dict(wc), BPE_TRAIN_ROUNDS)
+    spec = all_specs()["q239_bpe_train_rounds"]
+    got = sorted(spec.fn(spark, str(sf)).collect(), key=lambda r: r["round"])
+    assert [(r["left_sym"], r["right_sym"], r["pair_count"]) for r in got] == want
+    # the decisive rows: the self-pair run merges twice per 'aaaa', and
+    # 'ababab' compresses through (ab,ab) -> (abab,ab)
+    assert (got[2]["left_sym"], got[2]["right_sym"]) == ("aa", "aa")
+    assert (got[4]["left_sym"], got[4]["right_sym"]) == ("abab", "ab")
