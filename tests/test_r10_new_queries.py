@@ -318,3 +318,40 @@ def test_bpe_trainer_is_greedy_on_repeated_pair_runs(spark, tmp_path):
     # 'ababab' compresses through (ab,ab) -> (abab,ab)
     assert (got[2]["left_sym"], got[2]["right_sym"]) == ("aa", "aa")
     assert (got[4]["left_sym"], got[4]["right_sym"]) == ("abab", "ab")
+
+
+def test_double_space_replace_is_greedy_for_all_corpora():
+    """Property test of the core q239 trick with zero Spark cost:
+    Python's str.replace has the same leftmost-non-overlapping,
+    resume-after-replacement semantics as Spark's and DuckDB's replace,
+    so the double-space representation can be validated exhaustively —
+    for every symbol sequence and every merge pair, the literal replace
+    must produce exactly the greedy scan's output."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sym = st.sampled_from(["a", "b", "ab", "ba", "aa"])
+    seqs = st.lists(sym, min_size=2, max_size=12)
+
+    def greedy(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @settings(max_examples=500, deadline=None)
+    @given(seqs=seqs, pair=st.tuples(sym, sym))
+    def check(seqs, pair):
+        l, r = pair
+        form = "  ".join(seqs)
+        padded = " " + form + " "
+        replaced = padded.replace(f" {l}  {r} ", f" {l}{r} ").strip()
+        got = [s for s in replaced.split("  ") if s]
+        assert got == greedy(seqs, l, r), (seqs, pair, got)
+
+    check()
