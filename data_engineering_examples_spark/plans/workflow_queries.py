@@ -1089,3 +1089,152 @@ def q144_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vm").alias("value_millis"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q242 — stream-stream LEFT OUTER interval join: q97's click→purchase
+# attribution, but every click is accounted for — matched rows emit
+# immediately, UNMATCHED clicks emit NULL-padded exactly once, when the
+# join watermark passes their last-possible-match instant (click_ts +
+# window) and Spark evicts the buffered row.  This is the semantics
+# batch LEFT JOIN gets for free and streaming has to EARN through state
+# eviction — the operator production attribution pipelines need so that
+# "no purchase" is a row, not an absence.
+#
+# Emission timing is the whole test: an outer-join NULL appears only in
+# a micro-batch AFTER the one whose arrivals advanced the watermark
+# (watermarks update at batch end and apply next batch — q120's flush
+# gap).  The feed is therefore staged time-ordered at one file per
+# trigger: the real rows, then TWO far-future sentinel files per side
+# (user_id = -1, +2h/+4h) whose only job is to push both sides'
+# watermarks past every click's eviction point across the two closing
+# batches.  Sentinels are filtered from the output; time-ordered
+# delivery guarantees no real click evicts while a matching purchase is
+# still undelivered (purchase_ts <= click_ts + window < global wm <=
+# delivered-max - delay), so the drained stream equals the batch LEFT
+# JOIN bit-for-bit — that equivalence is the oracle.
+#
+# Scale shape: identical to q97 (hash-partition on user_id, state
+# bounded by interval width x arrival rate) plus the left-side rows
+# held until watermark eviction — which is exactly the memory the
+# NULL-emission contract costs on any engine.
+
+Q242_SENTINEL_H = (2, 4)
+
+
+@register(
+    "q242_stream_attribution_outer",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts - c.ts) AS BIGINT) AS lag_us
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    WHERE c.event_type = 'click'
+    """,
+    doc="stream-stream LEFT OUTER interval join: matched rows emit "
+    "immediately, unmatched clicks emit NULL-padded on watermark "
+    "eviction (two-sentinel flush); drained output == batch LEFT JOIN",
+    tags=("workflow", "streaming", "T5", "J2"),
+)
+def q242_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q242_stream_outer")
+    clicks_in, purch_in, out = f"{base}/clicks", f"{base}/purchases", f"{base}/out"
+    clicks_df = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    purch_df = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+    hi = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("hi")).first().hi
+    # file 1: all real rows (time-ordered delivery is trivial with one
+    # real file); files 2..3: the sentinel pair, written sequentially so
+    # mtime order == event-time order (q97's production-path staging)
+    clicks_df.coalesce(1).write.mode("append").parquet(clicks_in)
+    purch_df.coalesce(1).write.mode("append").parquet(purch_in)
+    for h in Q242_SENTINEL_H:
+        sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(-1).cast("long").alias("click_id"),
+            sent.alias("click_ts"),
+        ).coalesce(1).write.mode("append").parquet(clicks_in)
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("p_user_id"),
+            F.lit(-1).cast("long").alias("purchase_id"),
+            sent.alias("purchase_ts"),
+        ).coalesce(1).write.mode("append").parquet(purch_in)
+
+    clicks = (
+        spark.readStream.schema("user_id long, click_id long, click_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(clicks_in)
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        spark.readStream.schema(
+            "p_user_id long, purchase_id long, purchase_ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(purch_in)
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    # The streaming plan stays BARE join: a user_id >= 0 filter attached
+    # here gets pushed below the EventTimeWatermark collection (the key
+    # equality lets Catalyst derive p_user_id >= 0 for the right side
+    # too), which silently deletes the sentinels' watermark contribution
+    # — and the latest real click then never evicts. Verified live: with
+    # the filter in-plan the drain emitted 209/210 rows, the missing row
+    # being the max-ts click's NULL emission. Sentinel filtering and the
+    # output projection therefore run INSIDE foreachBatch, where the
+    # micro-batch frame is plain batch data and cannot feed back into
+    # watermark tracking.
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+        ),
+        "leftOuter",
+    )
+
+    def _write_batch(df, _bid):
+        df.filter(F.col("user_id") >= 0).select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.expr("timestampdiff(MICROSECOND, click_ts, purchase_ts)").alias(
+                "lag_us"
+            ),
+        ).write.mode("append").parquet(out)
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # 4 partitions, not q97's 8: the outer join holds EVERY click in
+    # state until watermark eviction, so per-batch state-store commit
+    # cost scales with partition count x batches; 8 -> 4 measured
+    # 7.3s -> 4.2s at sf0.1 with identical output (state still fits
+    # trivially; a production deployment sizes this to arrival rate)
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.foreachBatch(_write_batch)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(out)

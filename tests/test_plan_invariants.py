@@ -196,14 +196,16 @@ def test_driver_first_calls_are_single_row_bounds_only():
                 sites.append(py.name)
     # etl_queries.py: q150's WAP audit fetches ONE aggregate row (the
     # audit verdict) before deciding to publish — a gate scalar, not a
-    # data path. workflow_queries.py: the two streaming time-bound
-    # fetches feeding fixture staging. graph.py: connected_components'
-    # fixpoint probe — one exact-decimal label sum per checked round
-    # (the r9 sf1 sweep showed fixed round budgets silently truncate
-    # components at scale).
+    # data path. workflow_queries.py: the three streaming time-bound
+    # fetches feeding fixture staging (q97's production slices, q120's
+    # sentinel placement, q242's sentinel placement). graph.py:
+    # connected_components' fixpoint probe — one exact-decimal label sum
+    # per checked round (the r9 sf1 sweep showed fixed round budgets
+    # silently truncate components at scale).
     assert sorted(sites) == [
         "etl_queries.py",
         "graph.py",
+        "workflow_queries.py",
         "workflow_queries.py",
         "workflow_queries.py",
     ], sites

@@ -355,3 +355,41 @@ def test_double_space_replace_is_greedy_for_all_corpora():
         assert got == greedy(seqs, l, r), (seqs, pair, got)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# q242 — stream-stream LEFT OUTER join: the oracle proves the drained
+# output equals the batch LEFT JOIN; these pin the two properties that
+# make the query a real eviction test rather than a vacuous one.
+
+
+def test_stream_outer_join_emits_unmatched_clicks(spark):
+    sf = "/root/testdata/sf0.001"
+    spec = all_specs()["q242_stream_attribution_outer"]
+    rows = spec.fn(spark, sf).collect()
+    unmatched = [r for r in rows if r["purchase_id"] is None]
+    matched = [r for r in rows if r["purchase_id"] is not None]
+    # the corpus must exercise BOTH paths, else the oracle parity says
+    # nothing about NULL emission
+    assert unmatched and matched, (len(unmatched), len(matched))
+    # every unmatched row is NULL-padded consistently
+    assert all(r["lag_us"] is None for r in unmatched)
+    # the regression shape: the LATEST click gates the click-side
+    # watermark, so its own eviction only happens via the sentinel
+    # batches — it must be present (matched or NULL-emitted)
+    from data_engineering_examples_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf, ["events"])["events"]
+    last_click = (
+        ev.filter(F.col("event_type") == "click")
+        .orderBy(F.desc("ts"))
+        .limit(1)
+        .collect()[0]["event_id"]
+    )
+    assert any(r["click_id"] == last_click for r in rows), (
+        "max-ts click missing: its eviction depends on the sentinel "
+        "watermark advance (the in-plan-filter pushdown regression)"
+    )
+    # no sentinel leakage
+    assert all(r["user_id"] >= 0 for r in rows)
