@@ -87,6 +87,14 @@ _PRIORITY: tuple = (
     # A4/W3 and q234) and rotate in next round.
     "q238_canonical_neardup", "q239_bpe_train_rounds",
     "q240_linear_probe_gd",
+    # r10 continuation: four more birth-round ops (GBDT stump training,
+    # stream-stream LEFT OUTER interval join, DSIR importance weights,
+    # CCNet perplexity buckets).  Slots come from q143/q156/q110/q202 —
+    # the remaining breadth-fills with the most driver-green relatives
+    # (q52/q98 sampling, q85/q218 sketches, q100 ingest-roundtrip,
+    # q176/q213/q89 CDC-merge); they rotate in next round.
+    "q241_gbdt_stumps", "q242_stream_attribution_outer",
+    "q243_dsir_importance", "q244_ccnet_ppl_buckets",
     # r9 VERDICT ask #2 priority: LLM local-onlys — dedup
     "q134_prefix_dups", "q158_ngram_novelty", "q171_fuzzy_name_match",
     "q206_substring_dup_rate",
@@ -98,10 +106,8 @@ _PRIORITY: tuple = (
     # multimodal
     "q43_media_caption_pairs", "q74_frame_samples",
     "q148_aspect_ratio_buckets",
-    # breadth fill: corpus prep, sketches, ingest/layout, skew/agg shapes
-    "q77_segment_dedup", "q152_temperature_mix", "q143_pps_token_sample",
-    "q156_kmv_join_estimate", "q124_dirty_csv_ingest",
-    "q110_schema_evolution", "q202_cdc_log_apply",
+    # breadth fill: corpus prep, ingest shapes
+    "q77_segment_dedup", "q152_temperature_mix", "q124_dirty_csv_ingest",
 )
 
 

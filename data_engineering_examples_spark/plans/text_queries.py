@@ -1688,3 +1688,147 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q245 — Gopher quality-rule funnel (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A "quality filtering"): the standard
+# pre-training corpus gate applies an ORDERED list of document rules and
+# drops a doc at its FIRST violation; the operational artifact is the
+# per-rule attrition report (how many docs reached rule k, how many it
+# killed) — that is what this query emits, one row per rule.
+#
+# Rules (integer-exact renderings of the Gopher thresholds):
+#   1 min_words           n >= 5
+#   2 max_words           n <= 2000
+#   3 mean_word_len       3 <= mean chars/word <= 10, tested as the
+#                         cross-multiplied 3n <= chars <= 10n (no floats)
+#   4 stopword_presence   >= 2 distinct stop words occur
+#   5 top_token_share     most frequent token <= 20% of tokens (5*max <= n)
+#
+# Scale shape: per-doc rule evaluation is MAP-ONLY — every rule is a
+# Column expression over the split-token array (the top-token count uses
+# distinct x filter inside codegen: O(k^2) per doc on k ~ doc tokens,
+# never a shuffle).  The funnel aggregate is a groupBy over the 6-value
+# first-fail domain; the rule report is a broadcast nested-loop of the
+# 5-row rule dimension against that <= 6-row count table.  Total
+# exchanges: one 6-row partial-agg — scan-bandwidth bound at 100 TB.
+
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 2000
+GOPHER_MEAN_WLEN = (3, 10)
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_RULES = (
+    (1, "min_words"),
+    (2, "max_words"),
+    (3, "mean_word_len"),
+    (4, "stopword_presence"),
+    (5, "top_token_share"),
+)
+
+_Q245_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+@register(
+    "q245_gopher_rule_funnel",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT len(string_split(text, ' ')) AS n,
+             length(text) - (len(string_split(text, ' ')) - 1) AS chars,
+             len(list_filter({_Q245_STOPLIST_SQL},
+                             s -> list_contains(string_split(text, ' '), s)))
+               AS n_stop,
+             list_max(list_transform(
+               list_distinct(string_split(text, ' ')),
+               w -> len(list_filter(string_split(text, ' '), x -> x = w))))
+               AS maxcnt
+      FROM documents
+    ),
+    ff AS (
+      SELECT CASE
+               WHEN NOT (n >= {GOPHER_MIN_WORDS}) THEN 1
+               WHEN NOT (n <= {GOPHER_MAX_WORDS}) THEN 2
+               WHEN NOT (chars >= {GOPHER_MEAN_WLEN[0]} * n
+                         AND chars <= {GOPHER_MEAN_WLEN[1]} * n) THEN 3
+               WHEN NOT (n_stop >= {GOPHER_MIN_STOPWORDS}) THEN 4
+               WHEN NOT (5 * maxcnt <= n) THEN 5
+               ELSE 0
+             END AS ff
+      FROM per_doc
+    ),
+    rules(rule_id, rule_name) AS (
+      VALUES {", ".join(f"({i}, '{nm}')" for i, nm in GOPHER_RULES)}
+    )
+    SELECT CAST(r.rule_id AS BIGINT) AS rule_id, r.rule_name,
+           CAST(coalesce(sum(CASE WHEN f.ff = 0 OR f.ff >= r.rule_id
+                                  THEN 1 END), 0) AS BIGINT) AS n_reached,
+           CAST(coalesce(sum(CASE WHEN f.ff = r.rule_id THEN 1 END), 0)
+                AS BIGINT) AS n_failed,
+           CAST(coalesce(sum(CASE WHEN f.ff = 0 OR f.ff > r.rule_id
+                                  THEN 1 END), 0) AS BIGINT) AS n_passed
+    FROM rules r CROSS JOIN ff f
+    GROUP BY r.rule_id, r.rule_name
+    """,
+    doc="Gopher-style ordered quality-rule funnel: first-fail attribution "
+    "per doc (map-only Column rules), per-rule reached/failed/passed "
+    "attrition report; one 6-row exchange total",
+    tags=("text", "llm", "quality"),
+)
+def q245_gopher_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    n = F.size(t).cast("bigint")
+    chars = F.length("text").cast("bigint") - (n - 1)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(stop_arr, lambda s: F.array_contains(t, s)))
+    maxcnt = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda w: F.size(F.filter(t, lambda x: x == w)),
+        )
+    ).cast("bigint")
+    lo, hi = GOPHER_MEAN_WLEN
+    ff = (
+        F.when(~(n >= GOPHER_MIN_WORDS), 1)
+        .when(~(n <= GOPHER_MAX_WORDS), 2)
+        .when(~((chars >= lo * n) & (chars <= hi * n)), 3)
+        .when(~(n_stop >= GOPHER_MIN_STOPWORDS), 4)
+        .when(~(5 * maxcnt <= n), 5)
+        .otherwise(0)
+    )
+    cnts = d.select(ff.alias("ff")).groupBy("ff").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rules = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).cast("bigint").alias("rule_id"),
+                            F.lit(nm).alias("rule_name"),
+                        )
+                        for i, nm in GOPHER_RULES
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.rule_id", "r.rule_name")
+    )
+    reached = F.when(
+        (F.col("ff") == 0) | (F.col("ff") >= F.col("rule_id")), F.col("c")
+    )
+    failed = F.when(F.col("ff") == F.col("rule_id"), F.col("c"))
+    passed = F.when(
+        (F.col("ff") == 0) | (F.col("ff") > F.col("rule_id")), F.col("c")
+    )
+    return (
+        rules.crossJoin(F.broadcast(cnts))
+        .groupBy("rule_id", "rule_name")
+        .agg(
+            F.coalesce(F.sum(reached), F.lit(0)).cast("bigint").alias("n_reached"),
+            F.coalesce(F.sum(failed), F.lit(0)).cast("bigint").alias("n_failed"),
+            F.coalesce(F.sum(passed), F.lit(0)).cast("bigint").alias("n_passed"),
+        )
+    )

@@ -333,11 +333,11 @@ def q119_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SURPRISAL_KEEP_BITS = 12.0  # keep docs whose mean bigram surprisal <= 12 bits
 
-
-@register(
-    "q135_lm_surprisal_filter",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared DuckDB CTE chain for the bigram-surprisal substrate: q135 (the
+# keep/drop filter) and q244 (the CCNet head/middle/tail bucketing) both
+# read ``perdoc (doc_id, n_bigrams, total_bits)``.
+_SURPRISAL_CTES = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     v AS (
       SELECT count(DISTINCT w) AS vsz
       FROM (SELECT unnest(t) AS w FROM tok)
@@ -357,21 +357,22 @@ SURPRISAL_KEEP_BITS = 12.0  # keep docs whose mean bigram surprisal <= 12 bits
       JOIN m USING (w1, w2)
       JOIN ctx USING (w1)
       CROSS JOIN v
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(bits) AS BIGINT) AS total_bits
+      FROM scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_bigrams,
-           CAST(sum(bits) AS BIGINT) AS total_bits,
-           CAST(sum(bits) AS DOUBLE) / count(*) AS mean_bits,
-           CAST(sum(bits) AS DOUBLE) / count(*) <= {SURPRISAL_KEEP_BITS} AS keep
-    FROM scored GROUP BY doc_id
-    """,
-    doc="bigram-LM mean-surprisal quality filter (CCNet-style perplexity "
-    "gate) in exact integer bits — floor(log2((c1+V)/(c12+1))) via "
-    "bitlength, zero transcendentals, cross-engine bit parity",
-    tags=("training", "llm", "text", "A5"),
-)
-def q135_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+"""
+
+
+def _surprisal_per_doc(d: DataFrame) -> DataFrame:
+    """Per-document exact-integer surprisal totals (doc_id, n_bigrams,
+    total_bits) under the corpus-trained add-one bigram model — the shared
+    substrate of q135 (filter) and q244 (per-language buckets).  Bit-exact
+    mirror of ``_SURPRISAL_CTES``; see the q135 block comment for the
+    floor(log2) = bitlength identity that keeps it transcendental-free."""
     tk = d.select("doc_id", F.split(d.text, " ").alias("t"))
 
     vsz = (
@@ -405,10 +406,28 @@ def q135_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("bits").cast("bigint").alias("total_bits"),
     )
+
+
+@register(
+    "q135_lm_surprisal_filter",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES}
+    SELECT doc_id, n_bigrams, total_bits,
+           CAST(total_bits AS DOUBLE) / n_bigrams AS mean_bits,
+           CAST(total_bits AS DOUBLE) / n_bigrams <= {SURPRISAL_KEEP_BITS} AS keep
+    FROM perdoc
+    """,
+    doc="bigram-LM mean-surprisal quality filter (CCNet-style perplexity "
+    "gate) in exact integer bits — floor(log2((c1+V)/(c12+1))) via "
+    "bitlength, zero transcendentals, cross-engine bit parity",
+    tags=("training", "llm", "text", "A5"),
+)
+def q135_lm_surprisal_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc = _surprisal_per_doc(_docs(spark, sf_dir))
     mean_bits = F.col("total_bits").cast("double") / F.col("n_bigrams")
     return per_doc.select(
         "doc_id",
@@ -922,3 +941,241 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q243 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every raw document
+# by the log-likelihood ratio of a hashed-unigram bag-of-words model of
+# the TARGET domain (here: lang = 'en', the paper's "formal text" slot)
+# against the model of the RAW corpus.  Docs whose hashed-feature
+# profile looks more target-like than corpus-average get positive
+# weight; importance RESAMPLING then draws keep-set docs with
+# probability ∝ exp(weight) (the draw itself is the q143 PPS shape —
+# this query emits the weights, which is the DSIR-specific computation).
+#
+# Determinism design (same policy as q135): per-bucket log-ratios are
+# quantized to exact integer bits via the signed bitlength identity
+#   lam(b) = ±(bitlength(max_ratio div min_ratio) - 1)
+# over the integer cross-products (ct+1)(tr+B) vs (cr+1)(tt+B) — add-one
+# smoothing over B buckets, zero transcendentals, bit-identical in both
+# engines.  A doc's score is then sum(c_doc[b] * lam[b]) in exact int64.
+#
+# Scale shape (100 TB):
+# * Feature hashing is map-only (md5 mod B per token).
+# * The two models are B-row aggregates (B = 256) — partial aggregation
+#   collapses them map-side; totals are 1-row aggs.
+# * Per-doc bucket counts shuffle ONCE on (doc_id, b) — partial-agg
+#   friendly since docs repeat buckets heavily.
+# * The scoring join broadcasts the B-row model — the corpus-sized side
+#   never shuffles for the join; the final per-doc sum reuses the
+#   (doc_id, b) partials' doc_id clustering.
+# * The paper estimates its models on a SAMPLE of the corpus; at 100 TB
+#   the model CTEs read a hash-sampled slice (counts scaled into int64
+#   range) — the bucket products here stay < 2^63 up to ~1e9 tokens per
+#   model cell, far past bench SF.
+
+DSIR_B = 256  # hashed feature buckets (paper uses 10^4; scaled to bench vocab)
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "q243_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             {_duck_md5_int("'dsir:' || w")} % {DSIR_B} AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+    ),
+    doc_feat AS (
+      SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tok GROUP BY 1),
+    tgt AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS ct
+      FROM tok WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY 1
+    ),
+    tots AS (
+      SELECT CAST(sum(cr) AS BIGINT) AS tr,
+             (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt) AS tt
+      FROM raw
+    ),
+    model AS (
+      SELECT r.b,
+             CASE WHEN (coalesce(t.ct, 0) + 1) * (s.tr + {DSIR_B})
+                       >= (r.cr + 1) * (s.tt + {DSIR_B})
+                  THEN length(bin(((coalesce(t.ct, 0) + 1) * (s.tr + {DSIR_B}))
+                                  // ((r.cr + 1) * (s.tt + {DSIR_B})))) - 1
+                  ELSE -(length(bin(((r.cr + 1) * (s.tt + {DSIR_B}))
+                                    // ((coalesce(t.ct, 0) + 1) * (s.tr + {DSIR_B})))) - 1)
+             END AS lam
+      FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tots s
+    )
+    SELECT f.doc_id,
+           CAST(sum(f.c) AS BIGINT) AS n_tokens,
+           CAST(sum(f.c * m.lam) AS BIGINT) AS score_bits,
+           CAST(sum(f.c * m.lam) AS BIGINT) > 0 AS keep
+    FROM doc_feat f JOIN model m USING (b)
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR hashed-unigram importance weights: signed integer-bits "
+    "log-ratio of target-domain vs raw-corpus hashed bag-of-words "
+    "models; B-row models broadcast, corpus never shuffles for scoring",
+    tags=("training", "llm", "sampling", "text"),
+)
+def q243_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split(d.text, " ")).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (_md5_int(F.concat(F.lit("dsir:"), F.col("w"))) % DSIR_B).alias("b"),
+    )
+    doc_feat = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").cast("bigint").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("tt"))
+    )
+    num = f"(coalesce(ct, 0) + 1) * (tr + {DSIR_B})"
+    den = f"(cr + 1) * (tt + {DSIR_B})"
+    model = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.expr(
+                f"CASE WHEN {num} >= {den}"
+                f" THEN length(bin(({num}) div ({den}))) - 1"
+                f" ELSE -(length(bin(({den}) div ({num}))) - 1) END"
+            )
+            .cast("bigint")
+            .alias("lam"),
+        )
+    )
+    return (
+        doc_feat.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lam")).cast("bigint").alias("score_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_bits",
+            (F.col("score_bits") > 0).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — CCNet per-language perplexity buckets (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data"): split each language's documents into head/middle/tail thirds
+# by LM perplexity — CCNet's released corpora ship exactly these three
+# buckets per language, cut at the 33rd/67th percentile of the
+# perplexity distribution.  Perplexity here is q135's exact-integer mean
+# bigram surprisal, quantized to MILLI-BITS (total_bits*1000 div
+# n_bigrams) so the value domain is a bounded integer grid.
+#
+# Scale shape — NOT an ntile over the corpus: ntile(3) OVER (PARTITION
+# BY lang) would sort every document of a language in one reducer.
+# Instead the cutoffs are computed CCNet-style from a per-language
+# histogram and broadcast back:
+# * histogram = groupBy(lang, mb_milli) — bounded at |langs| x ~20001
+#   rows regardless of corpus size (mean surprisal lives in [0, ~20]
+#   bits => [0, 20000] milli-bits), partial-agg collapses it map-side;
+# * the cumulative runs over that bounded grid (same justification as
+#   q99's distinct-score window — partitioned by lang, <= 20001 rows
+#   per partition BY CONSTRUCTION of the quantization);
+# * cut rule: c_k = min milli-bits value whose cumulative count reaches
+#   ceil(k*n/3) — ties share a bucket (threshold semantics, which is
+#   what CCNet's cutoff file does), so the assignment is a map-side
+#   broadcast join, and the corpus never sorts.
+
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+@register(
+    "q244_ccnet_ppl_buckets",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    mb AS (
+      SELECT p.doc_id, d.lang,
+             (p.total_bits * 1000) // p.n_bigrams AS mb_milli
+      FROM perdoc p JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+      SELECT lang, mb_milli, CAST(count(*) AS BIGINT) AS c
+      FROM mb GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, mb_milli, c,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY mb_milli) AS BIGINT)
+               AS cum
+      FROM hist
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM hist GROUP BY 1),
+    cuts AS (
+      SELECT cum.lang,
+             min(CASE WHEN cum >= (n + 2) // 3 THEN mb_milli END) AS c1,
+             min(CASE WHEN cum >= (2 * n + 2) // 3 THEN mb_milli END) AS c2
+      FROM cum JOIN tot USING (lang)
+      GROUP BY cum.lang
+    )
+    SELECT m.doc_id, m.lang, CAST(m.mb_milli AS BIGINT) AS mb_milli,
+           CASE WHEN m.mb_milli <= c.c1 THEN 'head'
+                WHEN m.mb_milli <= c.c2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM mb m JOIN cuts c USING (lang)
+    """,
+    doc="CCNet-style head/middle/tail perplexity thirds per language: "
+    "exact milli-bit surprisal histogram (bounded grid) -> cumulative "
+    "cutoffs -> broadcast threshold assignment; no corpus-wide sort",
+    tags=("training", "llm", "text", "sampling"),
+)
+def q244_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_doc = _surprisal_per_doc(d)
+    mb = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr("(total_bits * 1000) div n_bigrams").alias("mb_milli"),
+    )
+    hist = mb.groupBy("lang", "mb_milli").agg(F.count(F.lit(1)).alias("c"))
+    # bounded-grid cumulative: <= 20001 distinct milli-bit values per
+    # language by construction (see block comment)
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.partitionBy("lang").orderBy("mb_milli"))
+    )
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    cuts = (
+        cum.join(tot, "lang")
+        .groupBy("lang")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("mb_milli"))
+            ).alias("c1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("mb_milli")
+                )
+            ).alias("c2"),
+        )
+    )
+    return mb.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("mb_milli").cast("bigint").alias("mb_milli"),
+        F.when(F.col("mb_milli") <= F.col("c1"), PPL_BUCKETS[0])
+        .when(F.col("mb_milli") <= F.col("c2"), PPL_BUCKETS[1])
+        .otherwise(PPL_BUCKETS[2])
+        .alias("ppl_bucket"),
+    )

@@ -1,0 +1,145 @@
+"""Behavioral tests for the round-10 continuation queries — full Python
+replicas (properties the value-hash oracle can't see are thin here; these
+pin the SEMANTICS against independent reimplementations):
+
+* q243 DSIR importance weights: hashed-unigram model log-ratios in signed
+  integer bits, replicated with hashlib + collections.Counter;
+* q244 CCNet perplexity buckets: histogram-cutoff head/middle/tail must
+  match a per-language Python cut over the emitted milli-bit values
+  (bucket sizes hit the ceil(n/3) targets minimally, ties share buckets);
+* q245 Gopher rule funnel: first-fail attribution replicated per doc.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from data_engineering_examples_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _md5_int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _doc_rows(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+
+
+def test_dsir_importance_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.training_queries import (
+        DSIR_B,
+        DSIR_TARGET_LANG,
+    )
+
+    rows = _doc_rows(spark)
+    raw, tgt = Counter(), Counter()
+    doc_feat: dict[int, Counter] = {}
+    for r in rows:
+        buckets = [_md5_int("dsir:" + w) % DSIR_B for w in r.text.split(" ")]
+        doc_feat[r.doc_id] = Counter(buckets)
+        raw.update(buckets)
+        if r.lang == DSIR_TARGET_LANG:
+            tgt.update(buckets)
+    tr, tt = sum(raw.values()), sum(tgt.values())
+    lam = {}
+    for b, cr in raw.items():
+        num = (tgt.get(b, 0) + 1) * (tr + DSIR_B)
+        den = (cr + 1) * (tt + DSIR_B)
+        if num >= den:
+            lam[b] = (num // den).bit_length() - 1
+        else:
+            lam[b] = -((den // num).bit_length() - 1)
+    expect = {
+        did: (
+            sum(c.values()),
+            sum(n * lam[b] for b, n in c.items()),
+        )
+        for did, c in doc_feat.items()
+    }
+    got = {
+        r.doc_id: (r.n_tokens, r.score_bits, r.keep)
+        for r in all_specs()["q243_dsir_importance"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for did, (n_tok, score) in expect.items():
+        assert got[did] == (n_tok, score, score > 0), did
+
+
+def test_ccnet_buckets_match_python_cut(spark):
+    out = all_specs()["q244_ccnet_ppl_buckets"].fn(spark, SF).collect()
+    assert out, "no rows"
+    by_lang: dict[str, list] = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        mbs = sorted(r.mb_milli for r in rs)
+        n = len(mbs)
+        k1, k2 = (n + 2) // 3, (2 * n + 2) // 3
+        c1, c2 = mbs[k1 - 1], mbs[k2 - 1]
+        for r in rs:
+            want = (
+                "head"
+                if r.mb_milli <= c1
+                else ("middle" if r.mb_milli <= c2 else "tail")
+            )
+            assert r.ppl_bucket == want, (lang, r.doc_id, r.mb_milli)
+        # threshold semantics: every bucket boundary is minimal — the
+        # head (head+middle) sets reach their ceil(k*n/3) targets
+        n_head = sum(1 for r in rs if r.ppl_bucket == "head")
+        n_mid = sum(1 for r in rs if r.ppl_bucket == "middle")
+        assert n_head >= k1 and n_head - mbs.count(c1) < k1
+        assert n_head + n_mid >= k2
+
+
+def test_gopher_funnel_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.text_queries import (
+        GOPHER_MEAN_WLEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        GOPHER_MAX_WORDS,
+        GOPHER_RULES,
+        STOPWORDS,
+    )
+
+    rows = _doc_rows(spark)
+    ffs = []
+    lo, hi = GOPHER_MEAN_WLEN
+    for r in rows:
+        t = r.text.split(" ")
+        n = len(t)
+        chars = len(r.text) - (n - 1)
+        n_stop = sum(1 for s in STOPWORDS if s in t)
+        maxcnt = max(Counter(t).values())
+        if not n >= GOPHER_MIN_WORDS:
+            ffs.append(1)
+        elif not n <= GOPHER_MAX_WORDS:
+            ffs.append(2)
+        elif not (lo * n <= chars <= hi * n):
+            ffs.append(3)
+        elif not n_stop >= GOPHER_MIN_STOPWORDS:
+            ffs.append(4)
+        elif not 5 * maxcnt <= n:
+            ffs.append(5)
+        else:
+            ffs.append(0)
+    got = {
+        r.rule_id: (r.rule_name, r.n_reached, r.n_failed, r.n_passed)
+        for r in all_specs()["q245_gopher_rule_funnel"].fn(spark, SF).collect()
+    }
+    assert len(got) == len(GOPHER_RULES)
+    for rid, name in GOPHER_RULES:
+        reached = sum(1 for f in ffs if f == 0 or f >= rid)
+        failed = sum(1 for f in ffs if f == rid)
+        passed = sum(1 for f in ffs if f == 0 or f > rid)
+        assert got[rid] == (name, reached, failed, passed), rid
+    # the funnel is a funnel: reached is non-increasing in rule order and
+    # each rule's passed equals the next rule's reached
+    for rid in range(1, len(GOPHER_RULES)):
+        assert got[rid][3] == got[rid + 1][1]
