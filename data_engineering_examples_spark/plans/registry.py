@@ -95,6 +95,9 @@ _PRIORITY: tuple = (
     # q176/q213/q89 CDC-merge); they rotate in next round.
     "q241_gbdt_stumps", "q242_stream_attribution_outer",
     "q243_dsir_importance", "q244_ccnet_ppl_buckets",
+    # q246 takes q152's slot (source-mix reweighting has driver-green
+    # relative q81); q152 rotates in next round
+    "q246_paraphrase_candidates",
     # r9 VERDICT ask #2 priority: LLM local-onlys — dedup
     "q134_prefix_dups", "q158_ngram_novelty", "q171_fuzzy_name_match",
     "q206_substring_dup_rate",
@@ -107,7 +110,7 @@ _PRIORITY: tuple = (
     "q43_media_caption_pairs", "q74_frame_samples",
     "q148_aspect_ratio_buckets",
     # breadth fill: corpus prep, ingest shapes
-    "q77_segment_dedup", "q152_temperature_mix", "q124_dirty_csv_ingest",
+    "q77_segment_dedup", "q124_dirty_csv_ingest",
 )
 
 

@@ -2672,3 +2672,165 @@ def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(w_keep) == 1).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q246 — paraphrase-candidate mining: pairs that are SEMANTIC near-dups
+# (embedding cosine within a coarse cluster, q231's candidate
+# generation) but NOT LEXICAL near-dups (word-trigram Jaccard at or
+# below a ceiling).  This intersection is the classic contrastive /
+# paraphrase-pair miner: SemDeDup-style pipelines DROP these pairs'
+# members as semantic duplicates, while an augmentation pipeline KEEPS
+# them as free positive pairs — either way the pair list itself is the
+# operational artifact (cf. the paraphrase-mining stage of sentence-
+# embedding training sets; the dedup-vs-keep tension is Abbas et al.
+# 2023 §5's "semantic duplicates are often paraphrases").
+#
+# Scale shape:
+# * Semantic candidates come from the bucketed within-cluster join
+#   (centroids broadcast, one exchange on cent_id) — never all-pairs.
+# * The lexical check runs ONLY on the candidate pairs: two hash joins
+#   against the hashed-shingle substrate keyed by doc id, one count
+#   aggregate keyed by the pair — all output-sized, corpus never
+#   re-shuffles.
+# * Jaccard stays exact-integer: jac <= 1/5 tested as the cross-
+#   multiplied 6*shared <= n_a + n_b (union = n_a + n_b - shared).
+#
+# vec_id <-> doc_id alignment: the embeddings table is row-aligned with
+# documents (vec i embeds doc i; both are the 0..N-1 driver domain).
+
+PARA_MAX_JACCARD_NUM, PARA_MAX_JACCARD_DEN = 1, 5  # lexical ceiling 1/5
+
+
+def _q246_oracle() -> str:
+    from .dedup_queries import _DUCK_HASHED_SHINGLES
+
+    cent_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
+    cc_expr = f"{_duck_dot('x.e', 'c.ce')} / (x.nrm * c.cnrm)"
+    pair_cos = f"{_duck_dot('a.e', 'b.e')} / (a.nrm * b.nrm)"
+    return f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    ve AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM ve),
+    cents AS (
+      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM vn WHERE vec_id IN ({cent_list})
+    ),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id, x.e, x.nrm,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cc_expr} DESC, c.cent_id) AS rk
+      FROM vn x CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cent_id, e, nrm FROM ranked WHERE rk = 1),
+    sem AS (
+      SELECT a.vec_id AS u, b.vec_id AS w, {pair_cos} AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {pair_cos} >= {SEMDEDUP_COS}
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT s.u, s.w, CAST(count(*) AS BIGINT) AS shared
+      FROM sem s
+      JOIN sh sa ON sa.doc_id = s.u
+      JOIN sh sb ON sb.doc_id = s.w AND sb.sh = sa.sh
+      GROUP BY s.u, s.w
+    )
+    SELECT s.u AS doc_a, s.w AS doc_b, s.cos_sim,
+           coalesce(h.shared, 0) AS shared_shingles,
+           coalesce(za.n, 0) AS n_a, coalesce(zb.n, 0) AS n_b,
+           ({PARA_MAX_JACCARD_NUM + PARA_MAX_JACCARD_DEN} * coalesce(h.shared, 0)
+             <= coalesce(za.n, 0) + coalesce(zb.n, 0)) AS is_paraphrase
+    FROM sem s
+    LEFT JOIN shared h ON h.u = s.u AND h.w = s.w
+    LEFT JOIN sizes za ON za.doc_id = s.u
+    LEFT JOIN sizes zb ON zb.doc_id = s.w
+    """
+
+
+@register(
+    "q246_paraphrase_candidates",
+    oracle=_q246_oracle(),
+    doc="paraphrase-pair miner: semantic near-dup candidates (bucketed "
+    "within-centroid cosine) minus lexical near-dups (trigram Jaccard "
+    "<= 1/5, exact cross-multiplied); lexical check is output-sized",
+    tags=("similarity", "llm", "dedup", "text"),
+)
+def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _hashed_shingles
+
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
+        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+    )
+    cents = F.broadcast(
+        vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+    # assignment feeds BOTH pair-join sides — materialize once (q231's
+    # reuse pattern; unmaterialized, the K·N cosine crossJoin runs twice)
+    assign = materialize(
+        vn.crossJoin(cents)
+        .select("vec_id", "e", "nrm", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cent_id", "e", "nrm"),
+        "q246_assign",
+    )
+    a = assign.select(
+        F.col("vec_id").alias("u"),
+        F.col("cent_id").alias("cid"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("w"),
+        F.col("cent_id").alias("cid"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    # semantic candidates are pair-set-sized from here on — materialize so
+    # the shared-shingle probe and the three output joins reuse one build
+    sem = materialize(
+        a.join(b, "cid")
+        .filter(F.col("u") < F.col("w"))
+        .filter(pair_cos >= SEMDEDUP_COS)
+        .select("u", "w", pair_cos.alias("cos_sim")),
+        "q246_sem_pairs",
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        sem.select("u", "w")
+        .join(sh.select(F.col("doc_id").alias("u"), "sh"), "u")
+        .join(sh.select(F.col("doc_id").alias("w"), "sh"), ["w", "sh"])
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = F.broadcast(sizes.select(F.col("doc_id").alias("u"), F.col("n").alias("n_a")))
+    zb = F.broadcast(sizes.select(F.col("doc_id").alias("w"), F.col("n").alias("n_b")))
+    mul = PARA_MAX_JACCARD_NUM + PARA_MAX_JACCARD_DEN
+    return (
+        sem.join(F.broadcast(shared), ["u", "w"], "left")
+        .join(za, "u", "left")
+        .join(zb, "w", "left")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("w").alias("doc_b"),
+            "cos_sim",
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared_shingles"),
+            F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
+            (
+                mul * F.coalesce(F.col("shared"), F.lit(0))
+                <= F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0))
+            ).alias("is_paraphrase"),
+        )
+    )

@@ -143,3 +143,69 @@ def test_gopher_funnel_matches_python_replica(spark):
     # each rule's passed equals the next rule's reached
     for rid in range(1, len(GOPHER_RULES)):
         assert got[rid][3] == got[rid + 1][1]
+
+
+def test_paraphrase_candidates_match_python_replica(spark):
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        SEMDEDUP_CENT_IDS,
+        SEMDEDUP_COS,
+    )
+
+    import math
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+
+    def dot(u, v):
+        acc = 0.0
+        for a, b in zip(u, v):
+            acc += a * b
+        return acc
+
+    nrm = {i: math.sqrt(dot(e, e)) for i, e in emb.items()}
+    cents = [i for i in SEMDEDUP_CENT_IDS if i in emb]
+    assert cents, "no centroid ids in the sf0.001 domain"
+
+    def assign(i):
+        return max(
+            cents,
+            key=lambda c: (dot(emb[i], emb[c]) / (nrm[i] * nrm[c]), -c),
+        )
+
+    cluster = {i: assign(i) for i in emb}
+    sem = {}
+    ids = sorted(emb)
+    for ai in ids:
+        for bi in ids:
+            if ai < bi and cluster[ai] == cluster[bi]:
+                cos = dot(emb[ai], emb[bi]) / (nrm[ai] * nrm[bi])
+                if cos >= SEMDEDUP_COS:
+                    sem[(ai, bi)] = cos
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    tri = {
+        did: {
+            _md5_int(" ".join(t[i : i + 3])) % (1 << 60)
+            for i in range(len(t) - 2)
+        }
+        for did, t in docs.items()
+        if len(t) >= 3
+    }
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in all_specs()["q246_paraphrase_candidates"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert set(out) == set(sem)
+    for (ai, bi), r in out.items():
+        sa, sb = tri.get(ai, set()), tri.get(bi, set())
+        shared = len(sa & sb)
+        assert r.cos_sim == sem[(ai, bi)]
+        assert (r.shared_shingles, r.n_a, r.n_b) == (shared, len(sa), len(sb))
+        assert r.is_paraphrase == (6 * shared <= len(sa) + len(sb))
