@@ -1543,3 +1543,69 @@ def q228_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core = k_core(pairs, Q228_K, Q228_ROUNDS, scratch_prefix="q228_kcore")
     return core.select(F.col("u").alias("doc_id"), "core_deg")
+
+
+# ---------------------------------------------------------------------------
+# q247 — soft deduplication weights (He et al. 2024, "SoftDedup:
+# Improving Data Efficiency in Large Language Model Pretraining via
+# Soft De-duplication"): instead of DROPPING duplicate-group members
+# (q72's is_keeper), every member keeps a sampling weight INVERSELY
+# proportional to its group's size, so the group as a whole contributes
+# one document's worth of expected training signal and no rare text is
+# lost to an over-aggressive edge.  The weight ships as the exact
+# integer pair (1, cluster_size) — downstream samplers multiply exact
+# rationals (q143's convention) and never see synthesized floats; the
+# effective-token column is the integer-floor budget accounting a
+# mixture planner (q81/q152/q248) consumes.
+#
+# Scale shape: q72's cluster substrate (exact-hash edges + LSH band
+# edges -> CC to fixpoint) IS the cost; this adds one partitioned
+# count-window over cluster_id (group-sized partitions, skew bounded by
+# the duplication factor) and one doc_id equi-join against the token
+# counts — both output-sized.
+
+
+def _q247_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q72 = _REGISTRY["q72_dedup_clusters"].oracle
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(c.cluster_size AS BIGINT) AS cluster_size,
+           t.n_tokens,
+           CAST(1 AS BIGINT) AS weight_num,
+           CAST(c.cluster_size AS BIGINT) AS weight_den,
+           t.n_tokens // c.cluster_size AS effective_tokens
+    FROM ({q72}) c JOIN toks t USING (doc_id)
+    """
+
+
+@register(
+    "q247_soft_dedup_weights",
+    oracle=_q247_oracle(),
+    doc="SoftDedup: per-doc sampling weight 1/cluster_size over the "
+    "exact+LSH dedup clusters (reweight, don't remove); exact integer "
+    "weight pairs + floor effective-token accounting",
+    tags=("dedup", "llm", "sampling", "graph"),
+)
+def q247_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    toks = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens")
+    )
+    cc = q72_dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return cc.join(toks, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_tokens",
+        F.lit(1).cast("bigint").alias("weight_num"),
+        F.col("cluster_size").cast("bigint").alias("weight_den"),
+        F.expr("n_tokens div cluster_size").alias("effective_tokens"),
+    )

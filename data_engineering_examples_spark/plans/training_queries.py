@@ -1179,3 +1179,85 @@ def q244_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(PPL_BUCKETS[2])
         .alias("ppl_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q248 — data-constrained epoch-repetition planner (Muennighoff et al.
+# 2023, "Scaling Data-Constrained Language Models"): when the token
+# budget exceeds the unique corpus, the paper's answer is to REPEAT
+# data — with returns decaying to ~zero past ~4 epochs.  The planner:
+# give each source an equal slice of the total budget (the uniform-
+# mixture baseline; q81/q152 cover non-uniform reweighting) and convert
+# the slice into an epoch multiplier over that source's unique tokens,
+# capped at MAX_REPEAT_EPOCHS.  Under-average sources hit the cap
+# (their slice buys many epochs), over-average sources run fractional
+# epochs — exactly the tension the paper's allocation curves show.
+#
+# All arithmetic is exact int64: epochs ship in integer MICRO-epochs
+# ((alloc * 10^6) div tokens).  The micro multiply bounds the planner
+# at ~9e12 corpus tokens in int64 — past that (true 100 TB corpora) the
+# same expressions lift to DECIMAL(38,0) unchanged (q230's convention);
+# bench SFs stay far under the bound.
+#
+# Scale shape: one partial-agg groupBy(source) (|sources| rows), a
+# 1-row totals broadcast, map-side planning arithmetic.  Scan-bandwidth
+# bound at any scale.
+
+REPEAT_BUDGET_MULT = 2  # token budget = 2x the unique corpus
+MAX_REPEAT_EPOCHS = 4   # the paper's ~4-epoch useful-repetition ceiling
+
+
+@register(
+    "q248_epoch_repetition_plan",
+    oracle=f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS corpus_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(corpus_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.corpus_tokens,
+           ({REPEAT_BUDGET_MULT} * t.total) // t.k AS alloc_tokens,
+           least({MAX_REPEAT_EPOCHS} * 1000000,
+                 ((({REPEAT_BUDGET_MULT} * t.total) // t.k) * 1000000)
+                   // p.corpus_tokens) AS epochs_micro,
+           ((({REPEAT_BUDGET_MULT} * t.total) // t.k) * 1000000)
+             // p.corpus_tokens > {MAX_REPEAT_EPOCHS} * 1000000 AS capped,
+           least(({REPEAT_BUDGET_MULT} * t.total) // t.k,
+                 {MAX_REPEAT_EPOCHS} * p.corpus_tokens) AS planned_tokens
+    FROM per_src p CROSS JOIN tot t
+    """,
+    doc="data-constrained repetition planner: equal-slice token budget "
+    "per source -> capped micro-epoch multipliers (<=4 epochs useful "
+    "repetition); one small agg + 1-row broadcast, map-side plan",
+    tags=("training", "llm", "sampling"),
+)
+def q248_epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(d.text, " "))).cast("bigint").alias("corpus_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("corpus_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    alloc = f"({REPEAT_BUDGET_MULT} * total) div k"
+    micro = f"(({alloc}) * 1000000) div corpus_tokens"
+    cap = MAX_REPEAT_EPOCHS * 1000000
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "corpus_tokens",
+        F.expr(alloc).alias("alloc_tokens"),
+        F.expr(f"least({cap}, {micro})").cast("bigint").alias("epochs_micro"),
+        F.expr(f"{micro} > {cap}").alias("capped"),
+        F.expr(
+            f"least({alloc}, {MAX_REPEAT_EPOCHS} * corpus_tokens)"
+        ).alias("planned_tokens"),
+    )

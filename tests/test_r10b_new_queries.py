@@ -209,3 +209,60 @@ def test_paraphrase_candidates_match_python_replica(spark):
         assert r.cos_sim == sem[(ai, bi)]
         assert (r.shared_shingles, r.n_a, r.n_b) == (shared, len(sa), len(sb))
         assert r.is_paraphrase == (6 * shared <= len(sa) + len(sb))
+
+
+def test_soft_dedup_weights_are_consistent_with_clusters(spark):
+    cc = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in all_specs()["q72_dedup_clusters"].fn(spark, SF).collect()
+    }
+    toks = {
+        r.doc_id: len(r.text.split(" "))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    out = all_specs()["q247_soft_dedup_weights"].fn(spark, SF).collect()
+    assert {r.doc_id for r in out} == set(cc)
+    for r in out:
+        cid, size = cc[r.doc_id]
+        assert (r.cluster_id, r.cluster_size) == (cid, size)
+        assert (r.weight_num, r.weight_den) == (1, size)
+        assert r.n_tokens == toks[r.doc_id]
+        assert r.effective_tokens == toks[r.doc_id] // size
+    # the soft-dedup invariant: each cluster contributes <= one doc's
+    # worth of effective tokens per member-average
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, rs in by_cluster.items():
+        eff = sum(r.effective_tokens for r in rs)
+        raw = sum(r.n_tokens for r in rs)
+        assert eff * rs[0].cluster_size <= raw + len(rs) * rs[0].cluster_size
+
+
+def test_epoch_plan_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.training_queries import (
+        MAX_REPEAT_EPOCHS,
+        REPEAT_BUDGET_MULT,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(len(r.text.split(" ")))
+    total = sum(sum(v) for v in per_src.values())
+    k = len(per_src)
+    alloc = (REPEAT_BUDGET_MULT * total) // k
+    got = {
+        r.source: r
+        for r in all_specs()["q248_epoch_repetition_plan"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(per_src)
+    cap = MAX_REPEAT_EPOCHS * 1_000_000
+    for src, toks in per_src.items():
+        ct = sum(toks)
+        micro = (alloc * 1_000_000) // ct
+        r = got[src]
+        assert (r.n_docs, r.corpus_tokens, r.alloc_tokens) == (len(toks), ct, alloc)
+        assert r.epochs_micro == min(cap, micro)
+        assert r.capped == (micro > cap)
+        assert r.planned_tokens == min(alloc, MAX_REPEAT_EPOCHS * ct)
