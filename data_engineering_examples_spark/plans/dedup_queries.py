@@ -1609,3 +1609,86 @@ def q247_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("weight_den"),
         F.expr("n_tokens div cluster_size").alias("effective_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — dedup-adjusted source mixing: mixture weights computed from
+# EFFECTIVE (duplication-discounted) token counts instead of raw ones —
+# the accounting The Pile / Dolma-style corpus reports use, where a
+# source's weight reflects its unique contribution, not its crawl
+# volume.  A source that is 5x-duplicated internally contributes ~1/5
+# of its raw tokens to the mixture denominator; comparing raw_ppm vs
+# effective_ppm per source is the "how much was this source inflated
+# by duplication" table.  Composes q247's SoftDedup weights (which
+# compose q72's exact+LSH clusters) — weights stay exact integers,
+# mixture shares ship in ppm (integer micro-fractions).
+#
+# Scale shape: q247's cluster substrate is the cost; this adds one
+# doc_id equi-join to recover the source column and one partial-agg
+# groupBy on the tiny source key.  ppm arithmetic is int64-safe to
+# ~9e12 corpus tokens (q248's bound note).
+
+
+def _q250_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q247 = _REGISTRY["q247_soft_dedup_weights"].oracle
+    return f"""
+    WITH src AS (SELECT doc_id, source FROM documents),
+    w AS (
+      SELECT s.source, c.n_tokens, c.effective_tokens
+      FROM ({q247}) c JOIN src s USING (doc_id)
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+             CAST(sum(effective_tokens) AS BIGINT) AS effective_tokens
+      FROM w GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(raw_tokens) AS BIGINT) AS raw_total,
+             CAST(sum(effective_tokens) AS BIGINT) AS eff_total
+      FROM per_src
+    )
+    SELECT p.source, p.n_docs, p.raw_tokens, p.effective_tokens,
+           (p.raw_tokens * 1000000) // t.raw_total AS raw_ppm,
+           (p.effective_tokens * 1000000) // t.eff_total AS effective_ppm,
+           CAST(p.raw_tokens AS DOUBLE) / p.effective_tokens AS inflation
+    FROM per_src p CROSS JOIN tot t
+    """
+
+
+@register(
+    "q250_dedup_adjusted_mix",
+    oracle=_q250_oracle(),
+    doc="mixture weights from duplication-discounted token counts: per-"
+    "source raw vs effective ppm shares over q247's SoftDedup weights; "
+    "the 'how inflated is this source' curation table",
+    tags=("dedup", "llm", "sampling", "graph"),
+)
+def q250_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    w = q247_soft_dedup_weights(spark, sf_dir).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_src = w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+        F.sum("effective_tokens").cast("bigint").alias("effective_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("raw_tokens").cast("bigint").alias("raw_total"),
+        F.sum("effective_tokens").cast("bigint").alias("eff_total"),
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "raw_tokens",
+        "effective_tokens",
+        F.expr("(raw_tokens * 1000000) div raw_total").alias("raw_ppm"),
+        F.expr("(effective_tokens * 1000000) div eff_total").alias("effective_ppm"),
+        (F.col("raw_tokens").cast("double") / F.col("effective_tokens")).alias(
+            "inflation"
+        ),
+    )

@@ -1832,3 +1832,64 @@ def q245_gopher_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum(passed), F.lit(0)).cast("bigint").alias("n_passed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — tokenizer fertility evaluation per (lang, source): THE standard
+# tokenizer-quality table (fertility = subword tokens per whitespace
+# word; chars-per-token = compression the vocabulary buys), computed
+# after applying q204's fixed merge table.  Languages/domains a
+# tokenizer serves poorly show fertility >> 1 relative to the corpus
+# mean — the signal multilingual-vocab papers (e.g. the XLM-R and
+# BLOOM tokenizer analyses) report before re-balancing training data.
+#
+# Scale shape: q204's merge chain is map-only codegen string work; this
+# adds one partial-agg groupBy on the tiny (lang, source) key space —
+# the exchange carries |langs x sources| rows.  All aggregates are
+# exact int64; the two ratio columns are each ONE IEEE division of two
+# exact ints (q135's float-parity convention).
+
+@register(
+    "q249_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang, source,
+             len(string_split(text, ' ')) AS words,
+             len(string_split(trim({_q204_duck_chain()}), ' ')) AS toks,
+             length(text) - (len(string_split(text, ' ')) - 1) AS chars
+      FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(words) AS BIGINT) AS n_words,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           CAST(sum(toks) AS DOUBLE) / sum(words) AS fertility,
+           CAST(sum(chars) AS DOUBLE) / sum(toks) AS chars_per_token
+    FROM per_doc
+    GROUP BY lang, source
+    """,
+    doc="tokenizer fertility table per (lang, source) after the fixed "
+    "merge chain: subword-per-word and chars-per-token ratios; map-only "
+    "encode + one tiny-key partial agg",
+    tags=("text", "llm", "vocab", "quality"),
+)
+def q249_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    merged = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    for a, b in Q204_MERGES:
+        merged = F.replace(merged, F.lit(f" {a} {b} "), F.lit(f" {a}_{b} "))
+    words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    toks = F.size(F.split(F.trim(merged), " ")).cast("bigint")
+    chars = F.length("text").cast("bigint") - (words - 1)
+    per_doc = d.select(
+        "lang", "source", words.alias("words"), toks.alias("toks"), chars.alias("chars")
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        (F.sum("toks").cast("double") / F.sum("words")).alias("fertility"),
+        (F.sum("chars").cast("double") / F.sum("toks")).alias("chars_per_token"),
+    )

@@ -266,3 +266,66 @@ def test_epoch_plan_matches_python_replica(spark):
         assert r.epochs_micro == min(cap, micro)
         assert r.capped == (micro > cap)
         assert r.planned_tokens == min(alloc, MAX_REPEAT_EPOCHS * ct)
+
+
+def test_tokenizer_fertility_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.text_queries import Q204_MERGES
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    agg: dict[tuple, list] = {}
+    for r in rows:
+        s = " " + r.text + " "
+        for a, b in Q204_MERGES:
+            s = s.replace(f" {a} {b} ", f" {a}_{b} ")
+        words = len(r.text.split(" "))
+        toks = len(s.strip().split(" "))
+        chars = len(r.text) - (words - 1)
+        k = (r.lang, r.source)
+        agg.setdefault(k, [0, 0, 0, 0])
+        agg[k][0] += 1
+        agg[k][1] += words
+        agg[k][2] += toks
+        agg[k][3] += chars
+    got = {
+        (r.lang, r.source): r
+        for r in all_specs()["q249_tokenizer_fertility"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, w, t, c) in agg.items():
+        r = got[k]
+        assert (r.n_docs, r.n_words, r.n_tokens, r.n_chars) == (n, w, t, c)
+        assert r.fertility == t / w and r.chars_per_token == c / t
+
+
+def test_dedup_adjusted_mix_is_consistent_with_weights(spark):
+    w = all_specs()["q247_soft_dedup_weights"].fn(spark, SF).collect()
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    per_src: dict[str, list] = {}
+    for r in w:
+        k = src[r.doc_id]
+        per_src.setdefault(k, [0, 0, 0])
+        per_src[k][0] += 1
+        per_src[k][1] += r.n_tokens
+        per_src[k][2] += r.effective_tokens
+    raw_total = sum(v[1] for v in per_src.values())
+    eff_total = sum(v[2] for v in per_src.values())
+    got = {
+        r.source: r
+        for r in all_specs()["q250_dedup_adjusted_mix"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(per_src)
+    for k, (n, raw, eff) in per_src.items():
+        r = got[k]
+        assert (r.n_docs, r.raw_tokens, r.effective_tokens) == (n, raw, eff)
+        assert r.raw_ppm == raw * 1_000_000 // raw_total
+        assert r.effective_ppm == eff * 1_000_000 // eff_total
+        assert r.inflation == raw / eff
+    # duplication can only discount: effective <= raw, and the ppm
+    # columns each sum to ~1e6 (floor rounding loses < |sources| ppm)
+    assert all(r.effective_tokens <= r.raw_tokens for r in got.values())
+    for col in ("raw_ppm", "effective_ppm"):
+        s = sum(getattr(r, col) for r in got.values())
+        assert 1_000_000 - len(got) <= s <= 1_000_000
