@@ -1893,3 +1893,222 @@ def q249_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("toks").cast("double") / F.sum("words")).alias("fertility"),
         (F.sum("chars").cast("double") / F.sum("toks")).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — language-ID confusion matrix with per-label precision/recall:
+# the standard evaluation table for any classifier in the curation
+# stack, here over q30's char-bigram language-ID against the labeled
+# lang column.  Corpus pipelines run exactly this before trusting a
+# lang filter (mislabeling a language family shifts its mixture weight
+# downstream).  Counts are exact ints; precision/recall ship in ppm
+# (integer micro-fractions, q205's convention) so the row is
+# hash-stable.
+#
+# Scale shape: q30 is map-only; the matrix is a groupBy on the
+# |langs|^2 key space (map-side partials collapse the corpus), and the
+# per-label margins re-aggregate the matrix itself (<= |langs|^2 rows)
+# — two tiny exchanges after a scan-bandwidth pass.
+
+
+def _q251_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q30 = _REGISTRY["q30_lang_id"].oracle
+    return f"""
+    WITH pred AS (SELECT lang, lang_guess FROM ({q30}) p),
+    m AS (
+      SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    actual AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_actual FROM m GROUP BY 1),
+    guessed AS (
+      SELECT lang_guess, CAST(sum(n) AS BIGINT) AS n_guessed FROM m GROUP BY 1
+    )
+    SELECT m.lang, m.lang_guess, m.n,
+           a.n_actual, g.n_guessed,
+           (m.n * 1000000) // a.n_actual AS recall_ppm,
+           (m.n * 1000000) // g.n_guessed AS precision_ppm,
+           m.lang = m.lang_guess AS is_diagonal
+    FROM m JOIN actual a USING (lang)
+    JOIN guessed g USING (lang_guess)
+    """
+
+
+@register(
+    "q251_langid_confusion",
+    oracle=_q251_oracle(),
+    doc="language-ID confusion matrix over q30's classifier vs labels: "
+    "exact cell counts + per-label ppm precision/recall margins; two "
+    "tiny-key exchanges after a map-only scan",
+    tags=("text", "llm", "quality"),
+)
+def q251_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = q30_lang_id(spark, sf_dir).select("lang", "lang_guess")
+    m = pred.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    actual = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_actual"))
+    guessed = m.groupBy("lang_guess").agg(
+        F.sum("n").cast("bigint").alias("n_guessed")
+    )
+    return (
+        m.join(F.broadcast(actual), "lang")
+        .join(F.broadcast(guessed), "lang_guess")
+        .select(
+            "lang",
+            "lang_guess",
+            "n",
+            "n_actual",
+            "n_guessed",
+            F.expr("(n * 1000000) div n_actual").alias("recall_ppm"),
+            F.expr("(n * 1000000) div n_guessed").alias("precision_ppm"),
+            (F.col("lang") == F.col("lang_guess")).alias("is_diagonal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — Zipf slope per source, in EXACT integer least squares: the
+# rank-frequency log-log slope is the corpus-health statistic behind
+# "natural text has s ~ -1" (Zipf 1949; Piantadosi 2014 reviews why
+# deviations flag boilerplate floods or synthetic/templated text).  A
+# source whose slope collapses toward 0 is dominated by a flat
+# template vocabulary; one diving far below -1 is a few-token loop.
+#
+# Exactness design (the engine's bitlength-log2 policy, q135/q243):
+# x = floor(log2 rank), y = floor(log2 count), slope = the exact
+# rational (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) emitted as numerator /
+# denominator int64s plus ONE IEEE division.  No per-term rank is ever
+# materialized: terms sharing a count occupy a CONTIGUOUS rank block
+# [r0, r0+k), and within a block y is constant while the x-multiset
+# depends only on the interval — so every regression sum folds from
+# per-(source,count) closed forms.  The dyadic overlap count
+#   m_j = |[2^j, 2^(j+1)) ∩ [r0, r0+k)|
+# turns Sx = sum_j j*m_j and Sxx = sum_j j^2*m_j into a 46-way
+# bounded explode per block — never a vocab-wide window (the count=1
+# tail block alone would be half the vocabulary).
+#
+# Scale shape: term counts = one (source, term) partial agg; blocks =
+# one (source, count) agg (distinct frequencies per source are
+# O(sqrt(tokens)) — bounded); the rank-offset cumulative runs over
+# those bounded per-source block lists; the j-explode multiplies block
+# rows by 46.  int64 headroom: n*Sxy ~ n_terms * 46^2 * n_blocks-sums
+# stays under 2^63 to ~1e13 tokens (decimal lift past that, q248's
+# note).
+
+ZIPF_MAX_LOG2 = 45  # dyadic buckets 2^0 .. 2^45 cover int64-sized vocab ranks
+
+
+@register(
+    "q252_zipf_slope",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT source, c, CAST(count(*) AS BIGINT) AS k,
+             length(bin(c)) - 1 AS y
+      FROM tc GROUP BY source, c
+    ),
+    offs AS (
+      SELECT source, c, k, y,
+             1 + coalesce(sum(k) OVER (PARTITION BY source ORDER BY c DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS r0
+      FROM blocks
+    ),
+    dy AS (
+      SELECT o.source, o.c, o.k, o.y, o.r0, j.j,
+             greatest(0, least(o.r0 + o.k - 1, (1::BIGINT << (j.j + 1)) - 1)
+                         - greatest(o.r0, 1::BIGINT << j.j) + 1) AS m
+      FROM offs o CROSS JOIN (SELECT unnest(range(0, {ZIPF_MAX_LOG2 + 1})) AS j) j
+    ),
+    per_block AS (
+      SELECT source, c, y,
+             CAST(sum(m * j) AS BIGINT) AS sx,
+             CAST(sum(m * j * j) AS BIGINT) AS sxx,
+             CAST(max(k) AS BIGINT) AS k
+      FROM dy GROUP BY source, c, y
+    ),
+    fit AS (
+      SELECT source,
+             CAST(sum(k) AS BIGINT) AS n_terms,
+             CAST(sum(k * y) AS BIGINT) AS sy,
+             CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sxx) AS BIGINT) AS sxx,
+             CAST(sum(y * sx) AS BIGINT) AS sxy
+      FROM per_block GROUP BY source
+    )
+    SELECT source, n_terms,
+           n_terms * sxy - sx * sy AS slope_num,
+           n_terms * sxx - sx * sx AS slope_den,
+           CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / (n_terms * sxx - sx * sx) AS zipf_slope
+    FROM fit
+    """,
+    doc="exact-integer Zipf rank-frequency slope per source: bitlength "
+    "log2s, contiguous-rank frequency blocks, dyadic overlap counts (46-"
+    "way bounded explode) — no vocab-wide rank window anywhere",
+    tags=("text", "llm", "quality"),
+)
+def q252_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tc = (
+        d.select("source", F.explode(F.split(d.text, " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    blocks = tc.groupBy("source", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).withColumn("y", (F.length(F.bin(F.col("c"))) - 1).cast("bigint"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = blocks.withColumn(
+        "r0", F.lit(1) + F.coalesce(F.sum("k").over(w_off), F.lit(0))
+    )
+    dy = offs.select(
+        "source",
+        "c",
+        "k",
+        "y",
+        "r0",
+        F.explode(F.sequence(F.lit(0), F.lit(ZIPF_MAX_LOG2))).alias("j"),
+    ).withColumn(
+        "m",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.col("r0") + F.col("k") - 1,
+                F.expr("(CAST(1 AS BIGINT) << (j + 1)) - 1"),
+            )
+            - F.greatest(F.col("r0"), F.expr("CAST(1 AS BIGINT) << j"))
+            + 1,
+        ),
+    )
+    per_block = dy.groupBy("source", "c", "y").agg(
+        F.sum(F.col("m") * F.col("j")).cast("bigint").alias("sx"),
+        F.sum(F.col("m") * F.col("j") * F.col("j")).cast("bigint").alias("sxx"),
+        F.max("k").cast("bigint").alias("k"),
+    )
+    fit = per_block.groupBy("source").agg(
+        F.sum("k").cast("bigint").alias("n_terms"),
+        F.sum(F.col("k") * F.col("y")).cast("bigint").alias("sy"),
+        F.sum("sx").cast("bigint").alias("sx"),
+        F.sum("sxx").cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("sx")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return fit.select(
+        "source",
+        "n_terms",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num.cast("double") / den).alias("zipf_slope"),
+    )

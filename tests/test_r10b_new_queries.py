@@ -329,3 +329,63 @@ def test_dedup_adjusted_mix_is_consistent_with_weights(spark):
     for col in ("raw_ppm", "effective_ppm"):
         s = sum(getattr(r, col) for r in got.values())
         assert 1_000_000 - len(got) <= s <= 1_000_000
+
+
+def test_langid_confusion_matches_python_replica(spark):
+    pred = {
+        r.doc_id: (r.lang, r.lang_guess)
+        for r in all_specs()["q30_lang_id"].fn(spark, SF).collect()
+    }
+    m: dict[tuple, int] = {}
+    for lang, guess in pred.values():
+        m[(lang, guess)] = m.get((lang, guess), 0) + 1
+    actual: dict[str, int] = {}
+    guessed: dict[str, int] = {}
+    for (lang, guess), n in m.items():
+        actual[lang] = actual.get(lang, 0) + n
+        guessed[guess] = guessed.get(guess, 0) + n
+    got = {
+        (r.lang, r.lang_guess): r
+        for r in all_specs()["q251_langid_confusion"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(m)
+    for (lang, guess), n in m.items():
+        r = got[(lang, guess)]
+        assert (r.n, r.n_actual, r.n_guessed) == (n, actual[lang], guessed[guess])
+        assert r.recall_ppm == n * 1_000_000 // actual[lang]
+        assert r.precision_ppm == n * 1_000_000 // guessed[guess]
+        assert r.is_diagonal == (lang == guess)
+
+
+def test_zipf_slope_matches_per_term_rank_replica(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per_src: dict[str, Counter] = {}
+    for r in rows:
+        per_src.setdefault(r.source, Counter()).update(r.text.split(" "))
+    got = {
+        r.source: r
+        for r in all_specs()["q252_zipf_slope"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, counts in per_src.items():
+        # per-term ranks assigned by count desc; within a tie block any
+        # order gives the same x-multiset (contiguous rank interval)
+        ordered = sorted(counts.values(), reverse=True)
+        n = len(ordered)
+        sx = sy = sxx = sxy = 0
+        for rank, c in enumerate(ordered, start=1):
+            x = rank.bit_length() - 1
+            y = c.bit_length() - 1
+            sx += x
+            sy += y
+            sxx += x * x
+            sxy += x * y
+        r = got[src]
+        assert r.n_terms == n
+        assert r.slope_num == n * sxy - sx * sy
+        assert r.slope_den == n * sxx - sx * sx
+        assert r.zipf_slope == (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        # rank-frequency fits are non-increasing by construction (higher
+        # rank never has higher count); tiny sources whose quantized
+        # counts are flat legitimately fit 0
+        assert r.zipf_slope <= 0
