@@ -389,3 +389,31 @@ def test_zipf_slope_matches_per_term_rank_replica(spark):
         # rank never has higher count); tiny sources whose quantized
         # counts are flat legitimately fit 0
         assert r.zipf_slope <= 0
+
+
+def test_dyadic_overlap_identity():
+    """The q252 closed form: for any contiguous rank block [r0, r0+k),
+    the dyadic overlap counts m_j partition the block and reproduce the
+    per-rank floor(log2) sums exactly."""
+    from hypothesis import given, strategies as st
+
+    from data_engineering_examples_spark.plans.text_queries import ZIPF_MAX_LOG2
+
+    @given(
+        st.integers(min_value=1, max_value=10**9),
+        st.integers(min_value=1, max_value=10**4),
+    )
+    def check(r0, k):
+        sx = sxx = total = 0
+        for j in range(ZIPF_MAX_LOG2 + 1):
+            lo, hi = 1 << j, (1 << (j + 1)) - 1
+            m = max(0, min(r0 + k - 1, hi) - max(r0, lo) + 1)
+            total += m
+            sx += m * j
+            sxx += m * j * j
+        xs = [r.bit_length() - 1 for r in range(r0, r0 + k)]
+        assert total == k
+        assert sx == sum(xs)
+        assert sxx == sum(x * x for x in xs)
+
+    check()
