@@ -1033,6 +1033,13 @@ def q243_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         (_md5_int(F.concat(F.lit("dsir:"), F.col("w"))) % DSIR_B).alias("b"),
     )
+    # deliberately THREE map-side passes over the token stream rather
+    # than one materialized per-doc-bucket substrate: the model groupBys
+    # collapse to B rows per partition map-side (their exchanges are
+    # negligible), so each pass is pure scan bandwidth, while the
+    # materialize alternative writes+reads a |docs| x B table and
+    # measured 1.1s -> 2.0s at sf0.1.  Only doc_feat's exchange carries
+    # real volume, and it is the scoring substrate itself.
     doc_feat = tok.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     raw = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (
@@ -1142,12 +1149,21 @@ PPL_BUCKETS = ("head", "middle", "tail")
     tags=("training", "llm", "text", "sampling"),
 )
 def q244_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
     d = _docs(spark, sf_dir)
     per_doc = _surprisal_per_doc(d)
-    mb = per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
-        "doc_id",
-        "lang",
-        F.expr("(total_bits * 1000) div n_bigrams").alias("mb_milli"),
+    # the milli-bit table feeds the histogram/cutoff derivation AND the
+    # final assignment join — materialize once, or the whole surprisal
+    # substrate (bigram model joins + two aggregations) runs per branch
+    # (plan-audited: 19 exchanges unmaterialized vs 7 materialized)
+    mb = materialize(
+        per_doc.join(d.select("doc_id", "lang"), "doc_id").select(
+            "doc_id",
+            "lang",
+            F.expr("(total_bits * 1000) div n_bigrams").alias("mb_milli"),
+        ),
+        "q244_mb",
     )
     hist = mb.groupBy("lang", "mb_milli").agg(F.count(F.lit(1)).alias("c"))
     # bounded-grid cumulative: <= 20001 distinct milli-bit values per
