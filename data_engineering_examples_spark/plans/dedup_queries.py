@@ -1672,10 +1672,16 @@ def q250_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = q247_soft_dedup_weights(spark, sf_dir).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    per_src = w.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
-        F.sum("effective_tokens").cast("bigint").alias("effective_tokens"),
+    # per_src feeds the totals AND the final projection: materialize the
+    # |sources|-row aggregate so the q72/q247 cluster pipeline above it
+    # runs once, not per branch (the scratch write is tens of rows)
+    per_src = materialize(
+        w.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+            F.sum("effective_tokens").cast("bigint").alias("effective_tokens"),
+        ),
+        "q250_per_src",
     )
     tot = per_src.agg(
         F.sum("raw_tokens").cast("bigint").alias("raw_total"),

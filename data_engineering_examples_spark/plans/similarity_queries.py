@@ -2805,7 +2805,10 @@ def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "w", pair_cos.alias("cos_sim")),
         "q246_sem_pairs",
     )
-    sh = _hashed_shingles(spark, sf_dir)
+    # the shingle substrate is probed FOUR times (both sides of the
+    # shared-count join, both size lookups) — materialize once, same
+    # reason q23 checkpoints its capped substrate
+    sh = materialize(_hashed_shingles(spark, sf_dir), "q246_shingles")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         sem.select("u", "w")

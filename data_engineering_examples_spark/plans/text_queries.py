@@ -1944,9 +1944,17 @@ def _q251_oracle() -> str:
     tags=("text", "llm", "quality"),
 )
 def q251_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
     pred = q30_lang_id(spark, sf_dir).select("lang", "lang_guess")
-    m = pred.groupBy("lang", "lang_guess").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    # the |langs|^2 matrix feeds both margins and the final join —
+    # materialize it so q30's substring-scoring corpus scan runs once,
+    # not three times (the scratch write is a few dozen rows)
+    m = materialize(
+        pred.groupBy("lang", "lang_guess").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n")
+        ),
+        "q251_matrix",
     )
     actual = m.groupBy("lang").agg(F.sum("n").cast("bigint").alias("n_actual"))
     guessed = m.groupBy("lang_guess").agg(
