@@ -18,7 +18,7 @@ brief "Multimodal columns"; operators in ``operators/media.py``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.media import extract_features
@@ -759,4 +759,94 @@ def q226_canonical_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("reclaimable_bytes"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — media shard packing: lay multimodal payloads out into byte-
+# budgeted training shards (the webdataset/tfrecord shard-building
+# step: a trainer streams ~fixed-size shard files, so the layout
+# planner must assign every blob a (shard, offset) before any byte
+# moves).  Placement is deterministic: blobs hash into N_PACK_BUCKETS
+# independent pack streams (bucket = writer parallelism — production
+# uses one bucket per output writer), are ordered inside the bucket by
+# the same hash (a reproducible shuffle, q115's convention), and the
+# running byte offset assigns shard = floor(cum_before / SHARD_BYTES),
+# offset = cum_before % SHARD_BYTES.  Byte-offset splitting (a blob may
+# straddle a boundary, carried by the index) is the tar-stream/indexed-
+# shard model; budget-respecting first-fit would need a sequential scan
+# that cannot be a prefix sum.
+#
+# Scale shape: one exchange on the bucket key; the running sum is a
+# window WITHIN a bucket — the bucket count is the parallelism knob
+# (at 100 TB: tens of thousands of buckets, one per writer, each
+# window writer-stream-sized).  Everything else is map-side; the
+# payload bytes themselves never shuffle (plan-asserted for this
+# module: binary columns stay out of exchanges — only octet lengths
+# travel).
+
+N_PACK_BUCKETS = 8
+SHARD_BYTES = 32768
+
+from .dedup_queries import _duck_md5_int as _q254_duck_md5  # noqa: E402
+
+_DUCK_SHARD_HV = _q254_duck_md5("'shard:' || CAST(media_id AS VARCHAR)")
+
+
+@register(
+    "q254_media_shard_pack",
+    oracle=f"""
+    WITH h AS (
+      SELECT media_id, octet_length(payload) AS n_bytes,
+             {{hv}} AS hv
+      FROM read_parquet('{{FX}}/media.parquet')
+    ),
+    b AS (
+      SELECT media_id, n_bytes, hv, hv % {N_PACK_BUCKETS} AS bucket FROM h
+    ),
+    packed AS (
+      SELECT media_id, bucket, n_bytes,
+             coalesce(sum(n_bytes) OVER (
+               PARTITION BY bucket ORDER BY hv, media_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM b
+    )
+    SELECT media_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(cum_before // {SHARD_BYTES} AS BIGINT) AS shard_idx,
+           CAST(cum_before % {SHARD_BYTES} AS BIGINT) AS offset_bytes
+    FROM packed
+    """.format(
+        hv=_DUCK_SHARD_HV, FX=FX
+    ),
+    doc="webdataset-style shard layout for media blobs: hash-bucketed "
+    "pack streams, reproducible in-bucket order, byte-offset shard/"
+    "offset assignment; payload bytes never shuffle",
+    tags=("multimodal", "llm", "layout"),
+)
+def q254_media_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _md5_int
+
+    m = _media(spark).select(
+        "media_id", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    hv = _md5_int(F.concat(F.lit("shard:"), F.col("media_id").cast("string")))
+    b = m.select(
+        "media_id", "n_bytes", hv.alias("hv"), (hv % N_PACK_BUCKETS).alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("hv", "media_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = b.withColumn(
+        "cum_before", F.coalesce(F.sum("n_bytes").over(w), F.lit(0))
+    )
+    return packed.select(
+        "media_id",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_bytes",
+        F.expr(f"cum_before div {SHARD_BYTES}").alias("shard_idx"),
+        (F.col("cum_before") % SHARD_BYTES).cast("bigint").alias("offset_bytes"),
     )

@@ -463,3 +463,142 @@ def q229_twopass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — Bloom-filter false-positive-rate audit (Bloom 1970; the
+# realized-FPR check any pipeline should run before trusting a bloom
+# prune like q119's): build an m-bit / k-hash filter over the keys that
+# EXIST in the fact table (customers who placed orders), then probe it
+# with the exact true-negative set (customers with no orders — q08's
+# cohort) and report the realized false-positive fraction and bit load.
+# Spark's injected runtime bloom (q119) is JVM-internal and engine-
+# specific; this audit rebuilds the textbook filter from first
+# principles with md5 positions, so the DuckDB oracle reproduces every
+# bit and the FPR is hash-exact.
+#
+# Scale shape: the filter is a distinct-position set <= m rows (m =
+# 4096 — broadcast-sized by construction, like any real bloom bitmap);
+# members fold to it through a distinct + explode(k) + distinct, all
+# partial-agg friendly.  The probe side is one left-anti join (the
+# true-negative derivation) then a broadcast hash probe per position —
+# the probe table never shuffles on anything but its own aggregate.
+# A per-key false positive = ALL of its distinct positions are set
+# (counting distinct positions guards the within-key hash-collision
+# case where k draws land on fewer than k bits).
+
+BLOOM_M = 4096  # filter bits
+BLOOM_K = 3     # hash functions
+
+
+def _q253_positions_sql(key_expr: str) -> str:
+    parts = []
+    for i in range(BLOOM_K):
+        salted = "'bf" + str(i) + ":' || CAST(" + key_expr + " AS VARCHAR)"
+        parts.append(f"{_duck_md5_int(salted)} % {BLOOM_M}")
+    return ", ".join(parts)
+
+
+@register(
+    "q253_bloom_fpr_audit",
+    oracle=f"""
+    WITH members AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key FROM orders
+    ),
+    bits AS (
+      SELECT DISTINCT unnest([{_q253_positions_sql('key')}]) AS pos
+      FROM members
+    ),
+    negatives AS (
+      SELECT 'probe:' || CAST(c_custkey AS VARCHAR) AS key FROM customer
+    ),
+    probes AS (
+      SELECT DISTINCT key, unnest([{_q253_positions_sql('key')}]) AS pos
+      FROM negatives
+    ),
+    per_key AS (
+      SELECT p.key,
+             count(*) AS n_pos,
+             count(b.pos) AS n_hit
+      FROM probes p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.key
+    )
+    SELECT CAST({BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) * 1000000
+             // {BLOOM_M} AS load_ppm,
+           CAST(count(*) AS BIGINT) AS n_negatives,
+           CAST(coalesce(sum(CASE WHEN n_hit = n_pos THEN 1 END), 0) AS BIGINT)
+             AS n_false_pos,
+           CAST(coalesce(sum(CASE WHEN n_hit = n_pos THEN 1 END), 0) AS BIGINT)
+             * 1000000 // count(*) AS fpr_ppm
+    FROM per_key
+    """,
+    doc=f"Bloom FPR audit: {BLOOM_M}-bit/{BLOOM_K}-hash filter over fact "
+    "keys probed with the exact true-negative cohort; realized FPR and "
+    "bit load in ppm, every bit oracle-reproducible",
+    tags=("sketch", "quality"),
+)
+def q253_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+
+    def positions(df: DataFrame, key) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    _md5_int(F.concat(F.lit(f"bf{i}:"), key.cast("string")))
+                    % BLOOM_M
+                    for i in range(BLOOM_K)
+                ]
+            )
+        ).alias("pos")
+        return df.select(F.col("key"), pos).distinct()
+
+    members = (
+        t["orders"].select(F.col("o_custkey").cast("string").alias("key")).distinct()
+    )
+    bits = positions(members, F.col("key")).select("pos").distinct()
+    # probes draw from a DISJOINT key namespace ('probe:' prefix) so the
+    # true-negative set is non-empty by construction at every SF — the
+    # testdata's customers all have orders, so "customers without
+    # orders" is empty exactly when the audit needs negatives most
+    negatives = t["customer"].select(
+        F.concat(F.lit("probe:"), F.col("c_custkey").cast("string")).alias("key")
+    )
+    probes = positions(negatives, F.col("key"))
+    per_key = (
+        probes.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left"
+        )
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.count("hit").alias("n_hit"),
+        )
+    )
+    n_members = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("n_set_bits"))
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_negatives"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_hit") == F.col("n_pos"), 1)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_members))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_members",
+            "n_set_bits",
+            F.expr(f"n_set_bits * 1000000 div {BLOOM_M}").alias("load_ppm"),
+            "n_negatives",
+            "n_false_pos",
+            F.expr("n_false_pos * 1000000 div n_negatives").alias("fpr_ppm"),
+        )
+    )

@@ -417,3 +417,70 @@ def test_dyadic_overlap_identity():
         assert sxx == sum(x * x for x in xs)
 
     check()
+
+
+def test_bloom_fpr_audit_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.sketch_queries import (
+        BLOOM_K,
+        BLOOM_M,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select("o_custkey").collect()
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey").collect()
+    members = {str(r.o_custkey) for r in orders}
+
+    def positions(key: str):
+        return {_md5_int(f"bf{i}:{key}") % BLOOM_M for i in range(BLOOM_K)}
+
+    bits = set()
+    for k in members:
+        bits |= positions(k)
+    probes = {f"probe:{r.c_custkey}" for r in cust}
+    fp = sum(1 for k in probes if positions(k) <= bits)
+    r = all_specs()["q253_bloom_fpr_audit"].fn(spark, SF).collect()[0]
+    assert (r.m_bits, r.k_hashes) == (BLOOM_M, BLOOM_K)
+    assert (r.n_members, r.n_set_bits) == (len(members), len(bits))
+    assert r.load_ppm == len(bits) * 1_000_000 // BLOOM_M
+    assert (r.n_negatives, r.n_false_pos) == (len(probes), fp)
+    assert r.fpr_ppm == fp * 1_000_000 // len(probes)
+
+
+def test_media_shard_pack_matches_python_replica(spark):
+    from data_engineering_examples_spark.plans.multimodal_queries import (
+        FX,
+        N_PACK_BUCKETS,
+        SHARD_BYTES,
+    )
+
+    from pyspark.sql import functions as F
+
+    rows = (
+        spark.read.parquet(f"{FX}/media.parquet")
+        .select("media_id", F.length("payload").alias("n_bytes"))
+        .collect()
+    )
+    items = []
+    for r in rows:
+        hv = _md5_int(f"shard:{r.media_id}")
+        items.append((hv % N_PACK_BUCKETS, hv, r.media_id, r.n_bytes))
+    expect = {}
+    for bucket in set(i[0] for i in items):
+        cum = 0
+        for b, hv, mid, nb in sorted(
+            [i for i in items if i[0] == bucket], key=lambda i: (i[1], i[2])
+        ):
+            expect[mid] = (bucket, nb, cum // SHARD_BYTES, cum % SHARD_BYTES)
+            cum += nb
+    got = {
+        r.media_id: (r.bucket, r.n_bytes, r.shard_idx, r.offset_bytes)
+        for r in all_specs()["q254_media_shard_pack"].fn(spark, SF).collect()
+    }
+    assert got == expect
+    # every shard stays indexable: offsets are within budget and each
+    # bucket's shard indexes are a contiguous 0..max range
+    by_bucket = {}
+    for mid, (b, nb, s, o) in got.items():
+        assert 0 <= o < SHARD_BYTES
+        by_bucket.setdefault(b, set()).add(s)
+    for b, shards in by_bucket.items():
+        assert shards == set(range(max(shards) + 1))
