@@ -1698,3 +1698,62 @@ def q250_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inflation"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q255 — near-dup-aware train/val/test split: assign the WHOLE dedup
+# cluster (q72's exact+LSH connected components) to one split, so no
+# near-duplicate pair can straddle train and eval.  q98 closes the
+# exact-dup leak by hashing normalized text; paraphrase-level leaks
+# survive it — the LSH edge set is exactly the extra knowledge this
+# split uses (the leakage q105 AUDITS, prevented at construction).
+# Split draw = md5('split:' || cluster_id) % 100, one draw per cluster,
+# inherited by every member.
+#
+# Scale shape: q72's cluster substrate is the cost; the split itself is
+# a map-side expression over the membership table plus one tiny
+# summary-friendly projection.  No new exchanges beyond q72.
+
+Q255_MOD = 100
+Q255_TRAIN_LT = 80  # 80/10/10
+Q255_VAL_LT = 90
+
+
+def _q255_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q72 = _REGISTRY["q72_dedup_clusters"].oracle
+    draw = _duck_md5_int("'split:' || CAST(cluster_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CASE WHEN {draw} % {Q255_MOD} < {Q255_TRAIN_LT} THEN 'train'
+                WHEN {draw} % {Q255_MOD} < {Q255_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM ({q72}) c
+    """
+
+
+@register(
+    "q255_cluster_safe_split",
+    oracle=_q255_oracle(),
+    doc="near-dup-aware train/val/test split: one hash draw per dedup "
+    "cluster, inherited by every member — no LSH-near pair straddles "
+    "splits (constructive twin of q105's leakage audit)",
+    tags=("dedup", "llm", "corpus", "sampling", "graph"),
+)
+def q255_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = q72_dedup_clusters(spark, sf_dir)
+    draw = (
+        _md5_int(F.concat(F.lit("split:"), F.col("cluster_id").cast("string")))
+        % Q255_MOD
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.when(draw < Q255_TRAIN_LT, "train")
+        .when(draw < Q255_VAL_LT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -484,3 +484,24 @@ def test_media_shard_pack_matches_python_replica(spark):
         by_bucket.setdefault(b, set()).add(s)
     for b, shards in by_bucket.items():
         assert shards == set(range(max(shards) + 1))
+
+
+def test_cluster_safe_split_never_straddles_clusters(spark):
+    out = all_specs()["q255_cluster_safe_split"].fn(spark, SF).collect()
+    assert out
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        assert r.split in ("train", "val", "test")
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # and the draw is the documented hash of the cluster id
+    for r in out:
+        d = _md5_int(f"split:{r.cluster_id}") % 100
+        want = "train" if d < 80 else ("val" if d < 90 else "test")
+        assert r.split == want
+    # consistency with q72's membership
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in all_specs()["q72_dedup_clusters"].fn(spark, SF).collect()
+    }
+    assert {r.doc_id: r.cluster_id for r in out} == cc
