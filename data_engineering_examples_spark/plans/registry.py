@@ -113,6 +113,19 @@ _PRIORITY: tuple = (
     "q77_segment_dedup", "q124_dirty_csv_ingest",
 )
 
+# SEVENTH-TRANCHE CANDIDATES (r11): after the r10 window lands, 66
+# queries remain never driver-checked.  Priority order for the next
+# rotation's 25 first-timer slots:
+# 1. r10-continuation ops with no driver row yet: q245 q247 q248 q249
+#    q250 q251 q252 q253 q254 q255.
+# 2. Slot-yield debts recorded above: q96 q113 (r10a note), q143 q156
+#    q110 q202 q152 (r10 continuation note).
+# 3. Breadth from the long tail (prefer distinct shapes): q135
+#    (surprisal), q159 (span corruption), q190 (LATERAL), q189 (pipe
+#    syntax), q200 (release manifest), q210 (Pareto — rows-only oracle
+#    at sf1 but exact at gate SF), q68/q76 (workflow), q90-q93
+#    (rollup/funnel/retention/integrity).
+
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules that populate the registry.
