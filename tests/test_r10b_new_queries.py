@@ -505,3 +505,29 @@ def test_cluster_safe_split_never_straddles_clusters(spark):
         for r in all_specs()["q72_dedup_clusters"].fn(spark, SF).collect()
     }
     assert {r.doc_id: r.cluster_id for r in out} == cc
+
+
+def test_signed_bitlength_log_ratio_is_antisymmetric():
+    """q243's quantized log-ratio: lam(a/b) == -lam(b/a) for all positive
+    integer pairs, and lam is monotone in the true ratio — the properties
+    that make the signed-bits importance weights a consistent ordering."""
+    from hypothesis import given, strategies as st
+
+    def lam(num, den):
+        if num >= den:
+            return (num // den).bit_length() - 1
+        return -((den // num).bit_length() - 1)
+
+    @given(
+        st.integers(min_value=1, max_value=10**12),
+        st.integers(min_value=1, max_value=10**12),
+    )
+    def check(a, b):
+        assert lam(a, b) == -lam(b, a)
+        # 2x the numerator moves the quantized log up by at least 0 and
+        # at most ~1 bit; never down
+        assert lam(2 * a, b) >= lam(a, b)
+        # exact powers of two are exact
+        assert lam(8 * b, b) == 3 and lam(b, 8 * b) == -3
+
+    check()
