@@ -1653,8 +1653,12 @@ def _q250_oracle() -> str:
     )
     SELECT p.source, p.n_docs, p.raw_tokens, p.effective_tokens,
            (p.raw_tokens * 1000000) // t.raw_total AS raw_ppm,
-           (p.effective_tokens * 1000000) // t.eff_total AS effective_ppm,
-           CAST(p.raw_tokens AS DOUBLE) / p.effective_tokens AS inflation
+           CASE WHEN t.eff_total > 0
+                THEN (p.effective_tokens * 1000000) // t.eff_total
+           END AS effective_ppm,
+           CASE WHEN p.effective_tokens > 0
+                THEN CAST(p.raw_tokens AS DOUBLE) / p.effective_tokens
+           END AS inflation
     FROM per_src p CROSS JOIN tot t
     """
 
@@ -1687,16 +1691,26 @@ def q250_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw_tokens").cast("bigint").alias("raw_total"),
         F.sum("effective_tokens").cast("bigint").alias("eff_total"),
     )
+    # effective_tokens is a FLOOR division (n_tokens div cluster_size),
+    # so a source whose docs all sit in clusters larger than their token
+    # counts legitimately floors to 0 — guard both divisions with NULL
+    # (matching the oracle's CASE) instead of throwing DIVIDE_BY_ZERO
+    # under ANSI mode.  raw_total needs no guard: split() yields >= 1
+    # token per doc, so raw_total >= n_docs >= 1 whenever rows exist.
     return per_src.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "raw_tokens",
         "effective_tokens",
         F.expr("(raw_tokens * 1000000) div raw_total").alias("raw_ppm"),
-        F.expr("(effective_tokens * 1000000) div eff_total").alias("effective_ppm"),
-        (F.col("raw_tokens").cast("double") / F.col("effective_tokens")).alias(
-            "inflation"
-        ),
+        F.expr(
+            "CASE WHEN eff_total > 0"
+            " THEN (effective_tokens * 1000000) div eff_total END"
+        ).alias("effective_ppm"),
+        F.when(
+            F.col("effective_tokens") > 0,
+            F.col("raw_tokens").cast("double") / F.col("effective_tokens"),
+        ).alias("inflation"),
     )
 
 

@@ -2740,8 +2740,11 @@ def _q246_oracle() -> str:
     SELECT s.u AS doc_a, s.w AS doc_b, s.cos_sim,
            coalesce(h.shared, 0) AS shared_shingles,
            coalesce(za.n, 0) AS n_a, coalesce(zb.n, 0) AS n_b,
-           ({PARA_MAX_JACCARD_NUM + PARA_MAX_JACCARD_DEN} * coalesce(h.shared, 0)
-             <= coalesce(za.n, 0) + coalesce(zb.n, 0)) AS is_paraphrase
+           CASE WHEN coalesce(za.n, 0) + coalesce(zb.n, 0) > 0
+                THEN ({PARA_MAX_JACCARD_NUM + PARA_MAX_JACCARD_DEN}
+                        * coalesce(h.shared, 0)
+                      <= coalesce(za.n, 0) + coalesce(zb.n, 0))
+           END AS is_paraphrase
     FROM sem s
     LEFT JOIN shared h ON h.u = s.u AND h.w = s.w
     LEFT JOIN sizes za ON za.doc_id = s.u
@@ -2831,9 +2834,17 @@ def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared_shingles"),
             F.coalesce(F.col("n_a"), F.lit(0)).cast("bigint").alias("n_a"),
             F.coalesce(F.col("n_b"), F.lit(0)).cast("bigint").alias("n_b"),
-            (
+            # a pair where BOTH docs have < 3 tokens has no shingles at
+            # all (n_a = n_b = shared = 0): the Jaccard test 6*0 <= 0
+            # would hold VACUOUSLY, labeling lexically empty pairs as
+            # paraphrases — emit NULL instead (mirrored in the oracle)
+            F.when(
+                F.coalesce(F.col("n_a"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0))
+                > 0,
                 mul * F.coalesce(F.col("shared"), F.lit(0))
-                <= F.coalesce(F.col("n_a"), F.lit(0)) + F.coalesce(F.col("n_b"), F.lit(0))
+                <= F.coalesce(F.col("n_a"), F.lit(0))
+                + F.coalesce(F.col("n_b"), F.lit(0)),
             ).alias("is_paraphrase"),
         )
     )

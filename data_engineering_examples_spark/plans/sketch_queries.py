@@ -470,8 +470,12 @@ def q229_twopass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # realized-FPR check any pipeline should run before trusting a bloom
 # prune like q119's): build an m-bit / k-hash filter over the keys that
 # EXIST in the fact table (customers who placed orders), then probe it
-# with the exact true-negative set (customers with no orders — q08's
-# cohort) and report the realized false-positive fraction and bit load.
+# with a GUARANTEED-negative key set — every customer key lifted into a
+# disjoint 'probe:'-prefixed namespace, so no probe key can be a member
+# by construction — and report the realized false-positive fraction and
+# bit load.  Probing ALL customers (rather than only the no-orders
+# cohort) keeps the negative sample large even at SFs where nearly
+# every customer has orders, so the measured FPR has tight variance.
 # Spark's injected runtime bloom (q119) is JVM-internal and engine-
 # specific; this audit rebuilds the textbook filter from first
 # principles with md5 positions, so the DuckDB oracle reproduces every
@@ -480,9 +484,10 @@ def q229_twopass_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the filter is a distinct-position set <= m rows (m =
 # 4096 — broadcast-sized by construction, like any real bloom bitmap);
 # members fold to it through a distinct + explode(k) + distinct, all
-# partial-agg friendly.  The probe side is one left-anti join (the
-# true-negative derivation) then a broadcast hash probe per position —
-# the probe table never shuffles on anything but its own aggregate.
+# partial-agg friendly.  The probe side is a namespace-prefix
+# projection of the customer keys then a broadcast hash probe per
+# position — the probe table never shuffles on anything but its own
+# aggregate.
 # A per-key false positive = ALL of its distinct positions are set
 # (counting distinct positions guards the within-key hash-collision
 # case where k draws land on fewer than k bits).

@@ -2053,8 +2053,9 @@ ZIPF_MAX_LOG2 = 45  # dyadic buckets 2^0 .. 2^45 cover int64-sized vocab ranks
     SELECT source, n_terms,
            n_terms * sxy - sx * sy AS slope_num,
            n_terms * sxx - sx * sx AS slope_den,
-           CAST(n_terms * sxy - sx * sy AS DOUBLE)
-             / (n_terms * sxx - sx * sx) AS zipf_slope
+           CASE WHEN n_terms * sxx - sx * sx <> 0
+                THEN CAST(n_terms * sxy - sx * sy AS DOUBLE)
+                       / (n_terms * sxx - sx * sx) END AS zipf_slope
     FROM fit
     """,
     doc="exact-integer Zipf rank-frequency slope per source: bitlength "
@@ -2113,10 +2114,14 @@ def q252_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # slope_den = 0 when a source has exactly one distinct dyadic rank
+    # bucket (e.g. a single distinct term): the regression is undefined,
+    # so emit NULL — mirrored by the oracle's CASE — instead of letting
+    # ANSI mode throw DIVIDE_BY_ZERO where DuckDB would yield NULL
     return fit.select(
         "source",
         "n_terms",
         num.alias("slope_num"),
         den.alias("slope_den"),
-        (num.cast("double") / den).alias("zipf_slope"),
+        F.when(den != 0, num.cast("double") / den).alias("zipf_slope"),
     )
