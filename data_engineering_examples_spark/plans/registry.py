@@ -68,63 +68,47 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots, r10 = sixth tranche) ---------
+    # first-time driver evidence (25 slots, r11 = seventh tranche) -------
     # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
-    # rotate each round to queries with no driver-green row yet
-    # (cumulative driver evidence after r9: 165 distinct queries; the r9
-    # first-timers — correlated-subquery OLAP, pivot/cube family,
-    # governance, kmeans/PQ, retrieval/vocab — rotate out to the
-    # locally-verified tail).
-    # r9 VERDICT ask #1: q44 stays in-window until its driver row is
-    # green post-reshape; q40 rotates in post-reshape (the other former
-    # array-output query, never driver-checked)
-    "q44_media_features", "q40_event_value_distribution",
-    # birth-round slots for the round's new operators (q234/q235
-    # precedent).  To keep the window at 50, q96_price_quantiles and
-    # q113_skew_two_stage_agg yield their slots to q239/q240: both are
-    # the most redundantly-evidenced shapes in the tranche (exact
-    # quantiles and salted aggregation have driver-green relatives in
-    # A4/W3 and q234) and rotate in next round.
-    "q238_canonical_neardup", "q239_bpe_train_rounds",
-    "q240_linear_probe_gd",
-    # r10 continuation: four more birth-round ops (GBDT stump training,
-    # stream-stream LEFT OUTER interval join, DSIR importance weights,
-    # CCNet perplexity buckets).  Slots come from q143/q156/q110/q202 —
-    # the remaining breadth-fills with the most driver-green relatives
-    # (q52/q98 sampling, q85/q218 sketches, q100 ingest-roundtrip,
-    # q176/q213/q89 CDC-merge); they rotate in next round.
-    "q241_gbdt_stumps", "q242_stream_attribution_outer",
-    "q243_dsir_importance", "q244_ccnet_ppl_buckets",
-    # q246 takes q152's slot (source-mix reweighting has driver-green
-    # relative q81); q152 rotates in next round
-    "q246_paraphrase_candidates",
-    # r9 VERDICT ask #2 priority: LLM local-onlys — dedup
-    "q134_prefix_dups", "q158_ngram_novelty", "q171_fuzzy_name_match",
-    "q206_substring_dup_rate",
-    # similarity
-    "q139_int8_quantize", "q145_cluster_purity",
-    # text
-    "q73_tfidf_terms", "q108_pmi_bigrams", "q173_source_token_hhi",
-    "q204_bpe_apply_merges",
-    # multimodal
-    "q43_media_caption_pairs", "q74_frame_samples",
-    "q148_aspect_ratio_buckets",
-    # breadth fill: corpus prep, ingest shapes
-    "q77_segment_dedup", "q124_dirty_csv_ingest",
+    # rotate each round to queries with no driver-green row yet.
+    # Cumulative driver evidence after r10: 189 distinct queries; the
+    # r10 first-timers (q238-q244, q246, the r9-ask LLM local-onlys,
+    # media trio, q44/q40 reshapes) rotate out to the locally-verified
+    # tail with their driver-green rows banked.  This tranche follows
+    # the priority order the r10 VERDICT pinned (ask #1):
+    # 1. r10-continuation ops with no driver row yet (10)
+    "q245_gopher_rule_funnel", "q247_soft_dedup_weights",
+    "q248_epoch_repetition_plan", "q249_tokenizer_fertility",
+    "q250_dedup_adjusted_mix", "q251_langid_confusion",
+    "q252_zipf_slope", "q253_bloom_fpr_audit",
+    "q254_media_shard_pack", "q255_cluster_safe_split",
+    # 2. recorded slot-yield debts: q96/q113 (r10a note), q143/q156/
+    #    q110/q202/q152 (r10 continuation note) (7)
+    "q96_price_quantiles", "q113_skew_two_stage_agg",
+    "q143_pps_token_sample", "q156_kmv_join_estimate",
+    "q110_schema_evolution", "q202_cdc_log_apply",
+    "q152_temperature_mix",
+    # 3. distinct-shape long tail (8): surprisal filter, span-corruption
+    #    planner, LATERAL, pipe syntax, release manifest, rollup/funnel/
+    #    retention.  q93 (integrity audit) is the one tail name that
+    #    does not fit the 25 slots; it leads the eighth tranche.
+    "q135_lm_surprisal_filter", "q159_span_corruption_plan",
+    "q190_lateral_top_order", "q189_pipe_syntax_pricing",
+    "q200_release_manifest", "q90_incremental_rollup",
+    "q91_funnel_stages", "q92_retention_cohorts",
 )
 
-# SEVENTH-TRANCHE CANDIDATES (r11): after the r10 window lands, 66
+# EIGHTH-TRANCHE CANDIDATES (r12): after the r11 window lands, ~41
 # queries remain never driver-checked.  Priority order for the next
 # rotation's 25 first-timer slots:
-# 1. r10-continuation ops with no driver row yet: q245 q247 q248 q249
-#    q250 q251 q252 q253 q254 q255.
-# 2. Slot-yield debts recorded above: q96 q113 (r10a note), q143 q156
-#    q110 q202 q152 (r10 continuation note).
-# 3. Breadth from the long tail (prefer distinct shapes): q135
-#    (surprisal), q159 (span corruption), q190 (LATERAL), q189 (pipe
-#    syntax), q200 (release manifest), q210 (Pareto — rows-only oracle
-#    at sf1 but exact at gate SF), q68/q76 (workflow), q90-q93
-#    (rollup/funnel/retention/integrity).
+# 1. q93_integrity_audit (displaced from the r11 tail by the 25-slot
+#    cap above).
+# 2. Any r11-round additions with no driver row yet (birth-round
+#    precedent).
+# 3. Breadth from the remaining tail (prefer distinct shapes):
+#    q68/q76 (workflow), q210 (Pareto — rows-only oracle at sf1 but
+#    exact at gate SF), then the remaining never-checked names in
+#    registry order.
 
 
 def all_specs() -> dict[str, QuerySpec]:
