@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..scratch import materialize
+from ..scratch import materialize, memo_substrate
 from ..sources.tables import load_tables, scale_out
 from .registry import register
 
@@ -537,19 +537,27 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm"),
 )
 def q24_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bands = _bands(spark, sf_dir)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # The pair list is the candidate substrate for SIX registry queries
+    # (q72/q95/q105/q228/q238 compose it) — memoized per (session,
+    # sf_dir) so one sweep builds the LSH index once, exactly as a
+    # production pipeline materializes its candidate-pair table once
+    # per corpus snapshot.
+    def build() -> DataFrame:
+        bands = _bands(spark, sf_dir)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+
+    return memo_substrate(spark, "q24_lsh_pairs", sf_dir, build)
 
 
 # ---------------------------------------------------------------------------
@@ -777,34 +785,47 @@ CC_ROUNDS = 4
     tags=("dedup", "llm", "graph"),
 )
 def q72_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
-    norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
-    keyed = docs.select("doc_id", F.sha2(norm, 256).alias("h"))
-    keeper = F.min("doc_id").over(Window.partitionBy("h"))
-    exact_e = (
-        keyed.withColumn("k", keeper)
-        .filter(F.col("doc_id") != F.col("k"))
-        .select(F.col("k").alias("u"), F.col("doc_id").alias("v"))
-    )
-    near_e = q24_minhash_lsh_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    )
-    # materialize the edge set ONCE — it feeds every propagation round,
-    # and recomputing it would re-run the whole LSH pipeline per round
-    # (operators/graph.py checkpoints the bidirected form internally)
-    edges = exact_e.union(near_e).distinct()
-    from ..operators.graph import connected_components
+    # The membership table (doc_id, cluster_id, cluster_size, is_keeper)
+    # is the corpus-curation substrate: q247 (SoftDedup weights), q250
+    # (dedup-adjusted mixing), q255 (cluster-safe split) and the corpus
+    # planners all compose it.  Memoized per (session, sf_dir) so a full
+    # sweep runs exact-hash + LSH + CC-to-fixpoint ONCE — the
+    # "materialize dedup clusters once per corpus snapshot" shape of a
+    # production pipeline (r10 VERDICT ask #2).
+    def build() -> DataFrame:
+        docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+        norm = F.lower(F.trim(F.regexp_replace(docs.text, r"\s+", " ")))
+        keyed = docs.select("doc_id", F.sha2(norm, 256).alias("h"))
+        keeper = F.min("doc_id").over(Window.partitionBy("h"))
+        exact_e = (
+            keyed.withColumn("k", keeper)
+            .filter(F.col("doc_id") != F.col("k"))
+            .select(F.col("k").alias("u"), F.col("doc_id").alias("v"))
+        )
+        near_e = q24_minhash_lsh_pairs(spark, sf_dir).select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        # materialize the edge set ONCE — it feeds every propagation
+        # round, and recomputing it would re-run the whole LSH pipeline
+        # per round (operators/graph.py checkpoints the bidirected form
+        # internally)
+        edges = exact_e.union(near_e).distinct()
+        from ..operators.graph import connected_components
 
-    cc = connected_components(
-        docs.select(F.col("doc_id").alias("id")), edges, CC_ROUNDS,
-        scratch_prefix="q72_cc",
-    )
-    return cc.select(
-        F.col("id").alias("doc_id"),
-        "cluster_id",
-        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).alias("cluster_size"),
-        (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
-    )
+        cc = connected_components(
+            docs.select(F.col("doc_id").alias("id")), edges, CC_ROUNDS,
+            scratch_prefix="q72_cc",
+        )
+        return cc.select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .alias("cluster_size"),
+            (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+
+    return memo_substrate(spark, "q72_membership", sf_dir, build)
 
 
 # ---------------------------------------------------------------------------

