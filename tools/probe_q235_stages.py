@@ -22,6 +22,12 @@ verified by q72/q131's recursive-CTE oracles and the r9 sf1 sweep) plus
 a partitioned window — both covered elsewhere.  Green stages 1-3 at a
 given SF mean the monolithic oracle would match if it could run.
 
+``staged_check()`` is the library entry point: tools/check_oracle.py
+calls it for q235 whenever the monolithic N·DIM·K join volume exceeds
+:data:`MONOLITHIC_MAX_CELLS`, so the sf1 sweep's exclusion list covers
+only the two quadratic-by-definition oracles (q95/q210) — r10 VERDICT
+ask #4.
+
 Usage: python tools/probe_q235_stages.py [sf_dir]   (default synth sf1)
 """
 
@@ -33,24 +39,42 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
+#: Above this many (vector, dim, centroid) join cells, q235's monolithic
+#: DuckDB oracle temp-spills local disk (182M cells at synthetic sf1 did;
+#: 5.8M at sf0.1 is comfortable) and the staged probe takes over.
+MONOLITHIC_MAX_CELLS = 50_000_000
 
-def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth1"
 
+def q235_monolithic_cells(con, table: str = "embeddings") -> int:
+    """N * DIM * ceil(sqrt(N)) — the assignment-join volume the
+    monolithic oracle materializes in one plan."""
+    row = con.execute(
+        f"SELECT count(*), coalesce(max(len(embedding)), 0), "
+        f"CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) FROM {table}"
+    ).fetchone()
+    n, dim, k = row
+    return int(n) * int(dim) * int(k)
+
+
+def staged_check(spark, sf_dir: str, verbose: bool = False) -> list:
+    """Run the three-stage q235 parity probe; return a list of problem
+    strings (empty == all stages match). Creates its own DuckDB
+    connection — the stages are heavy enough that sharing a caller's
+    connection would keep its temps alive across stages, which is the
+    exact failure the staging avoids."""
     from pyspark.sql import functions as F
 
     from data_engineering_examples_spark.plans import similarity_queries as sq
     from data_engineering_examples_spark.scratch import materialize
-    from data_engineering_examples_spark.session import get_spark
     from data_engineering_examples_spark.sources.tables import load_tables, scale_out
 
-    spark = get_spark("probe-q235")
-    emb = scale_out(load_tables(spark, sf, ["embeddings"])["embeddings"])
+    problems: list = []
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     n = emb.count()
 
     con = duckdb.connect()
     con.execute(
-        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf_dir}/embeddings.parquet')"
     )
 
     xq = materialize(
@@ -97,8 +121,13 @@ def main() -> None:
         """
         ).fetchall()
     )
-    assert s_spark == s_duck, "seed sets differ"
-    print(f"stage 1 seeds: OK (K={len(s_spark)}, N={n})")
+    if s_spark != s_duck:
+        problems.append(
+            f"stage 1 seed sets differ: spark K={len(s_spark)}, duck K={len(s_duck)}"
+        )
+        return problems  # downstream stages are meaningless on bad seeds
+    if verbose:
+        print(f"stage 1 seeds: OK (K={len(s_spark)}, N={n})")
 
     # --- stage 2: assignment ------------------------------------------
     cent = xq.join(F.broadcast(seeds), "vec_id").select(
@@ -158,8 +187,14 @@ def main() -> None:
             f"WITH {lloyd_cte} SELECT vec_id, cluster, dist FROM a2"
         ).fetchall()
     }
-    assert a_spark == a_duck, "assignments differ"
-    print(f"stage 2 assignment: OK ({len(a_spark)} rows)")
+    if a_spark != a_duck:
+        n_bad = sum(1 for k in a_spark if a_spark.get(k) != a_duck.get(k))
+        problems.append(
+            f"stage 2 assignments differ on {n_bad}/{len(a_spark)} vectors"
+        )
+        return problems
+    if verbose:
+        print(f"stage 2 assignment: OK ({len(a_spark)} rows)")
 
     # --- stage 3: edges ------------------------------------------------
     vn = emb.select("vec_id", sq._to_double("embedding").alias("e")).withColumn(
@@ -182,11 +217,28 @@ def main() -> None:
         """
         ).fetchall()
     }
-    assert e_spark == e_duck, (
-        f"edge sets differ: spark-only={len(e_spark - e_duck)}, "
-        f"duck-only={len(e_duck - e_spark)}"
-    )
-    print(f"stage 3 edges: OK ({len(e_spark)} edges)")
+    if e_spark != e_duck:
+        problems.append(
+            f"stage 3 edge sets differ: spark-only={len(e_spark - e_duck)}, "
+            f"duck-only={len(e_duck - e_spark)}"
+        )
+        return problems
+    if verbose:
+        print(f"stage 3 edges: OK ({len(e_spark)} edges)")
+    return problems
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfsynth1"
+
+    from data_engineering_examples_spark.session import get_spark
+
+    spark = get_spark("probe-q235")
+    problems = staged_check(spark, sf, verbose=True)
+    if problems:
+        for p in problems:
+            print(f"FAIL: {p}")
+        sys.exit(1)
     print("q235 staged parity: ALL OK")
 
 
