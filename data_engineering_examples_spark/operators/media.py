@@ -15,8 +15,9 @@ decoding libraries (PIL/opencv) are NOT installed, so
   (stdlib zlib inflate + per-scanline unfilter + §8.2 deinterlace,
   r10) — and baseline sequential JPEG (from-the-spec
   T.81 Huffman + IDCT decode: 4:4:4/4:2:2/4:2:0/grayscale, restart
-  markers) — and raise ``NotImplementedError`` for anything else
-  (progressive/arithmetic JPEG, WebP, …) unless a decoder is injected;
+  markers), progressive JPEG, and lossless WebP (VP8L, r11) — and
+  raise ``NotImplementedError`` for anything else (arithmetic JPEG,
+  lossy-VP8 WebP, …) unless a decoder is injected;
 * ``extract_features`` runs a real ``mapInPandas`` pipeline with a
   deterministic byte-histogram featurizer standing in for a model
   embedding — the Arrow batch shape, schema handling, and partitioning
@@ -964,6 +965,324 @@ def _jpeg_prog_scan(
     return p
 
 
+# --- WebP / VP8L (lossless) ------------------------------------------------
+# From-the-spec implementation of the WebP LOSSLESS bitstream (RFC 9649
+# §3-§5): LSB-first bit reading, canonical prefix codes (simple and
+# code-length-coded forms), the green/red/blue/alpha/distance code
+# group, LZ77 backward references with the 2D distance map, the color
+# cache, and the subtract-green transform. Lossless is the ONLY WebP
+# codec that can honor this module's pixel-exact decode contract:
+# lossy VP8 quantizes coefficients with divisors >= 4 by spec, so
+# pixel equality against a source twin is unattainable by definition —
+# VP8-lossy payloads therefore remain on the injected-decoder seam
+# (NotImplementedError -> decode_ok=false in the audit queries), the
+# same category as arithmetic-coded JPEG.
+#
+# Scope limits inside VP8L (raised as NotImplementedError, caught by
+# the audit queries): the predictor / color / color-indexing transforms
+# and meta-prefix entropy images. The encoder twin
+# (tools/media_encoders.webp_vp8l_encode) emits none of them; a real
+# corpus shard using them routes to an injected native decoder.
+
+#: Distance codes 1..120 map to a 2D pixel neighborhood (x offset,
+#: y offset) per RFC 9649 §4.2.2.3; codes above 120 are linear
+#: distances minus 120.
+_VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+#: Code-length-code symbol transmission order (RFC 9649 §4.2.1.2).
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+_VP8L_MAX_CODE_LEN = 15
+
+
+class _Vp8lBitReader:
+    """LSB-first bit reader (RFC 9649 §3: values fill bytes from the
+    least significant bit up)."""
+
+    __slots__ = ("data", "byte", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.byte = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.byte >= len(self.data):
+            raise ValueError("VP8L: bitstream exhausted")
+        b = (self.data[self.byte] >> self.bit) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.byte += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.read_bit() << i
+        return v
+
+
+def vp8l_canonical_assignment(lengths) -> dict:
+    """Canonical prefix-code assignment (DEFLATE rule: codes ordered by
+    (length, symbol); RFC 9649 §4.2.1): symbol -> (code, length).
+    Shared by this decoder and the encoder twin in
+    tools/media_encoders so the two sides cannot diverge."""
+    by_len: dict = {}
+    for sym, ln in enumerate(lengths):
+        if ln:
+            by_len.setdefault(ln, []).append(sym)
+    out, code = {}, 0
+    for ln in range(1, max(by_len, default=0) + 1):
+        for sym in by_len.get(ln, ()):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+class _Vp8lCode:
+    """Decode-side canonical prefix code. ``kind``:
+    'single' — one-symbol code, reads 0 bits;
+    'pair'   — two-symbol simple code in STREAM order (code 0 = first
+               transmitted symbol, per the spec's explicit-codes rule);
+    'full'   — canonical code over a lengths array."""
+
+    __slots__ = ("kind", "syms", "counts", "first_code", "offset", "sorted_syms")
+
+    def __init__(self, kind: str, syms=None, lengths=None):
+        self.kind = kind
+        self.syms = syms
+        if kind != "full":
+            return
+        max_len = max(lengths)
+        if max_len > _VP8L_MAX_CODE_LEN:
+            raise ValueError(f"VP8L: code length {max_len} > 15")
+        self.counts = [0] * (max_len + 1)
+        for ln in lengths:
+            if ln:
+                self.counts[ln] += 1
+        # completeness (Kraft equality) — required by the spec; an
+        # over/under-subscribed code is a corrupt stream
+        kraft = sum(c << (max_len - ln) for ln, c in enumerate(self.counts) if ln)
+        if kraft != 1 << max_len:
+            raise ValueError("VP8L: prefix code not complete")
+        self.first_code = [0] * (max_len + 1)
+        self.offset = [0] * (max_len + 1)
+        code = acc = 0
+        for ln in range(1, max_len + 1):
+            self.first_code[ln] = code
+            self.offset[ln] = acc
+            code = (code + self.counts[ln]) << 1
+            acc += self.counts[ln]
+        self.sorted_syms = vp8l_canonical_assignment(lengths)
+        self.sorted_syms = [
+            s for s, _ in sorted(self.sorted_syms.items(), key=lambda kv: kv[1])
+        ]
+
+    def read(self, br: _Vp8lBitReader) -> int:
+        if self.kind == "single":
+            return self.syms[0]
+        if self.kind == "pair":
+            return self.syms[br.read_bit()]
+        code = 0
+        for ln in range(1, len(self.counts)):
+            code = (code << 1) | br.read_bit()
+            if self.counts[ln] and self.first_code[ln] <= code < (
+                self.first_code[ln] + self.counts[ln]
+            ):
+                return self.sorted_syms[self.offset[ln] + code - self.first_code[ln]]
+        raise ValueError("VP8L: invalid prefix code in stream")
+
+
+def _vp8l_read_code(br: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
+    """One prefix code: the simple (1-2 explicit symbols) or the
+    code-length-coded form (RFC 9649 §4.2.1.1-§4.2.1.2)."""
+    if br.read_bit():  # simple
+        num_symbols = br.read_bit() + 1
+        first_8bits = br.read_bit()
+        sym0 = br.read_bits(8 if first_8bits else 1)
+        if num_symbols == 1:
+            return _Vp8lCode("single", syms=(sym0,))
+        sym1 = br.read_bits(8)
+        return _Vp8lCode("pair", syms=(sym0, sym1))
+    num_clc = 4 + br.read_bits(4)
+    clc_lengths = [0] * 19
+    for i in range(num_clc):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = br.read_bits(3)
+    clc = _Vp8lCode("full", lengths=clc_lengths)
+    if br.read_bit():  # explicit max_symbol
+        length_nbits = 2 + 2 * br.read_bits(3)
+        max_symbol = 2 + br.read_bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev, i = 8, 0
+    while i < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(br)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read_bits(2)
+            if i + rep > alphabet_size:
+                raise ValueError("VP8L: code-length repeat overruns alphabet")
+            for _ in range(rep):
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + br.read_bits(3)
+        else:  # 18
+            i += 11 + br.read_bits(7)
+        if i > alphabet_size:
+            raise ValueError("VP8L: zero-run overruns alphabet")
+    if all(ln == 0 for ln in lengths):
+        raise ValueError("VP8L: empty prefix code")
+    nonzero = [s for s, ln in enumerate(lengths) if ln]
+    if len(nonzero) == 1:
+        return _Vp8lCode("single", syms=(nonzero[0],))
+    return _Vp8lCode("full", lengths=lengths)
+
+
+def _vp8l_prefix_value(br: _Vp8lBitReader, code: int) -> int:
+    """Length/distance prefix decoding (RFC 9649 §4.2.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read_bits(extra) + 1
+
+
+def _decode_vp8l(data: bytes) -> DecodedImage:
+    br = _Vp8lBitReader(data)
+    if br.read_bits(8) != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    width = br.read_bits(14) + 1
+    height = br.read_bits(14) + 1
+    br.read_bit()  # alpha-is-used hint
+    if br.read_bits(3) != 0:
+        raise ValueError("VP8L: unknown version")
+    subtract_green = False
+    while br.read_bit():
+        t = br.read_bits(2)
+        if t == 2:
+            subtract_green = True
+        else:
+            raise NotImplementedError(
+                "VP8L predictor/color/color-indexing transforms require an "
+                f"injected decoder (transform type {t})"
+            )
+    cache_bits = 0
+    if br.read_bit():
+        cache_bits = br.read_bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"VP8L: invalid color-cache size {cache_bits}")
+    if br.read_bit():
+        raise NotImplementedError(
+            "VP8L meta-prefix entropy images require an injected decoder"
+        )
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _vp8l_read_code(br, 256 + 24 + cache_size)
+    red = _vp8l_read_code(br, 256)
+    blue = _vp8l_read_code(br, 256)
+    alpha = _vp8l_read_code(br, 256)
+    dist = _vp8l_read_code(br, 40)
+
+    total = width * height
+    argb: list = []
+    cache = [0] * cache_size
+
+    def emit(px: int) -> None:
+        argb.append(px)
+        if cache_size:
+            cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+
+    while len(argb) < total:
+        g = green.read(br)
+        if g < 256:
+            r = red.read(br)
+            b = blue.read(br)
+            a = alpha.read(br)
+            emit((a << 24) | (r << 16) | (g << 8) | b)
+        elif g < 280:
+            length = _vp8l_prefix_value(br, g - 256)
+            dist_code = _vp8l_prefix_value(br, dist.read(br))
+            if dist_code > 120:
+                d = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                d = dy * width + dx
+                if d < 1:
+                    d = 1
+            if d > len(argb):
+                raise ValueError("VP8L: backward reference before image start")
+            if length > total - len(argb):
+                raise ValueError("VP8L: backward reference past image end")
+            for _ in range(length):
+                emit(argb[-d])
+        else:
+            idx = g - 280
+            if idx >= cache_size:
+                raise ValueError("VP8L: color-cache index out of range")
+            argb.append(cache[idx])  # cache hits re-insert the same value
+
+    out = bytearray(total * 3)
+    for i, px in enumerate(argb):
+        g = (px >> 8) & 0xFF
+        r = (px >> 16) & 0xFF
+        b = px & 0xFF
+        if subtract_green:
+            r = (r + g) & 0xFF
+            b = (b + g) & 0xFF
+        out[3 * i] = r
+        out[3 * i + 1] = g
+        out[3 * i + 2] = b
+    return DecodedImage(width, height, bytes(out))
+
+
+def _decode_webp(payload: bytes) -> DecodedImage:
+    """RIFF/WEBP container: decode the VP8L (lossless) chunk; lossy VP8
+    and anything without a VP8L chunk stay on the injected-decoder seam
+    (see the VP8L block comment for why lossy cannot meet the
+    pixel-exact contract)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            break  # truncated/garbled chunk list: fall through to the seam
+        if fourcc == b"VP8L":
+            return _decode_vp8l(body)
+        pos += 8 + size + (size & 1)
+    raise NotImplementedError(
+        "WebP container recognized but no VP8L (lossless) chunk found; "
+        "lossy VP8 requires an injected decoder (and cannot be "
+        "pixel-exact by spec: coefficient quantizers are >= 4)"
+    )
+
+
 def decode_image(
     payload: bytes, decoder: Callable[[bytes], object] | None = None
 ) -> object:
@@ -971,12 +1290,14 @@ def decode_image(
 
     Executable without any external library for 24-bit BMP, binary PPM,
     8-bit PNG, non-interlaced and Adam7-interlaced (stdlib zlib +
-    scanline unfilter + deinterlace), and both
+    scanline unfilter + deinterlace), both
     JPEG DCT modes: baseline sequential (SOF0/1) and progressive (SOF2,
     spectral selection + successive approximation with EOB-run and
     refinement-bit decoding) — 4:4:4/4:2:2/4:2:0/grayscale, restart
-    markers, fill bytes.  Arithmetic-coded or hierarchical JPEG still
-    requires an injected ``decoder`` (e.g. a PIL.Image.open wrapper) —
+    markers, fill bytes — and lossless WebP (VP8L: canonical prefix
+    codes, LZ77 + 2D distance map, color cache, subtract-green; r11).
+    Arithmetic-coded or hierarchical JPEG and lossy-VP8 WebP still
+    require an injected ``decoder`` (e.g. a PIL.Image.open wrapper) —
     and at production throughput a native codec should be injected for
     ALL formats; the stdlib decoders pin the semantics."""
     if decoder is not None:
@@ -989,10 +1310,13 @@ def decode_image(
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return _decode_jpeg(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _decode_webp(payload)
     raise NotImplementedError(
-        "built-in decode covers 24-bit BMP, P6 PPM, 8-bit PNG, and "
-        "baseline/progressive JPEG only; inject a decoder for other "
-        "formats (no PIL/opencv in this environment)"
+        "built-in decode covers 24-bit BMP, P6 PPM, 8-bit PNG, "
+        "baseline/progressive JPEG, and lossless-WebP (VP8L) only; "
+        "inject a decoder for other formats (no PIL/opencv in this "
+        "environment)"
     )
 
 

@@ -329,9 +329,10 @@ def q160_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE kind = 'image'
     """,
     doc="image decode audit: stdlib decode of every BMP/PPM/PNG (incl. "
-    "Adam7, r10)/JPEG payload in mapInPandas; dimensions must match "
-    "declared metadata; unsupported-but-valid formats (WebP) surface "
-    "as decode_ok=false rows, never a crash",
+    "Adam7, r10)/JPEG/lossless-WebP (VP8L, r11) payload in mapInPandas; "
+    "dimensions must match declared metadata; unsupported-but-valid "
+    "formats (lossy-VP8 WebP) surface as decode_ok=false rows, never a "
+    "crash",
     tags=("multimodal", "llm", "mapInPandas"),
 )
 def q222_image_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -733,3 +733,231 @@ def test_q226_canonical_media_clusters(spark):
     assert all(r.reclaimable_bytes > 0 for r in multi)
     assert all(r.reclaimable_bytes == 0 for r in rows if r.n_members == 1)
     assert any(r.n_formats > 1 for r in multi)
+
+
+# --- r11: lossless WebP (VP8L) ---------------------------------------------
+
+
+def test_webp_vp8l_roundtrip_pixel_equal_png_twin():
+    """The encoder-twin contract that closed Adam7 in r10, applied to
+    WebP: webp_vp8l_encode() emits a spec-conforming VP8L stream and
+    decode_image() must reproduce the source pixels EXACTLY — verified
+    against the independently-decoded PNG twin of the same RGB buffer.
+    Sizes cover 1x1 (degenerate), odd dimensions, and a square tile."""
+    import random
+
+    from tools.media_encoders import png_encode, webp_vp8l_encode
+
+    rng = random.Random(1311)
+    for w, h in [(1, 1), (2, 3), (13, 9), (32, 17), (48, 48)]:
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        img = decode_image(webp_vp8l_encode(rgb, w, h))
+        twin = decode_image(png_encode(rgb, w, h))
+        assert (img.width, img.height) == (w, h)
+        assert img.pixels == rgb == twin.pixels
+
+
+def _vp8l_stream(body_bits) -> bytes:
+    """Wrap a bit-writing callback into a full RIFF/WEBP+VP8L payload."""
+    from tools.media_encoders import _LsbBitWriter, webp_container
+
+    bw = _LsbBitWriter()
+    body_bits(bw)
+    return webp_container(bw.done(), fourcc=b"VP8L")
+
+
+def test_webp_vp8l_decoder_subtract_green_and_lz77():
+    """Hand-crafted VP8L streams exercise the spec machinery the
+    fixture encoder deliberately does not emit:
+
+    * the subtract-green transform (type 2) — literals carry
+      (r-g, b-g) and the decoder must add green back;
+    * LZ77 backward references through BOTH distance forms: a
+      2D-neighborhood code (code 1 = pixel above) and a linear
+      distance (code > 120), via a TWO-symbol simple distance code
+      (stream-order semantics: code bit 0 = first transmitted symbol).
+
+    The 4x4 target: row0 = 4 distinct literals, row1 = copy of row0
+    (dist = width via map code 1, length 4), rows 2-3 = copy of rows
+    0-1 (linear dist 8 -> dist_code 128, length 8)."""
+    from tools.media_encoders import (
+        _vp8l_const_run_tokens,
+        _vp8l_write_lengths,
+        webp_vp8l_encode,
+    )
+
+    from data_engineering_examples_spark.operators.media import (
+        vp8l_canonical_assignment,
+    )
+
+    w = h = 4
+    row = [(10, 200, 55), (0, 0, 0), (255, 255, 255), (90, 14, 201)]
+    rgb = bytes(v for px in row for v in px) * 4
+
+    # -- subtract-green: same literal machinery, transformed channels --
+    def sg(bw):
+        bw.bits(0x2F, 8)
+        bw.bits(w - 1, 14)
+        bw.bits(h - 1, 14)
+        bw.bit(0)
+        bw.bits(0, 3)
+        bw.bit(1)          # one transform...
+        bw.bits(2, 2)      # ...subtract-green
+        bw.bit(0)          # end of transforms
+        bw.bit(0)          # no color cache
+        bw.bit(0)          # no meta prefix
+        bw.bit(0)
+        g_tokens = (
+            _vp8l_const_run_tokens(9, 256)
+            + _vp8l_const_run_tokens(5, 16)
+            + [(17, 3, 5)]
+        )
+        _vp8l_write_lengths(bw, g_tokens, {9: 2, 5: 2, 16: 2, 17: 2})
+        g_assign = vp8l_canonical_assignment([9] * 256 + [5] * 16 + [0] * 8)
+        rb_assign = vp8l_canonical_assignment([8] * 256)
+        for _ in range(2):
+            bw.bit(0)
+            _vp8l_write_lengths(bw, _vp8l_const_run_tokens(8, 256), {8: 1, 16: 1})
+        bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)   # alpha simple
+        bw.bit(1); bw.bit(0); bw.bit(0); bw.bits(0, 1)     # distance simple
+        for i in range(w * h):
+            r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+            bw.code(*g_assign[g])
+            bw.code(*rb_assign[(r - g) & 255])
+            bw.code(*rb_assign[(b - g) & 255])
+
+    img = decode_image(_vp8l_stream(sg))
+    assert img.pixels == rgb
+
+    # -- LZ77: 4 literals, then copies via map-code-1 and linear-128 --
+    def lz(bw):
+        bw.bits(0x2F, 8)
+        bw.bits(w - 1, 14)
+        bw.bits(h - 1, 14)
+        bw.bit(0)
+        bw.bits(0, 3)
+        bw.bit(0)          # no transforms
+        bw.bit(0)          # no color cache
+        bw.bit(0)          # no meta prefix
+        bw.bit(0)
+        g_tokens = (
+            _vp8l_const_run_tokens(9, 256)
+            + _vp8l_const_run_tokens(5, 16)
+            + [(17, 3, 5)]
+        )
+        _vp8l_write_lengths(bw, g_tokens, {9: 2, 5: 2, 16: 2, 17: 2})
+        g_assign = vp8l_canonical_assignment([9] * 256 + [5] * 16 + [0] * 8)
+        rb_assign = vp8l_canonical_assignment([8] * 256)
+        for _ in range(2):
+            bw.bit(0)
+            _vp8l_write_lengths(bw, _vp8l_const_run_tokens(8, 256), {8: 1, 16: 1})
+        bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)   # alpha simple
+        # distance: TWO-symbol simple code, stream order (0 then 13)
+        bw.bit(1)          # simple
+        bw.bit(1)          # num_symbols - 1 = 1
+        bw.bit(0)          # first symbol in 1 bit
+        bw.bits(0, 1)      # symbol[0] = 0  (-> dist prefix value 1)
+        bw.bits(13, 8)     # symbol[1] = 13 (-> values 97..128, 5 extra)
+        for px in row:     # 4 literals
+            r, g, b = px
+            bw.code(*g_assign[g])
+            bw.code(*rb_assign[r])
+            bw.code(*rb_assign[b])
+        # copy length 4, dist_code 1 (map -> (0,1) -> dist = w)
+        bw.code(*g_assign[259])  # green sym 256+3: length prefix 3 -> 4
+        bw.bit(0)                # dist tree: symbol 0 -> dist_code 1
+        # copy length 8, dist_code 128 (linear dist 128-120 = 8)
+        # length 8 -> prefix code 5 with 1 extra bit set
+        bw.code(*g_assign[261])
+        bw.bits(1, 1)
+        bw.bit(1)                # dist tree: symbol 13
+        bw.bits(31, 5)           # 96 + 31 + 1 = 128
+
+    img = decode_image(_vp8l_stream(lz))
+    assert img.pixels == rgb
+
+    # cross-check: the crafted-lz stream decodes identically to the
+    # literal-only encoder's rendering of the same pixels
+    assert img.pixels == decode_image(webp_vp8l_encode(rgb, w, h)).pixels
+
+
+def test_webp_vp8l_decoder_color_cache():
+    """Color-cache path: a literal pixel is inserted at the hash slot
+    (0x1e35a7bd * ARGB) >> (32 - bits); a later green symbol >= 280
+    must replay it from the cache (4-bit cache here)."""
+    from tools.media_encoders import (
+        _vp8l_const_run_tokens,
+        _vp8l_write_lengths,
+        webp_container,
+        _LsbBitWriter,
+    )
+
+    from data_engineering_examples_spark.operators.media import (
+        vp8l_canonical_assignment,
+    )
+
+    px = (10, 200, 55)
+    argb = (255 << 24) | (px[0] << 16) | (px[1] << 8) | px[2]
+    cache_bits = 4
+    idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+    cache_sym = 280 + idx
+    # green lengths: [9]*256 literals, [5]*15 length codes, the cache
+    # symbol at 5 (Kraft 0.5 + 15/32 + 1/32 = 1)
+    lengths = [9] * 256 + [5] * 15 + [0] * (cache_sym - 271) + [5]
+    lengths += [0] * (280 + (1 << cache_bits) - len(lengths))
+    def zero_tok(n):
+        return (17, 3, n - 3) if n <= 10 else (18, 7, n - 11)
+
+    zeros = cache_sym - 271
+    trailing = 280 + (1 << cache_bits) - (cache_sym + 1)
+    g_tokens = (
+        _vp8l_const_run_tokens(9, 256)
+        + _vp8l_const_run_tokens(5, 15)
+        + [zero_tok(zeros), (5, 0, 0), zero_tok(trailing)]
+    )
+    clc = {9: 2, 5: 2, 16: 2, 17: 3, 18: 3}
+
+    bw = _LsbBitWriter()
+    bw.bits(0x2F, 8)
+    bw.bits(2 - 1, 14)   # 2x1 image
+    bw.bits(1 - 1, 14)
+    bw.bit(0)
+    bw.bits(0, 3)
+    bw.bit(0)                    # no transforms
+    bw.bit(1)                    # color cache ...
+    bw.bits(cache_bits, 4)       # ... 4 bits
+    bw.bit(0)                    # no meta prefix
+    bw.bit(0)
+    _vp8l_write_lengths(bw, g_tokens, clc)
+    g_assign = vp8l_canonical_assignment(lengths)
+    rb_assign = vp8l_canonical_assignment([8] * 256)
+    for _ in range(2):
+        bw.bit(0)
+        _vp8l_write_lengths(bw, _vp8l_const_run_tokens(8, 256), {8: 1, 16: 1})
+    bw.bit(1); bw.bit(0); bw.bit(1); bw.bits(255, 8)   # alpha simple
+    bw.bit(1); bw.bit(0); bw.bit(0); bw.bits(0, 1)     # distance simple
+    bw.code(*g_assign[px[1]])          # literal pixel
+    bw.code(*rb_assign[px[0]])
+    bw.code(*rb_assign[px[2]])
+    bw.code(*g_assign[cache_sym])      # cache replay
+
+    img = decode_image(webp_container(bw.done(), fourcc=b"VP8L"))
+    assert img.pixels == bytes(px) * 2
+
+
+def test_webp_vp8l_unsupported_transforms_stay_on_the_seam():
+    """A VP8L stream using the predictor transform (type 0) must raise
+    NotImplementedError (-> decode_ok=false in q222), not crash."""
+    import pytest as _pytest
+
+    def pred(bw):
+        bw.bits(0x2F, 8)
+        bw.bits(3, 14)
+        bw.bits(3, 14)
+        bw.bit(0)
+        bw.bits(0, 3)
+        bw.bit(1)       # one transform...
+        bw.bits(0, 2)   # ...PREDICTOR: unsupported
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(_vp8l_stream(pred))

@@ -526,18 +526,33 @@ def gen_media(rng: random.Random):
 
 
 def _gen_undecodable_images(rng: random.Random, next_id: int) -> list:
-    """Two spec-shaped payloads the built-in decoder deliberately does
-    NOT decode — an Adam7-interlaced PNG (valid PNG, interlace=1) and a
-    WebP container (valid RIFF framing, opaque codec bytes).  They pin
-    the graceful-skip seam: the decode audit reports decode_ok=false
-    and the perceptual-hash queries skip them, instead of any of those
-    crashing on a real corpus shard that contains such files.  The
-    ``format`` metadata names the seam ('png-adam7', 'webp') so oracles
-    can express the skip without parsing bytes."""
-    from tools.media_encoders import png_encode_adam7, webp_container
+    """Decode-boundary fixtures, one per seam state:
+
+    * ``png-adam7`` — Adam7-interlaced PNG.  UNDECODABLE until r10,
+      now a real decode (pass-by-pass deinterlace); kept as the
+      regression pin for that closure.
+    * ``webp`` — RIFF/WEBP wrapping an opaque ``VP8 `` (LOSSY) chunk.
+      Still the graceful-skip seam: the decode audit reports
+      decode_ok=false and the perceptual-hash queries skip it rather
+      than crash (lossy VP8 could never meet the pixel-exact contract
+      anyway — its coefficient quantizers are >= 4 by spec).
+    * ``webp-vp8l`` — REAL lossless WebP (r11 encoder twin,
+      tools/media_encoders.webp_vp8l_encode).  Decodes to the exact
+      source pixels, so it carries true width/height metadata and a
+      dhash like every other decodable row.
+
+    The ``format`` metadata names the state so oracles can express the
+    skip/decode split without parsing bytes."""
+    from tools.media_encoders import (
+        png_encode_adam7,
+        webp_container,
+        webp_vp8l_encode,
+    )
 
     w, h = 13, 9  # partial Adam7 passes on both axes
     rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    lw, lh = 16, 12
+    lossless_rgb = bytes(rng.randrange(256) for _ in range(lw * lh * 3))
     rows = [{
         "media_id": next_id,
         "doc_id": rng.randrange(500),
@@ -552,6 +567,13 @@ def _gen_undecodable_images(rng: random.Random, next_id: int) -> list:
         "format": "webp",
         "payload": webp_container(bytes(rng.randrange(256) for _ in range(96))),
         "width": 16, "height": 12, "duration_ms": None,
+    }, {
+        "media_id": next_id + 2,
+        "doc_id": rng.randrange(500),
+        "kind": "image",
+        "format": "webp-vp8l",
+        "payload": webp_vp8l_encode(lossless_rgb, lw, lh),
+        "width": lw, "height": lh, "duration_ms": None,
     }]
     return rows
 

@@ -119,16 +119,162 @@ def png_encode_adam7(rgb: bytes, w: int, h: int) -> bytes:
     )
 
 
-def webp_container(codec_payload: bytes) -> bytes:
-    """Minimal RIFF/WEBP container wrapping a ``VP8 `` chunk.  The RIFF
-    framing (fourccs, little-endian sizes, even-byte padding) is real;
-    the codec payload is caller-supplied opaque bytes — no VP8 encoder
-    exists here.  The fixture built on this pins that an unsupported
-    codec flows through the media queries as decode_ok=false rather
+def webp_container(codec_payload: bytes, fourcc: bytes = b"VP8 ") -> bytes:
+    """Minimal RIFF/WEBP container wrapping one codec chunk.  The RIFF
+    framing (fourccs, little-endian sizes, even-byte padding) is real.
+    With the default ``VP8 `` fourcc and opaque caller bytes it builds
+    the LOSSY seam fixture: no VP8 encoder exists here (and lossy decode
+    could never meet the pixel-exact contract — quantizers are >= 4 by
+    spec), so that fixture pins decode_ok=false flow-through rather
     than a crash."""
     body = codec_payload + (b"\x00" if len(codec_payload) % 2 else b"")
-    chunk = b"VP8 " + struct.pack("<I", len(codec_payload)) + body
+    chunk = fourcc + struct.pack("<I", len(codec_payload)) + body
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+class _LsbBitWriter:
+    """LSB-first bit writer (the VP8L stream convention): plain VALUES
+    are written LSB-first; canonical prefix CODES are written MSB-first
+    bit-by-bit (the DEFLATE convention VP8L shares)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bit(self, b: int) -> None:
+        self.acc |= (b & 1) << self.n
+        self.n += 1
+        if self.n == 8:
+            self.buf.append(self.acc)
+            self.acc = 0
+            self.n = 0
+
+    def bits(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bit((value >> i) & 1)
+
+    def code(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.bit((code >> i) & 1)
+
+    def done(self) -> bytes:
+        if self.n:
+            self.buf.append(self.acc)
+            self.acc = 0
+            self.n = 0
+        return bytes(self.buf)
+
+
+#: CLC transmission order, RFC 9649 §4.2.1.2 (mirrors the decoder's).
+_VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_write_lengths(bw: _LsbBitWriter, tokens, clc_lengths: dict) -> None:
+    """Serialize a code-lengths array already tokenized into
+    ``(clc_symbol, n_extra_bits, extra_value)`` triples, preceded by the
+    3-bit code-length-code lengths (``clc_lengths``: symbol -> length,
+    which must form a COMPLETE prefix code over exactly the symbols the
+    tokens use)."""
+    from data_engineering_examples_spark.operators.media import (
+        vp8l_canonical_assignment,
+    )
+
+    used = {sym for sym, _, _ in tokens}
+    assert used <= set(clc_lengths), "token uses a symbol absent from the CLC"
+    num = max(_VP8L_CLC_ORDER.index(s) for s in clc_lengths) + 1
+    bw.bits(num - 4, 4)
+    for i in range(num):
+        bw.bits(clc_lengths.get(_VP8L_CLC_ORDER[i], 0), 3)
+    bw.bit(0)  # no explicit max_symbol: lengths cover the whole alphabet
+    full = [0] * 19
+    for sym, ln in clc_lengths.items():
+        full[sym] = ln
+    assignment = vp8l_canonical_assignment(full)
+    for sym, n_extra, extra in tokens:
+        bw.code(*assignment[sym])
+        if n_extra:
+            bw.bits(extra, n_extra)
+
+
+def _vp8l_const_run_tokens(value_sym: int, n: int) -> list:
+    """Tokens for ``[value_sym] * n`` via one literal + repeat-previous
+    (CLC symbol 16, runs of 3-6)."""
+    tokens = [(value_sym, 0, 0)]
+    left = n - 1
+    while left >= 3:
+        take = min(6, left)
+        if left - take in (1, 2):  # leave a legal (>=3) final run
+            take = left - 3
+        tokens.append((16, 2, take - 3))
+        left -= take
+    for _ in range(left):
+        tokens.append((value_sym, 0, 0))
+    return tokens
+
+
+def webp_vp8l_encode(rgb: bytes, w: int, h: int) -> bytes:
+    """REAL lossless-WebP (VP8L) encoder: literal-only stream (no LZ77,
+    no color cache, no transforms) with fixed complete prefix codes —
+    green [9]x256 literals + [5]x16 length prefixes (Kraft 0.5 + 0.5),
+    red/blue [8]x256, alpha and distance as one-symbol simple codes.
+    Every emitted construct (simple codes, the code-length code,
+    repeat-16 / zero-run-17 tokens, canonical assignment) follows RFC
+    9649, so the stream exercises the decoder's spec machinery — the
+    encoder-twin pattern that closed Adam7 in r10.  ~25 bits/pixel:
+    fixture-grade, not a production codec."""
+    assert len(rgb) == w * h * 3 and 0 < w <= 1 << 14 and 0 < h <= 1 << 14
+    from data_engineering_examples_spark.operators.media import (
+        vp8l_canonical_assignment,
+    )
+
+    bw = _LsbBitWriter()
+    bw.bits(0x2F, 8)  # signature
+    bw.bits(w - 1, 14)
+    bw.bits(h - 1, 14)
+    bw.bit(0)  # alpha unused
+    bw.bits(0, 3)  # version
+    bw.bit(0)  # no transforms
+    bw.bit(0)  # no color cache
+    bw.bit(0)  # no meta-prefix entropy image
+
+    # green: 280-symbol code, lengths [9]*256 + [5]*16 + [0]*8
+    bw.bit(0)  # not simple
+    g_tokens = (
+        _vp8l_const_run_tokens(9, 256)
+        + _vp8l_const_run_tokens(5, 16)
+        + [(17, 3, 8 - 3)]  # eight trailing zeros
+    )
+    _vp8l_write_lengths(bw, g_tokens, {9: 2, 5: 2, 16: 2, 17: 2})
+    g_assign = vp8l_canonical_assignment([9] * 256 + [5] * 16 + [0] * 8)
+
+    # red / blue: 256-symbol codes, lengths [8]*256
+    rb_tokens = _vp8l_const_run_tokens(8, 256)
+    rb_assign = vp8l_canonical_assignment([8] * 256)
+    for _ in range(2):
+        bw.bit(0)
+        _vp8l_write_lengths(bw, rb_tokens, {8: 1, 16: 1})
+
+    # alpha: simple one-symbol code (255, stored as 8 bits)
+    bw.bit(1)
+    bw.bit(0)  # num_symbols - 1
+    bw.bit(1)  # first symbol stored in 8 bits
+    bw.bits(255, 8)
+
+    # distance: simple one-symbol code (0, stored as 1 bit)
+    bw.bit(1)
+    bw.bit(0)
+    bw.bit(0)  # first symbol stored in 1 bit
+    bw.bits(0, 1)
+
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        bw.code(*g_assign[g])
+        bw.code(*rb_assign[r])
+        bw.code(*rb_assign[b])
+        # alpha: one-symbol code, zero bits
+
+    return webp_container(bw.done(), fourcc=b"VP8L")
 
 
 def wav_encode(frames: list[int], rate: int = 8000, n_ch: int = 1) -> bytes:
