@@ -2809,9 +2809,10 @@ def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q246_sem_pairs",
     )
     # the shingle substrate is probed FOUR times (both sides of the
-    # shared-count join, both size lookups) — materialize once, same
-    # reason q23 checkpoints its capped substrate
-    sh = materialize(_hashed_shingles(spark, sf_dir), "q246_shingles")
+    # shared-count join, both size lookups); _hashed_shingles is
+    # session-memoized to scratch parquet (r11), so all four probes
+    # are flat scans of the same files — no per-query re-materialize
+    sh = _hashed_shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         sem.select("u", "w")
