@@ -1806,3 +1806,209 @@ def q255_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q256 — dedup cluster report: the size-distribution table every corpus
+# curation run publishes before committing a dedup policy (how much of
+# the corpus sits in singletons vs mega-clusters decides whether
+# keep-one, SoftDedup weights (q247), or manual review is the right
+# treatment — cf. the cluster-size histograms in the C4/RefinedWeb/
+# Dolma dedup write-ups).  Buckets are log2(cluster_size) so the table
+# stays ~30 rows at ANY corpus size; all columns are exact integers
+# (ppm shares, not floats).
+#
+# Scale shape: composes q72's MEMOIZED membership table (one scratch-
+# parquet scan — the substrate is built once per session, r11), then
+# one (cluster_id) partial agg to collapse members and one ~30-key agg
+# over the log2 buckets.  Nothing here re-touches documents.
+
+
+def _q256_oracle() -> str:
+    from .registry import _REGISTRY
+
+    q72 = _REGISTRY["q72_dedup_clusters"].oracle
+    return f"""
+    WITH cl AS (
+      SELECT cluster_id, CAST(max(cluster_size) AS BIGINT) AS sz
+      FROM ({q72}) GROUP BY cluster_id
+    ),
+    tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n_total FROM cl)
+    SELECT length(bin(sz)) - 1 AS size_log2,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(sum(sz - 1) AS BIGINT) AS n_redundant,
+           sum(sz) * 1000000 // t.n_total AS doc_ppm
+    FROM cl CROSS JOIN tot t
+    GROUP BY size_log2, t.n_total
+    """
+
+
+@register(
+    "q256_dedup_cluster_report",
+    oracle=_q256_oracle(),
+    doc="dedup cluster-size report over q72's memoized membership: "
+    "log2-bucketed cluster histogram with exact integer doc shares and "
+    "redundant-doc counts — the publish-before-dedup curation table",
+    tags=("dedup", "llm", "graph"),
+)
+def q256_dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = (
+        q72_dedup_clusters(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.max("cluster_size").cast("bigint").alias("sz"))
+    )
+    tot = cl.agg(F.sum("sz").cast("bigint").alias("n_total"))
+    return (
+        cl.crossJoin(F.broadcast(tot))
+        .groupBy(
+            (F.length(F.bin(F.col("sz"))) - 1).cast("bigint").alias("size_log2"),
+            "n_total",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.col("sz") - 1).cast("bigint").alias("n_redundant"),
+        )
+        .select(
+            "size_log2",
+            "n_clusters",
+            "n_docs",
+            "n_redundant",
+            F.expr("(n_docs * 1000000) div n_total").alias("doc_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q257 — MinHash estimator calibration: for every LSH candidate pair,
+# compare the SKETCH's Jaccard estimate (matching-minhash fraction over
+# the 16 permutations) against the EXACT shingle Jaccard, grouped by
+# estimate bucket.  This is the standard "trust the sketch?" audit
+# (Broder 1997's estimator is unbiased with sd ~ 1/sqrt(k); k=16 is
+# coarse, WHICH IS THE POINT — the table shows the coarseness before a
+# threshold is picked from the estimate alone) and the calibration
+# evidence behind q24/q61's banding constants.
+#
+# Exactness: per-pair exact Jaccard ships as ppm via integer floor-div
+# (shared / (n_a + n_b - shared)); the bucket mean is sum(ppm) div n —
+# bit-identical in both engines.  Candidate pairs have >= 1 shared
+# band, so both docs have shingles and the union is never 0.
+#
+# Scale shape: pairs and shingles are both MEMOIZED substrates (one
+# scratch scan each); the signature join is pair-sized x 16 integer
+# equality checks, the shared-shingle count is the same output-sized
+# probe q246 uses.  Nothing corpus-sized shuffles.
+
+
+def _q257_oracle() -> str:
+    match16 = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    return f"""
+    WITH {_duck_minhash_bands_cte()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT p.u, p.v, CAST({match16} AS BIGINT) AS est_matches
+      FROM pairs p JOIN sigs a ON a.doc_id = p.u JOIN sigs b ON b.doc_id = p.v
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    shared AS (
+      SELECT p.u, p.v, CAST(count(*) AS BIGINT) AS shared
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.u
+      JOIN sh sb ON sb.doc_id = p.v AND sb.sh = sa.sh
+      GROUP BY p.u, p.v
+    ),
+    px AS (
+      SELECT e.est_matches,
+             coalesce(h.shared, 0) * 1000000
+               // (za.n + zb.n - coalesce(h.shared, 0)) AS exact_ppm
+      FROM est e
+      LEFT JOIN shared h ON h.u = e.u AND h.v = e.v
+      JOIN sizes za ON za.doc_id = e.u
+      JOIN sizes zb ON zb.doc_id = e.v
+    )
+    SELECT est_matches,
+           est_matches * 1000000 // 16 AS est_ppm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(exact_ppm) AS BIGINT) // count(*) AS mean_exact_ppm,
+           CAST(min(exact_ppm) AS BIGINT) AS min_exact_ppm,
+           CAST(max(exact_ppm) AS BIGINT) AS max_exact_ppm
+    FROM px GROUP BY est_matches
+    """
+
+
+@register(
+    "q257_minhash_calibration",
+    oracle=_q257_oracle(),
+    doc="MinHash-vs-exact Jaccard calibration over the LSH candidate "
+    "pairs: matching-signature estimate bucket -> exact-Jaccard ppm "
+    "stats, all integer arithmetic; the trust-the-sketch audit behind "
+    "the banding constants",
+    tags=("dedup", "llm", "sketch"),
+)
+def q257_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xs = _hashed_shingles(spark, sf_dir).select(
+        "doc_id", (F.col("sh") % P).alias("x")
+    )
+    sigs = xs.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"s{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)
+        ]
+    )
+    pairs = q24_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    sa = sigs.select(F.col("doc_id").alias("u"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(16)])
+    sb = sigs.select(F.col("doc_id").alias("v"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(16)])
+    match16 = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(16)
+    )
+    est = pairs.join(sa, "u").join(sb, "v").select(
+        "u", "v", match16.cast("bigint").alias("est_matches")
+    )
+    sh = _hashed_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    shared = (
+        pairs.join(sh.select(F.col("doc_id").alias("u"), "sh"), "u")
+        .join(sh.select(F.col("doc_id").alias("v"), "sh"), ["v", "sh"])
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    za = F.broadcast(sizes.select(F.col("doc_id").alias("u"), F.col("n").alias("n_a")))
+    zb = F.broadcast(sizes.select(F.col("doc_id").alias("v"), F.col("n").alias("n_b")))
+    px = (
+        est.join(F.broadcast(shared), ["u", "v"], "left")
+        .join(za, "u")
+        .join(zb, "v")
+        .select(
+            "est_matches",
+            F.expr(
+                "(coalesce(shared, 0) * 1000000)"
+                " div (n_a + n_b - coalesce(shared, 0))"
+            ).alias("exact_ppm"),
+        )
+    )
+    return (
+        px.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("exact_ppm").cast("bigint").alias("sum_exact_ppm"),
+            F.min("exact_ppm").cast("bigint").alias("min_exact_ppm"),
+            F.max("exact_ppm").cast("bigint").alias("max_exact_ppm"),
+        )
+        .select(
+            "est_matches",
+            F.expr("(est_matches * 1000000) div 16").alias("est_ppm"),
+            "n_pairs",
+            F.expr("sum_exact_ppm div n_pairs").alias("mean_exact_ppm"),
+            "min_exact_ppm",
+            "max_exact_ppm",
+        )
+    )

@@ -88,22 +88,26 @@ _PRIORITY: tuple = (
     "q143_pps_token_sample", "q156_kmv_join_estimate",
     "q110_schema_evolution", "q202_cdc_log_apply",
     "q152_temperature_mix",
-    # 3. distinct-shape long tail (8): surprisal filter, span-corruption
-    #    planner, LATERAL, pipe syntax, release manifest, rollup/funnel/
-    #    retention.  q93 (integrity audit) is the one tail name that
-    #    does not fit the 25 slots; it leads the eighth tranche.
+    # 3. distinct-shape long tail (6): surprisal filter, span-corruption
+    #    planner, LATERAL, pipe syntax, release manifest, rollup.
     "q135_lm_surprisal_filter", "q159_span_corruption_plan",
     "q190_lateral_top_order", "q189_pipe_syntax_pricing",
     "q200_release_manifest", "q90_incremental_rollup",
-    "q91_funnel_stages", "q92_retention_cohorts",
+    # 4. birth-round slots for the r11 additions (q234/q235/q238-q246
+    #    precedent: new ops get driver evidence in their birth round).
+    #    q91_funnel_stages and q92_retention_cohorts yield their slots
+    #    (the funnel/retention shapes have driver-green relatives in
+    #    q59/q52's session/sampling family) and rotate in next round.
+    "q256_dedup_cluster_report", "q257_minhash_calibration",
 )
 
 # EIGHTH-TRANCHE CANDIDATES (r12): after the r11 window lands, ~41
 # queries remain never driver-checked.  Priority order for the next
 # rotation's 25 first-timer slots:
-# 1. q93_integrity_audit (displaced from the r11 tail by the 25-slot
-#    cap above).
-# 2. Any r11-round additions with no driver row yet (birth-round
+# 1. Slot-yield debts recorded above: q91_funnel_stages,
+#    q92_retention_cohorts, then q93_integrity_audit (displaced from
+#    the r11 tail by the 25-slot cap).
+# 2. Any r12-round additions with no driver row yet (birth-round
 #    precedent).
 # 3. Breadth from the remaining tail (prefer distinct shapes):
 #    q68/q76 (workflow), q210 (Pareto — rows-only oracle at sf1 but
