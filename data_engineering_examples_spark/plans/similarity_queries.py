@@ -36,7 +36,7 @@ import random
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..scratch import materialize
+from ..scratch import materialize, memo_substrate
 from ..sources.tables import load_tables, scale_out
 from .registry import register
 
@@ -2239,8 +2239,69 @@ def _semdedup_pair_edges(a: DataFrame, b: DataFrame, pair_cos, n_rows: int) -> D
     return (
         joined.filter(F.col("u") < F.col("v"))
         .filter(pair_cos >= SEMDEDUP_COS)
-        .select("u", "v")
+        .select("u", "v", pair_cos.alias("cos_sim"))
     )
+
+
+def _fixed_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, e, nrm, cent_cos): nearest fixed centroid per
+    vector (SEMDEDUP_CENT_IDS, argmax cosine, ties to lower cent_id).
+    Memoized per (session, sf_dir): q231 and q246 share this K·N cosine
+    scan."""
+
+    def build() -> DataFrame:
+        emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+        vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
+            "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
+        )
+        cents = F.broadcast(
+            vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+                F.col("vec_id").alias("cent_id"),
+                F.col("e").alias("ce"),
+                F.col("nrm").alias("cnrm"),
+            )
+        )
+        cos_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
+        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
+        return (
+            vn.crossJoin(cents)
+            .select("vec_id", "e", "nrm", "cent_id", cos_to_cent.alias("cc"))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cent_id", "e", "nrm", F.col("cc").alias("cent_cos"))
+        )
+
+    return memo_substrate(spark, "semdedup_fixed_assign", sf_dir, build)
+
+
+def _fixed_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, cos_sim): within-cluster cosine pairs (u < v, cosine >=
+    SEMDEDUP_COS) over the fixed-centroid assignment — THE dominant
+    cost of the fixed-seed SemDeDup family (the r11 sf10 probe measured
+    q231 at 1511s and q246 at 1625s rebuilding this same pair list
+    independently). Memoized per (session, sf_dir) so the sweep pays
+    the quadratic within-cluster scan once; both consumers keep the
+    skew-aware join strategy (_semdedup_pair_edges: broadcast under the
+    row bound, salted cluster keys above it)."""
+
+    def build() -> DataFrame:
+        assign = _fixed_semdedup_assign(spark, sf_dir)
+        a = assign.select(
+            F.col("vec_id").alias("u"),
+            F.col("cent_id").alias("cid"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        b = assign.select(
+            F.col("vec_id").alias("v"),
+            F.col("cent_id").alias("cid"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        return _semdedup_pair_edges(a, b, pair_cos, n_rows=assign.count())
+
+    return memo_substrate(spark, "semdedup_fixed_pairs", sf_dir, build)
 
 
 def _duck_semdedup_oracle() -> str:
@@ -2293,55 +2354,13 @@ def _duck_semdedup_oracle() -> str:
     tags=("similarity", "dedup", "llm", "graph", "iterative"),
 )
 def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    vn = emb.select(
-        "vec_id",
-        _to_double("embedding").alias("e"),
-    ).withColumn("nrm", F.sqrt(_dot(F.col("e"), F.col("e"))))
-    cents = F.broadcast(
-        vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
-    # assignment feeds BOTH sides of the pair join plus the final
-    # attribute lookup — materialize once (same reuse pattern as q94's
-    # per-dim substrate)
-    assign = materialize(
-        vn.crossJoin(cents)
-        .select("vec_id", "e", "nrm", "cent_id", cos_to_cent.alias("cc"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cent_id", "e", "nrm", F.col("cc").alias("cent_cos")),
-        "semdedup_assign",
-    )
-    a = assign.select(
-        F.col("vec_id").alias("u"),
-        F.col("cent_id").alias("cid"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = assign.select(
-        F.col("vec_id").alias("v"),
-        F.col("cent_id").alias("cid"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # broadcast the probe side: a shuffled join on cid puts EVERY pair
-    # of a cluster on one task, so one dominant cluster serializes the
-    # whole quadratic pair stage on a single core; with b broadcast the
-    # pair enumeration parallelizes over a's partitions no matter how
-    # skewed the cluster sizes are.  The explicit hint bypasses
-    # autoBroadcastJoinThreshold, so it is GATED on the substrate's row
-    # count (a parquet-footer metadata read — assign is materialized):
-    # past the cap the same pair stage runs as the salted-cluster-key
-    # join (q234's skew pattern) instead of OOMing the driver on an
-    # oversized broadcast.
-    edges = _semdedup_pair_edges(a, b, pair_cos, n_rows=assign.count())
+    # assignment and pair list are MEMOIZED substrates shared with q246
+    # (r11): the skew-aware pair join strategy (broadcast under the row
+    # bound, salted cluster keys above — see _semdedup_pair_edges) now
+    # lives inside the substrate build, and this query is a pure
+    # consumer: CC over the edge set plus the keep-rule window.
+    assign = _fixed_semdedup_assign(spark, sf_dir)
+    edges = _fixed_semdedup_pairs(spark, sf_dir).select("u", "v")
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
@@ -2763,50 +2782,14 @@ def _q246_oracle() -> str:
 def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import _hashed_shingles
 
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
-        "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
-    )
-    cents = F.broadcast(
-        vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("e").alias("ce"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (F.col("nrm") * F.col("cnrm"))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
-    # assignment feeds BOTH pair-join sides — materialize once (q231's
-    # reuse pattern; unmaterialized, the K·N cosine crossJoin runs twice)
-    assign = materialize(
-        vn.crossJoin(cents)
-        .select("vec_id", "e", "nrm", "cent_id", cos_to_cent.alias("cc"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cent_id", "e", "nrm"),
-        "q246_assign",
-    )
-    a = assign.select(
-        F.col("vec_id").alias("u"),
-        F.col("cent_id").alias("cid"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = assign.select(
-        F.col("vec_id").alias("w"),
-        F.col("cent_id").alias("cid"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    # semantic candidates are pair-set-sized from here on — materialize so
-    # the shared-shingle probe and the three output joins reuse one build
-    sem = materialize(
-        a.join(b, "cid")
-        .filter(F.col("u") < F.col("w"))
-        .filter(pair_cos >= SEMDEDUP_COS)
-        .select("u", "w", pair_cos.alias("cos_sim")),
-        "q246_sem_pairs",
+    # semantic candidates come from the MEMOIZED fixed-centroid pair
+    # substrate shared with q231 (r11) — one scratch-parquet scan, and
+    # this query inherits the skew-aware pair join it previously lacked
+    # (its old plain cid-join serialized a dominant cluster onto one
+    # task; the r11 sf10 probe measured the two queries independently
+    # rebuilding this list at 1511s + 1625s)
+    sem = _fixed_semdedup_pairs(spark, sf_dir).select(
+        "u", F.col("v").alias("w"), "cos_sim"
     )
     # the shingle substrate is probed FOUR times (both sides of the
     # shared-count join, both size lookups); _hashed_shingles is
