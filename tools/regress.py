@@ -137,6 +137,15 @@ def main() -> int:
         default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
         help="repeat count for the isolated re-bench",
     )
+    ap.add_argument(
+        "--settle",
+        type=int,
+        default=30,
+        help="seconds to wait before the isolated re-bench, so it does "
+        "not inherit the just-finished full bench's host state (page "
+        "cache churn, background writeback) — the r11b false-confirm "
+        "showed a 0s-settle rerun can still read hot",
+    )
     args = ap.parse_args()
 
     old, new = _load(args.old), _load(args.new)
@@ -189,6 +198,11 @@ def main() -> int:
         return 1 if flagged else 0
 
     # --- automated drift-vs-regression A/B over the flagged set --------
+    if args.settle > 0:
+        import time
+
+        print(f"\nsettling {args.settle}s before the isolated re-bench ...")
+        time.sleep(args.settle)
     print(f"\nisolated re-bench of {len(flagged)} flagged queries "
           f"(repeat={args.repeat}, sf_dir={args.sf_dir}) ...")
     iso = isolated_rebench(sorted(flagged), args.sf_dir, args.repeat)
