@@ -320,14 +320,20 @@ def test_semdedup_pair_stage_salted_fallback_matches_broadcast(spark, monkeypatc
     that the salted shape (a) actually salts the plan and (b) emits the
     IDENTICAL result set."""
     from data_engineering_examples_spark.plans import similarity_queries as sq
+    from data_engineering_examples_spark.scratch import clear_substrate_memo
 
     sf = "/root/testdata/sf0.001"
     spec = all_specs()["q231_semantic_dedup"]
     baseline = {tuple(r) for r in spec.fn(spark, sf).collect()}
 
+    # the pair list is a memoized substrate (r11): clear the memo so the
+    # monkeypatched cap actually drives a REBUILD through the salted
+    # path instead of re-reading the broadcast-built parquet
+    clear_substrate_memo()
     monkeypatch.setattr(sq, "_SEMDEDUP_BROADCAST_MAX_ROWS", 0)
     salted = {tuple(r) for r in spec.fn(spark, sf).collect()}
     assert salted == baseline
+    clear_substrate_memo()  # leave no cap-0-built substrate for later tests
 
     # the final q231 plan reads CC labels back from scratch parquet, so
     # the pair join's shape must be asserted on the edges frame itself
@@ -343,6 +349,7 @@ def test_semdedup_pair_stage_salted_fallback_matches_broadcast(spark, monkeypatc
     plan = over_cap._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     under_cap = sq._semdedup_pair_edges(a, b, cos, n_rows=1)
+    # the pair frame carries cos_sim since r11 (q246 consumes it)
     assert {tuple(r) for r in over_cap.collect()} == {
         tuple(r) for r in under_cap.collect()
-    } == {(1, 2)}
+    } == {(1, 2, 1.0)}

@@ -57,6 +57,12 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _staged():
+    from staged_oracles import STAGED
+
+    return STAGED
+
+
 def compare(name, spark_df, duck_rel):
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -101,22 +107,15 @@ def main():
         t0 = time.time()
         staged = False
         try:
-            if name == "q235_semantic_dedup_learned":
-                # Above the monolithic-oracle feasibility bound the
-                # single recursive-CTE oracle temp-spills local disk
-                # (182M assignment-join cells at synthetic sf1) while
-                # the Spark side completes; the staged probe verifies
-                # the same semantics stage-by-stage instead of
-                # excluding the query from the sweep (r10 ask #4).
-                from probe_q235_stages import (
-                    MONOLITHIC_MAX_CELLS,
-                    q235_monolithic_cells,
-                    staged_check,
-                )
-
-                if q235_monolithic_cells(con) > MONOLITHIC_MAX_CELLS:
+            if name in _staged():
+                # Above each query's monolithic-oracle feasibility
+                # bound, verify via the staged equivalent instead of
+                # excluding it from the sweep (r10 ask #4, extended to
+                # q95/q210 in r11 — see tools/staged_oracles.py).
+                needs, staged_fn = _staged()[name]
+                if needs(con):
                     staged = True
-                    problems = staged_check(spark, sf_dir)
+                    problems = staged_fn(spark, sf_dir)
             if not staged:
                 sdf = qs[name](spark, sf_dir)
                 if name not in oracles:
@@ -128,7 +127,7 @@ def main():
                 problems = compare(name, sdf, con.execute(oracles[name]))
         except Exception as ex:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(ex).__name__}: {ex}"]
-        tag = " (staged: seeds/assignment/edges)" if staged else ""
+        tag = " (staged)" if staged else ""
         if problems:
             n_fail += 1
             print(f"✗ {name}{tag}  [{time.time()-t0:.1f}s]")
