@@ -1109,7 +1109,7 @@ GROUP BY year(o.o_orderdate), o.o_orderpriority
 @register(
     "q76_sql_text_late_lines",
     oracle="""
-    SELECT year(o.o_orderdate) AS order_year,
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
            o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_late_lines
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2133,7 +2133,11 @@ def q136_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(path)
     )
     return (
+        # partition-column inference types `day` as DATE on read-back;
+        # cast to string so the output schema matches the written column
+        # (and the oracle's VARCHAR) rather than the inferred type.
         spark.read.parquet(path)
+        .withColumn("day", F.col("day").cast("string"))
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -3774,7 +3778,8 @@ def _benford_values_sql() -> str:
     ),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs),
     exp AS (SELECT * FROM (VALUES {_benford_values_sql()}) AS t(digit, exp_micros))
-    SELECT e.digit, COALESCE(CAST(o.n AS BIGINT), 0) AS n_orders,
+    SELECT CAST(e.digit AS BIGINT) AS digit,
+           COALESCE(CAST(o.n AS BIGINT), 0) AS n_orders,
            CAST(COALESCE(o.n, 0) * 1000000 // t.total AS BIGINT) AS obs_micros,
            CAST(e.exp_micros AS BIGINT) AS exp_micros,
            CAST((COALESCE(o.n, 0) * 1000000 // t.total - e.exp_micros)

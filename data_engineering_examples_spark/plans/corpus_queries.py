@@ -214,9 +214,9 @@ def q78_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return notes.select(
         "note_id",
         clean.alias("clean_text"),
-        counts["nhs"].alias("n_nhs"),
-        counts["phone"].alias("n_phones"),
-        counts["email"].alias("n_emails"),
+        counts["nhs"].cast("long").alias("n_nhs"),
+        counts["phone"].cast("long").alias("n_phones"),
+        counts["email"].cast("long").alias("n_emails"),
         ((counts["nhs"] + counts["phone"] + counts["email"]) > 0).alias("has_pii"),
     )
 
@@ -312,7 +312,7 @@ def q80_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("chunk_idx"),
         start.alias("first_token"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
-        F.size(chunk).alias("n_chunk_tokens"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
 
 

@@ -1838,7 +1838,7 @@ def _q256_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_clusters,
            CAST(sum(sz) AS BIGINT) AS n_docs,
            CAST(sum(sz - 1) AS BIGINT) AS n_redundant,
-           sum(sz) * 1000000 // t.n_total AS doc_ppm
+           CAST(sum(sz) * 1000000 // t.n_total AS BIGINT) AS doc_ppm
     FROM cl CROSS JOIN tot t
     GROUP BY size_log2, t.n_total
     """

@@ -55,8 +55,8 @@ def q42_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("kind", "format").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.octet_length("payload")).alias("total_bytes"),
-        F.min(F.octet_length("payload")).alias("min_bytes"),
-        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.min(F.octet_length("payload")).cast("long").alias("min_bytes"),
+        F.max(F.octet_length("payload")).cast("long").alias("max_bytes"),
         F.max("width").alias("max_width"),
         F.max("duration_ms").alias("max_duration_ms"),
     )
@@ -78,14 +78,14 @@ def q43_media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _media(spark)
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     return (
-        m.select("media_id", "kind", "doc_id", F.octet_length("payload").alias("media_bytes"))
+        m.select("media_id", "kind", "doc_id", F.octet_length("payload").cast("long").alias("media_bytes"))
         .join(docs, "doc_id")
         .select(
             "media_id",
             "kind",
             "doc_id",
             "lang",
-            F.size(F.split("text", " ")).alias("caption_tokens"),
+            F.size(F.split("text", " ")).cast("long").alias("caption_tokens"),
             "media_bytes",
         )
     )

@@ -79,9 +79,9 @@ def q26_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens = F.split(d.text, " ")
     return d.select(
         "doc_id",
-        F.size(tokens).alias("n_tokens"),
-        F.size(F.array_distinct(tokens)).alias("n_distinct_tokens"),
-        F.length(d.text).alias("text_len"),
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_distinct_tokens"),
+        F.length(d.text).cast("long").alias("text_len"),
         "n_chars",
     )
 
@@ -194,8 +194,8 @@ def q29_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
-        n_stop.alias("n_stop"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
     )
     ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     # single-space-joined text: sum(len(token)) == n_chars - (n_tokens - 1)
@@ -289,9 +289,9 @@ def q48_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(d.text, F.lit(_TOKEN_RE), 0)
     return d.select(
         "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
-        F.size(F.split(d.text, " ")).alias("n_ws_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(d.text, " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_bpe"),
     )
 
 

@@ -255,3 +255,80 @@ def test_output_schemas_are_scalar_only(built):
     }
     offenders = {n: cols for n, cols in offenders.items() if cols}
     assert offenders == {}, offenders
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side typing gates (r12, the q256 class-closer).  r11's one
+# driver-red was a TYPE artifact, not a value bug: the oracle's
+# ``sum(BIGINT)`` result is HUGEINT in DuckDB, and the driver's typed
+# value-hash serializes int128 differently from Spark's int64 even when
+# every value is equal.  Two gates make that class impossible:
+#  1. every oracle column's DuckDB type must come from the harness-safe
+#     inventory (the exact set observed across 200+ driver-green rows);
+#  2. each oracle column's type must agree with the Spark column it is
+#     compared against (BIGINT↔long, INTEGER↔int, ...), so no width or
+#     family mismatch can reach the driver at all.
+
+
+@pytest.fixture(scope="module")
+def oracle_types():
+    """DuckDB DESCRIBE (plan-only, no execution) for every oracle."""
+    from tools.check_oracle import duck_connect
+
+    con = duck_connect(SF)
+    out = {}
+    for name, spec in all_specs().items():
+        if spec.oracle is None:
+            continue
+        out[name] = {
+            col: typ for col, typ, *_ in con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        }
+    con.close()
+    return out
+
+
+# Pandas round-trips every one of these losslessly and identically from
+# both engines.  Conspicuously absent: HUGEINT (int128 — the q256 red),
+# DECIMAL, REAL/FLOAT, unsigned ints, and nested types.
+_SAFE_DUCK_TYPES = {
+    "BIGINT", "INTEGER", "VARCHAR", "DOUBLE", "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+_SPARK_TO_DUCK = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+}
+
+
+def test_oracle_types_are_harness_safe(oracle_types):
+    offenders = {
+        name: [f"{c}: {t}" for c, t in cols.items() if t not in _SAFE_DUCK_TYPES]
+        for name, cols in oracle_types.items()
+    }
+    offenders = {n: cols for n, cols in offenders.items() if cols}
+    assert offenders == {}, offenders
+
+
+def test_oracle_types_match_spark_schema(built, oracle_types):
+    offenders = {}
+    for name, cols in oracle_types.items():
+        spark_types = {
+            f.name: f.dataType.simpleString() for f in built[name].schema.fields
+        }
+        bad = []
+        for col, styp in spark_types.items():
+            want = _SPARK_TO_DUCK.get(styp)
+            have = cols.get(col)
+            if want is None:
+                bad.append(f"{col}: spark type {styp} has no duck mapping")
+            elif have != want:
+                bad.append(f"{col}: spark {styp} vs duck {have}")
+        if bad:
+            offenders[name] = bad
+    assert offenders == {}, offenders
