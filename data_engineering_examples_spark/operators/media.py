@@ -1126,7 +1126,15 @@ def _vp8l_read_code(br: _Vp8lBitReader, alphabet_size: int) -> _Vp8lCode:
     clc_lengths = [0] * 19
     for i in range(num_clc):
         clc_lengths[_VP8L_CLC_ORDER[i]] = br.read_bits(3)
-    clc = _Vp8lCode("full", lengths=clc_lengths)
+    # libwebp accepts a code-length code with exactly one used symbol
+    # (0 bits per read), which would fail the Kraft-equality check in
+    # the 'full' constructor — give the CLC the same single-symbol
+    # fallback the main codes get below.
+    clc_nonzero = [s for s, ln in enumerate(clc_lengths) if ln]
+    if len(clc_nonzero) == 1:
+        clc = _Vp8lCode("single", syms=(clc_nonzero[0],))
+    else:
+        clc = _Vp8lCode("full", lengths=clc_lengths)
     if br.read_bit():  # explicit max_symbol
         length_nbits = 2 + 2 * br.read_bits(3)
         max_symbol = 2 + br.read_bits(length_nbits)

@@ -218,7 +218,12 @@ def memo_substrate(spark, name: str, sf_dir: str, build):
         path, schema = hit
         return spark.read.schema(schema).parquet(path)
     df = build()
-    digest = hashlib.md5(key[2].encode()).hexdigest()[:8]
+    # The session id is part of the path digest: two live sessions in one
+    # process (newSession(), or stop-and-recreate with old frames still
+    # referenced) must never overwrite each other's backing files — the
+    # in-memory memo already keys by session object, so the files must
+    # be disjoint per session too.
+    digest = hashlib.md5(f"{id(spark)}::{key[2]}".encode()).hexdigest()[:8]
     path = os.path.join(scratch_root(), "substrate", f"{name}__{digest}")
     df.write.mode("overwrite").parquet(path)
     _SUBSTRATE_MEMO[key] = (path, df.schema)

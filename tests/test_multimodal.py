@@ -961,3 +961,27 @@ def test_webp_vp8l_unsupported_transforms_stay_on_the_seam():
 
     with _pytest.raises(NotImplementedError):
         decode_image(_vp8l_stream(pred))
+
+
+def test_vp8l_single_symbol_code_length_code():
+    """A code-length code with exactly ONE used symbol is spec-tolerated
+    (libwebp accepts it; the single symbol reads 0 bits), but the Kraft
+    equality check in the 'full' constructor rejects it — the CLC must
+    take the same single-symbol fallback the main codes get (ADVICE r11).
+    Stream: CLC form, num_clc=4, only symbol 1 has nonzero length, so
+    every CLC read yields code-length 1 and the 2-symbol main code is
+    complete."""
+    from data_engineering_examples_spark.operators.media import (
+        _Vp8lBitReader,
+        _vp8l_read_code,
+    )
+
+    bits = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0]
+    data = bytearray((len(bits) + 7) // 8)
+    for i, b in enumerate(bits):
+        if b:
+            data[i // 8] |= 1 << (i % 8)
+    code = _vp8l_read_code(_Vp8lBitReader(bytes(data)), 2)
+    assert code.kind == "full"
+    br = _Vp8lBitReader(bytes([0b10]))
+    assert (code.read(br), code.read(br)) == (0, 1)

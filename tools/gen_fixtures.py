@@ -520,12 +520,12 @@ def gen_media(rng: random.Random):
         })
     rows.extend(_gen_media_families(rng, next_id=len(rows)))
     rows.extend(_gen_audio_families(rng, next_id=len(rows)))
-    rows.extend(_gen_undecodable_images(rng, next_id=len(rows)))
+    rows.extend(_gen_decode_boundary_images(rng, next_id=len(rows)))
     _stamp_media_dhash(rows)
     return rows
 
 
-def _gen_undecodable_images(rng: random.Random, next_id: int) -> list:
+def _gen_decode_boundary_images(rng: random.Random, next_id: int) -> list:
     """Decode-boundary fixtures, one per seam state:
 
     * ``png-adam7`` — Adam7-interlaced PNG.  UNDECODABLE until r10,

@@ -82,8 +82,15 @@ def isolated_rebench(
                 f"isolated re-bench failed (exit {proc.returncode}):\n"
                 + proc.stderr[-2000:]
             )
-        rec = json.loads(proc.stdout.strip().splitlines()[-1])
-        return rec["queries"]
+        try:
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            return rec["queries"]
+        except (json.JSONDecodeError, KeyError, IndexError) as exc:
+            raise SystemExit(
+                f"isolated re-bench succeeded (exit 0) but its last stdout "
+                f"line is not the bench JSON record ({exc}); stdout tail:\n"
+                + proc.stdout[-2000:]
+            )
     finally:
         try:
             os.unlink(env["SPARK_GRAFT_BENCH_FULL_PATH"])
