@@ -2143,8 +2143,10 @@ def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LEXICAL near-dups; paraphrases and re-encodings of the same content
 # share no shingles but land on near-identical embeddings. The pipeline:
 # cluster every vector to its nearest coarse centroid (the paper's
-# k-means step — here the fixed-sample centroids of the q50 convention,
-# widened to 16 so clusters stay small), compute pairwise cosine ONLY
+# k-means step — here a single assignment pass over the K = ceil(√N)
+# md5-ranked seed vectors of _semdedup_seed_frame, the same
+# corpus-relative rule q235's learned variant refines with Lloyd
+# rounds), compute pairwise cosine ONLY
 # within a cluster (the paper's trick: k clusters cut the all-pairs
 # O(N²) to O(N²/k) with no recall loss inside a cluster), connect pairs
 # ≥ SEMDEDUP_COS into duplicate groups (transitive closure — same CC
@@ -2157,8 +2159,10 @@ def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   map-side) — the big table never shuffles for the assign.
 # * The pairwise stage shuffles once on cent_id; at 100 TB the
 #   embeddings table is bucketed by cent_id so the within-cluster self
-#   join is exchange-free, and K is sized ~sqrt(N) to bound
-#   per-cluster pair counts. Norms are computed ONCE per vector and
+#   join is exchange-free, and K IS sized ceil(sqrt(N)) (r12 — the r11
+#   sf10 probe measured the old fixed-16 variant at 55-97× per decade,
+#   the (N/K)² pair wall; with K ~ √N per-cluster pair work grows
+#   linearly). Norms are computed ONCE per vector and
 #   ride the join — each pair pays one 64-dim fold, not three.
 # * CC over dup-group members only (nodes = edge endpoints, a tiny
 #   fraction of the corpus), pointer-jumping rounds through the durable
@@ -2170,9 +2174,6 @@ def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in DuckDB; the keep rule orders on (cent_cos ASC, vec_id ASC), total
 # because vec_id is unique.
 
-SEMDEDUP_CENT_IDS = [
-    3, 47, 101, 163, 217, 289, 355, 433, 11, 59, 127, 191, 251, 307, 389, 461,
-]
 SEMDEDUP_COS = 0.40
 SEMDEDUP_CC_ROUNDS = 4
 
@@ -2243,9 +2244,12 @@ def _semdedup_pair_edges(a: DataFrame, b: DataFrame, pair_cos, n_rows: int) -> D
     )
 
 
-def _fixed_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cent_id, e, nrm, cent_cos): nearest fixed centroid per
-    vector (SEMDEDUP_CENT_IDS, argmax cosine, ties to lower cent_id).
+def _coarse_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, e, nrm, cent_cos): nearest coarse centroid per
+    vector (argmax cosine, ties to lower cent_id) over the K = ceil(√N)
+    md5-ranked seed vectors of ``_semdedup_seed_frame`` — the
+    corpus-relative K that keeps per-cluster pair work ~linear in N
+    (r12; the old fixed-16 seed set made the pair stage (N/16)²).
     Memoized per (session, sf_dir): q231 and q246 share this K·N cosine
     scan."""
 
@@ -2254,8 +2258,9 @@ def _fixed_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         vn = emb.select("vec_id", _to_double("embedding").alias("e")).withColumn(
             "nrm", F.sqrt(_dot(F.col("e"), F.col("e")))
         )
+        seeds = _semdedup_seed_frame(emb, emb.count())
         cents = F.broadcast(
-            vn.filter(F.col("vec_id").isin(SEMDEDUP_CENT_IDS)).select(
+            vn.join(seeds, "vec_id").select(
                 F.col("vec_id").alias("cent_id"),
                 F.col("e").alias("ce"),
                 F.col("nrm").alias("cnrm"),
@@ -2271,21 +2276,22 @@ def _fixed_semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cent_id", "e", "nrm", F.col("cc").alias("cent_cos"))
         )
 
-    return memo_substrate(spark, "semdedup_fixed_assign", sf_dir, build)
+    return memo_substrate(spark, "semdedup_coarse_assign", sf_dir, build)
 
 
-def _fixed_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _coarse_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v, cos_sim): within-cluster cosine pairs (u < v, cosine >=
-    SEMDEDUP_COS) over the fixed-centroid assignment — THE dominant
-    cost of the fixed-seed SemDeDup family (the r11 sf10 probe measured
-    q231 at 1511s and q246 at 1625s rebuilding this same pair list
-    independently). Memoized per (session, sf_dir) so the sweep pays
+    SEMDEDUP_COS) over the coarse seed assignment — the dominant
+    cost of the coarse SemDeDup family (the r11 sf10 probe measured the
+    old fixed-16-seed variants of q231/q246 at 1511s + 1625s rebuilding
+    this same pair list independently; r12 wires K = ceil(√N) so the
+    per-cluster pair count stays bounded as the corpus grows). Memoized per (session, sf_dir) so the sweep pays
     the quadratic within-cluster scan once; both consumers keep the
     skew-aware join strategy (_semdedup_pair_edges: broadcast under the
     row bound, salted cluster keys above it)."""
 
     def build() -> DataFrame:
-        assign = _fixed_semdedup_assign(spark, sf_dir)
+        assign = _coarse_semdedup_assign(spark, sf_dir)
         a = assign.select(
             F.col("vec_id").alias("u"),
             F.col("cent_id").alias("cid"),
@@ -2301,19 +2307,37 @@ def _fixed_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
         return _semdedup_pair_edges(a, b, pair_cos, n_rows=assign.count())
 
-    return memo_substrate(spark, "semdedup_fixed_pairs", sf_dir, build)
+    return memo_substrate(spark, "semdedup_coarse_pairs", sf_dir, build)
+
+
+# seeds: the K = ceil(sqrt(N)) vec_ids ranked by (md5(vec_id), vec_id) —
+# the corpus-size-derived rule the Spark side computes in
+# _semdedup_seed_frame; sqrt is a correctly-rounded IEEE op, so both
+# engines derive an identical K from an identical N.  Shared by the
+# q231/q246 coarse oracles and q235's learned oracle.
+_DUCK_SEED_CTES = """
+    kk AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS k
+           FROM embeddings),
+    sd AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS rk
+        FROM embeddings) r, kk
+      WHERE r.rk <= kk.k
+    )"""
 
 
 def _duck_semdedup_oracle() -> str:
-    cent_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
     cc_expr = f"{_duck_dot('x.e', 'c.ce')} / (x.nrm * c.cnrm)"
     return f"""
     WITH RECURSIVE
+    {_DUCK_SEED_CTES},
     v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
     vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM v),
     cents AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
-      FROM vn WHERE vec_id IN ({cent_list})
+      SELECT vn.vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM vn JOIN sd USING (vec_id)
     ),
     ranked AS (
       SELECT x.vec_id, c.cent_id, x.e, x.nrm, {cc_expr} AS cc,
@@ -2359,8 +2383,8 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound, salted cluster keys above — see _semdedup_pair_edges) now
     # lives inside the substrate build, and this query is a pure
     # consumer: CC over the edge set plus the keep-rule window.
-    assign = _fixed_semdedup_assign(spark, sf_dir)
-    edges = _fixed_semdedup_pairs(spark, sf_dir).select("u", "v")
+    assign = _coarse_semdedup_assign(spark, sf_dir)
+    edges = _coarse_semdedup_pairs(spark, sf_dir).select("u", "v")
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
@@ -2388,8 +2412,8 @@ def q231_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q235 — SemDeDup with LEARNED centroids: q231 upgraded from fixed-sample
-# centroids to the paper's actual k-means step (Abbas et al. 2023 run
+# q235 — SemDeDup with LEARNED centroids: q231 upgraded from one-pass
+# coarse seed assignment to the paper's actual k-means step (Abbas et al. 2023 run
 # k-means over the embedding space, then dedup within each cluster).
 # Composition of two already-oracle-checked pieces: q94's exact-integer
 # Lloyd refinement (seeded by the K = ceil(sqrt(N)) md5-ranked sample
@@ -2519,10 +2543,8 @@ def _duck_semdedup_learned_oracle() -> str:
         "CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
         " * CAST(c.n * x.xq - c.cs AS DECIMAL(19,0))"
     )
-    # seeds: the K = ceil(sqrt(N)) vec_ids ranked by (md5(vec_id), vec_id)
-    # — the SAME corpus-size-derived rule the Spark side computes (see
-    # _semdedup_seed_frame); sqrt is a correctly-rounded IEEE op, so both
-    # engines derive an identical K from an identical N.
+    # seeds: _DUCK_SEED_CTES — the same K = ceil(sqrt(N)) md5-ranked
+    # rule the Spark side computes in _semdedup_seed_frame.
     return f"""
     WITH RECURSIVE
     xq AS (
@@ -2534,16 +2556,7 @@ def _duck_semdedup_learned_oracle() -> str:
                               AS BIGINT))) AS xq
       FROM embeddings
     ),
-    kk AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS k
-           FROM embeddings),
-    sd AS (
-      SELECT vec_id FROM (
-        SELECT vec_id,
-               row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
-                                  vec_id) AS rk
-        FROM embeddings) r, kk
-      WHERE r.rk <= kk.k
-    ),
+    {_DUCK_SEED_CTES},
     c1 AS (SELECT x.vec_id AS cluster, x.dim, x.xq AS cs,
                   CAST(1 AS BIGINT) AS n
            FROM xq x JOIN sd USING (vec_id)),
@@ -2724,16 +2737,16 @@ PARA_MAX_JACCARD_NUM, PARA_MAX_JACCARD_DEN = 1, 5  # lexical ceiling 1/5
 def _q246_oracle() -> str:
     from .dedup_queries import _DUCK_HASHED_SHINGLES
 
-    cent_list = ", ".join(str(i) for i in SEMDEDUP_CENT_IDS)
     cc_expr = f"{_duck_dot('x.e', 'c.ce')} / (x.nrm * c.cnrm)"
     pair_cos = f"{_duck_dot('a.e', 'b.e')} / (a.nrm * b.nrm)"
     return f"""
     WITH {_DUCK_HASHED_SHINGLES},
+    {_DUCK_SEED_CTES},
     ve AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
     vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM ve),
     cents AS (
-      SELECT vec_id AS cent_id, e AS ce, nrm AS cnrm
-      FROM vn WHERE vec_id IN ({cent_list})
+      SELECT vn.vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM vn JOIN sd USING (vec_id)
     ),
     ranked AS (
       SELECT x.vec_id, c.cent_id, x.e, x.nrm,
@@ -2782,13 +2795,13 @@ def _q246_oracle() -> str:
 def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import _hashed_shingles
 
-    # semantic candidates come from the MEMOIZED fixed-centroid pair
-    # substrate shared with q231 (r11) — one scratch-parquet scan, and
+    # semantic candidates come from the MEMOIZED coarse-seed pair
+    # substrate shared with q231 (r11; K = ceil(sqrt(N)) since r12) — one scratch-parquet scan, and
     # this query inherits the skew-aware pair join it previously lacked
     # (its old plain cid-join serialized a dominant cluster onto one
     # task; the r11 sf10 probe measured the two queries independently
     # rebuilding this list at 1511s + 1625s)
-    sem = _fixed_semdedup_pairs(spark, sf_dir).select(
+    sem = _coarse_semdedup_pairs(spark, sf_dir).select(
         "u", F.col("v").alias("w"), "cos_sim"
     )
     # the shingle substrate is probed FOUR times (both sides of the

@@ -274,15 +274,12 @@ def test_semdedup_zero_norm_vector_fails_loudly_on_both_paths(spark, tmp_path):
     import pandas as pd
     import pytest as _pytest
 
-    from data_engineering_examples_spark.plans.similarity_queries import (
-        SEMDEDUP_CENT_IDS,
-    )
-
+    n = 30  # seeds are corpus-derived (K = ceil(sqrt(N))) — any N works
     rows = []
-    for i in range(max(SEMDEDUP_CENT_IDS) + 3):
+    for i in range(n):
         vec = [float((i % 5) + 1)] * 64  # 5 duplicate families, cos=1
         rows.append((i, vec))
-    zero_id = max(SEMDEDUP_CENT_IDS) + 2
+    zero_id = n - 2
     rows[zero_id] = (zero_id, [0.0] * 64)  # the degenerate vector
     pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
     spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(

@@ -147,10 +147,10 @@ def test_gopher_funnel_matches_python_replica(spark):
 
 def test_paraphrase_candidates_match_python_replica(spark):
     from data_engineering_examples_spark.plans.similarity_queries import (
-        SEMDEDUP_CENT_IDS,
         SEMDEDUP_COS,
     )
 
+    import hashlib
     import math
 
     emb = {
@@ -165,7 +165,13 @@ def test_paraphrase_candidates_match_python_replica(spark):
         return acc
 
     nrm = {i: math.sqrt(dot(e, e)) for i, e in emb.items()}
-    cents = [i for i in SEMDEDUP_CENT_IDS if i in emb]
+    # the corpus-relative seed rule (r12): K = ceil(sqrt(N)) vec_ids
+    # ranked by (md5(str(vec_id)), vec_id) — independent recompute of
+    # _semdedup_seed_frame
+    k = math.ceil(math.sqrt(len(emb)))
+    cents = sorted(
+        emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
     assert cents, "no centroid ids in the sf0.001 domain"
 
     def assign(i):

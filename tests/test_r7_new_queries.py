@@ -289,11 +289,11 @@ def test_semdedup_matches_python_recompute(spark):
     threshold edges, transitive-closure components (proving the bounded
     round count converged), and the keep-lowest-centroid-cosine rule.
     """
+    import hashlib
     import math
     from collections import defaultdict
 
     from data_engineering_examples_spark.plans.similarity_queries import (
-        SEMDEDUP_CENT_IDS,
         SEMDEDUP_COS,
     )
 
@@ -304,10 +304,17 @@ def test_semdedup_matches_python_recompute(spark):
     def cos(a, b):
         return sum(x * y for x, y in zip(vecs[a], vecs[b])) / (nrm[a] * nrm[b])
 
+    # corpus-relative seeds (r12): K = ceil(sqrt(N)), md5-ranked —
+    # independent recompute of _semdedup_seed_frame
+    k = math.ceil(math.sqrt(len(vecs)))
+    seed_ids = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+
     assign, cent_cos = {}, {}
     for i in vecs:
         best = max(
-            SEMDEDUP_CENT_IDS, key=lambda c: (cos(i, c), -c)
+            seed_ids, key=lambda c: (cos(i, c), -c)
         )
         assign[i] = best
         cent_cos[i] = cos(i, best)
