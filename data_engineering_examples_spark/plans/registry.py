@@ -68,51 +68,48 @@ _PRIORITY: tuple = (
     # LLM dedup / similarity / text anchors
     "q22_exact_dedup", "q23_ngram_jaccard_pairs", "q24_minhash_lsh_pairs",
     "q32_ann_lsh_topk", "q29_quality_score",
-    # first-time driver evidence (25 slots, r11 = seventh tranche) -------
-    # Rotation policy: 25 §2 anchors above stay pinned; these 25 slots
-    # rotate each round to queries with no driver-green row yet.
-    # Cumulative driver evidence after r10: 189 distinct queries; the
-    # r10 first-timers (q238-q244, q246, the r9-ask LLM local-onlys,
-    # media trio, q44/q40 reshapes) rotate out to the locally-verified
-    # tail with their driver-green rows banked.  This tranche follows
-    # the priority order the r10 VERDICT pinned (ask #1):
-    # 1. r10-continuation ops with no driver row yet (10)
-    "q245_gopher_rule_funnel", "q247_soft_dedup_weights",
-    "q248_epoch_repetition_plan", "q249_tokenizer_fertility",
-    "q250_dedup_adjusted_mix", "q251_langid_confusion",
-    "q252_zipf_slope", "q253_bloom_fpr_audit",
-    "q254_media_shard_pack", "q255_cluster_safe_split",
-    # 2. recorded slot-yield debts: q96/q113 (r10a note), q143/q156/
-    #    q110/q202/q152 (r10 continuation note) (7)
-    "q96_price_quantiles", "q113_skew_two_stage_agg",
-    "q143_pps_token_sample", "q156_kmv_join_estimate",
-    "q110_schema_evolution", "q202_cdc_log_apply",
-    "q152_temperature_mix",
-    # 3. distinct-shape long tail (6): surprisal filter, span-corruption
-    #    planner, LATERAL, pipe syntax, release manifest, rollup.
-    "q135_lm_surprisal_filter", "q159_span_corruption_plan",
-    "q190_lateral_top_order", "q189_pipe_syntax_pricing",
-    "q200_release_manifest", "q90_incremental_rollup",
-    # 4. birth-round slots for the r11 additions (q234/q235/q238-q246
-    #    precedent: new ops get driver evidence in their birth round).
-    #    q91_funnel_stages and q92_retention_cohorts yield their slots
-    #    (the funnel/retention shapes have driver-green relatives in
-    #    q59/q52's session/sampling family) and rotate in next round.
-    "q256_dedup_cluster_report", "q257_minhash_calibration",
+    # first-time driver evidence (r12 = eighth tranche) ------------------
+    # Rotation policy: 25 §2 anchors above stay pinned; the remaining
+    # slots rotate each round to queries with no driver-green row yet.
+    # Cumulative driver evidence after r11: 214 distinct queries (the
+    # seventh tranche went 25-for-25 on rows, with q256 the one typed-
+    # hash red).  q256 KEEPS its slot this round for the re-proof after
+    # the BIGINT oracle cast (the r11 verdict's ask #1); the other 24
+    # slots follow the priority the r11 registry note pinned:
+    # re-proof (1)
+    "q256_dedup_cluster_report",
+    # 1. slot-yield debts: q91/q92 (r11 note), q93 (displaced from the
+    #    r11 tail by the 25-slot cap) (3)
+    "q91_funnel_stages", "q92_retention_cohorts", "q93_integrity_audit",
+    # 2. distinct-shape breadth: workflow gates, SQL-text surface,
+    #    Pareto frontier (3)
+    "q68_trigger_gates", "q76_sql_text_late_lines", "q210_pareto_frontier",
+    # 3. remaining never-checked tail in registry order (18)
+    "q109_sliding_window_rates", "q121_group_trend",
+    "q129_range_clustered_scan", "q138_gapfill_user_days",
+    "q140_mad_outliers", "q142_variant_ingest",
+    "q147_event_transitions", "q149_chi2_drift",
+    "q151_ffill_user_days", "q153_user_event_paths",
+    "q154_decayed_scores", "q157_score_band_lift",
+    "q161_table_checksum", "q162_region_revenue_share",
+    "q164_partition_fingerprint_diff", "q165_multitouch_attribution",
+    "q166_cohort_ltv", "q167_rate_anomaly",
 )
 
-# EIGHTH-TRANCHE CANDIDATES (r12): after the r11 window lands, ~41
+# NINTH-TRANCHE CANDIDATES (r13): after the r12 window lands, 19
 # queries remain never driver-checked.  Priority order for the next
-# rotation's 25 first-timer slots:
-# 1. Slot-yield debts recorded above: q91_funnel_stages,
-#    q92_retention_cohorts, then q93_integrity_audit (displaced from
-#    the r11 tail by the 25-slot cap).
-# 2. Any r12-round additions with no driver row yet (birth-round
+# rotation's first-timer slots:
+# 1. Any r13-round additions with no driver row yet (birth-round
 #    precedent).
-# 3. Breadth from the remaining tail (prefer distinct shapes):
-#    q68/q76 (workflow), q210 (Pareto — rows-only oracle at sf1 but
-#    exact at gate SF), then the remaining never-checked names in
-#    registry order.
+# 2. The remaining never-checked names in registry order:
+#    q168_basket_rules, q169_interarrival_histogram, q172_benford_audit,
+#    q174_lag7_autocorr, q182_key_skew_profile, q183_user_twap,
+#    q191_ab_experiment_lift, q192_funnel_latency_histogram,
+#    q194_nhs_checksum_audit, q195_interval_coverage,
+#    q196_activity_streaks, q197_decile_gains, q199_fd_audit,
+#    q209_observed_ingest, q104_oov_rate, q116_eval_group_sample,
+#    q117_bigram_continuation, q118_seq_length_buckets,
+#    q119_bloom_pruned_join.
 
 
 def all_specs() -> dict[str, QuerySpec]:
