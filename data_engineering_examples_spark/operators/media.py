@@ -978,6 +978,22 @@ def _jpeg_prog_scan(
 # (NotImplementedError -> decode_ok=false in the audit queries), the
 # same category as arithmetic-coded JPEG.
 #
+# Why there is no bounded-tolerance VP8 decoder here (r12): the
+# structural pipeline (frame tag, boolean range decoder, mode trees,
+# 4x4 integer IDCT with the 20091/35468 constants, WHT, DC/TM
+# prediction) is memorizable from RFC 6386, but a conforming decode
+# also requires the spec's CONSTANT DATA: the 4x8x3x11 default
+# coefficient-probability table, the coefficient-update-probability
+# table, and the 128-entry dc/ac quantizer lookups — ~1.5k numbers
+# that cannot be derived, only transcribed, and this environment has
+# no copy of them (no RFC text, no libwebp/ffmpeg source, no network).
+# An encoder-twin pair that "agrees" on invented tables would decode
+# ONLY its own fixtures while silently mis-decoding every real VP8
+# file — fake interop, strictly worse than an explicit seam. If the
+# tables become available, the VP8L pattern extends: encoder twin in
+# tools/media_encoders.py, bounded pixel-error assertion (not
+# equality) against the PNG twin.
+#
 # Scope limits inside VP8L (raised as NotImplementedError, caught by
 # the audit queries): the predictor / color / color-indexing transforms
 # and meta-prefix entropy images. The encoder twin
