@@ -212,31 +212,11 @@ def _shingle_df_cap(n_docs: int) -> int:
     return max(SHINGLE_DF_MIN_CAP, (n_docs * SHINGLE_DF_PPM + 999999) // 1_000_000)
 
 
-@register(
-    "q23_ngram_jaccard_pairs",
-    oracle=f"""
-    WITH {_DUCK_HASHED_SHINGLES},
-    shf AS (
-      SELECT doc_id, sh FROM (
-        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
-      ) WHERE df <= {_DUCK_DF_CAP}
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    )
-    SELECT i.doc_a, i.doc_b, i.shared,
-           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc_id = i.doc_a
-    JOIN sizes sb ON sb.doc_id = i.doc_b
-    """,
-    doc="n-gram Jaccard near-dup pairs; df-capped hashed-shingle join, never O(n^2)",
-    tags=("dedup", "llm"),
-)
-def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, shared, na, nb): q23's candidate pairs with their
+    exact integer Jaccard components (shared >= 2 prune, df-capped
+    substrate).  Shared by q23 (final jaccard projection) and q259 (the
+    threshold sensitivity sweep over the SAME pair universe)."""
     # df-cap via a window over the shingle key: ONE shuffle on shingle,
     # whose partitioning the pair self-join (also keyed on shingle)
     # then reuses — the guard costs no extra exchange.
@@ -270,15 +250,40 @@ def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sizes is tiny relative to the pair set — broadcast both lookups
     sa = F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"))
     sb = F.broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "shared",
-            (F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
-        )
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+
+@register(
+    "q23_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    shf AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+      ) WHERE df <= {_DUCK_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT i.doc_a, i.doc_b, i.shared,
+           CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    doc="n-gram Jaccard near-dup pairs; df-capped hashed-shingle join, never O(n^2)",
+    tags=("dedup", "llm"),
+)
+def q23_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pair_components(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        "shared",
+        (F.col("shared").cast("double") / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
     )
 
 
@@ -2011,4 +2016,89 @@ def q257_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_exact_ppm",
             "max_exact_ppm",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — near-dup threshold sensitivity sweep: before a pipeline commits
+# to a Jaccard cut it measures what each candidate threshold would DO —
+# how many candidate pairs pass and how many documents the drop-larger
+# rule (q61's convention) would flag — across a dial of thresholds in
+# ONE pass over q23's pair universe.  This is the table that turns "we
+# dedup at 0.5" from folklore into a measured choice (the ccnet /
+# RefinedWeb ablations publish exactly this curve).
+#
+# Exactness: the threshold predicate is the cross-multiplied integer
+# form 10^6 * shared >= t_ppm * (na + nb - shared) — no float ever
+# enters the comparison, so both engines agree bit-for-bit even when a
+# pair sits exactly ON a threshold.
+#
+# Scale shape: the pair components ride q23's materialized df-capped
+# substrate (shared helper _jaccard_pair_components); the sweep is an
+# output-sized explode (|pairs| x |thresholds|) followed by one
+# (threshold, doc) distinct + tiny-key aggregate.  Nothing re-touches
+# the corpus.
+
+JACCARD_SWEEP_PPM = (300_000, 400_000, 500_000, 600_000, 700_000, 800_000)
+
+
+def _q259_oracle() -> str:
+    ts = ", ".join(str(t) for t in JACCARD_SWEEP_PPM)
+    return f"""
+    WITH {_DUCK_HASHED_SHINGLES},
+    shf AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh
+      ) WHERE df <= {_DUCK_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    comp AS (
+      SELECT i.doc_a, i.doc_b, i.shared, sa.n AS na, sb.n AS nb
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    passing AS (
+      SELECT t.t_ppm, c.doc_a, c.doc_b
+      FROM comp c CROSS JOIN (SELECT unnest([{ts}]) AS t_ppm) t
+      WHERE 1000000 * c.shared >= t.t_ppm * (c.na + c.nb - c.shared)
+    )
+    SELECT CAST(t_ppm AS BIGINT) AS threshold_ppm,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+    FROM passing
+    GROUP BY 1
+    """
+
+
+@register(
+    "q259_jaccard_threshold_sweep",
+    oracle=_q259_oracle(),
+    doc="near-dup threshold sensitivity: pairs passing and docs flagged "
+    "(drop-larger rule) per candidate Jaccard cut, exact cross-"
+    "multiplied integer predicate, one output-sized pass over q23's "
+    "candidate pair universe",
+    tags=("dedup", "llm"),
+)
+def q259_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _jaccard_pair_components(spark, sf_dir)
+    passing = comp.withColumn(
+        "threshold_ppm",
+        F.explode(F.array(*[F.lit(t) for t in JACCARD_SWEEP_PPM])),
+    ).filter(
+        F.lit(1_000_000) * F.col("shared")
+        >= F.col("threshold_ppm") * (F.col("na") + F.col("nb") - F.col("shared"))
+    )
+    return passing.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("doc_b").cast("bigint").alias("n_docs_flagged"),
+    ).select(
+        F.col("threshold_ppm").cast("bigint").alias("threshold_ppm"),
+        "n_pairs",
+        "n_docs_flagged",
     )

@@ -93,15 +93,20 @@ _PRIORITY: tuple = (
     "q154_decayed_scores", "q157_score_band_lift",
     "q161_table_checksum", "q162_region_revenue_share",
     "q164_partition_fingerprint_diff", "q165_multitouch_attribution",
-    "q166_cohort_ltv", "q167_rate_anomaly",
+    # 4. birth-round slots for the r12 additions (matryoshka-prefix
+    #    recall audit, Jaccard threshold sweep); q166/q167 yield their
+    #    slots to the precedent and rotate in next round.
+    "q258_matryoshka_recall", "q259_jaccard_threshold_sweep",
 )
 
-# NINTH-TRANCHE CANDIDATES (r13): after the r12 window lands, 19
+# NINTH-TRANCHE CANDIDATES (r13): after the r12 window lands, 21
 # queries remain never driver-checked.  Priority order for the next
 # rotation's first-timer slots:
 # 1. Any r13-round additions with no driver row yet (birth-round
 #    precedent).
-# 2. The remaining never-checked names in registry order:
+# 2. Slot-yield debts: q166_cohort_ltv, q167_rate_anomaly (displaced
+#    by the r12 birth-round slots).
+# 3. The remaining never-checked names in registry order:
 #    q168_basket_rules, q169_interarrival_histogram, q172_benford_audit,
 #    q174_lag7_autocorr, q182_key_skew_profile, q183_user_twap,
 #    q191_ab_experiment_lift, q192_funnel_latency_histogram,

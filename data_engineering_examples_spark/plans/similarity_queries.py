@@ -2845,3 +2845,133 @@ def q246_paraphrase_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_paraphrase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — matryoshka-prefix recall audit (Kusupati et al. 2022,
+# "Matryoshka Representation Learning"): MRL-trained embeddings pack
+# coarse-to-fine information into nested prefixes, so ANN serving can
+# rank with the first L dims at 64/L the bandwidth and re-rank with the
+# full vector.  Before a pipeline commits to a prefix length it measures
+# exactly this table: for each candidate prefix L, the overlap between
+# the top-K by truncated cosine and the top-K by full cosine, per probe,
+# aggregated to recall ppm.  (On non-MRL embeddings — this fixture —
+# the curve is the honest baseline showing how much a naive truncation
+# loses; the AUDIT is the operator, the embedding quality is the input.)
+#
+# Scale shape: q31's brute-force contract — probes broadcast (bounded by
+# MAX_BRUTE_PROBES), corpus scanned once with 4 prefix scores per
+# (probe, vec) row, top-K per (prefix, probe) group via row_number.
+# All-integer output (hits, ppm); cosine floats never leave the plan.
+#
+# Float parity: truncated cosines are the SAME sequential left-fold over
+# list prefixes in both engines (F.slice / list_slice preserve prefix
+# order; partial sums of an identical fold), with ties broken by
+# neighbor_id — the q31 convention.
+
+MATRYOSHKA_PREFIXES = (8, 16, 32, 64)  # full DIM last: the recall target
+
+
+def _q258_oracle() -> str:
+    pls = ", ".join(str(p) for p in MATRYOSHKA_PREFIXES)
+
+    def dcos(a: str, b: str) -> str:
+        sa = f"list_slice({a}, 1, prefix_len)"
+        sb = f"list_slice({b}, 1, prefix_len)"
+        return (
+            f"list_inner_product({sa}, {sb}) / "
+            f"(sqrt(list_inner_product({sa}, {sa})) * "
+            f"sqrt(list_inner_product({sb}, {sb})))"
+        )
+
+    return f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    pl AS (SELECT unnest([{pls}]) AS prefix_len),
+    ranked AS (
+      SELECT prefix_len, probe_id, neighbor_id FROM (
+        SELECT pr.prefix_len, p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY pr.prefix_len, p.vec_id
+                 ORDER BY {dcos('p.e', 'c.e')} DESC, c.vec_id) AS rk
+        FROM v p JOIN v c ON p.vec_id < {N_PROBES} AND c.vec_id <> p.vec_id
+        CROSS JOIN pl pr
+      ) WHERE rk <= {TOP_K}
+    ),
+    full_k AS (SELECT probe_id, neighbor_id FROM ranked
+               WHERE prefix_len = {DIM}),
+    hits AS (
+      SELECT r.prefix_len, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ranked r JOIN full_k f USING (probe_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT CAST(prefix_len AS BIGINT) AS prefix_len,
+           n_hits,
+           CAST({N_PROBES} AS BIGINT) AS n_probes,
+           CAST(n_hits * 1000000 // {TOP_K * N_PROBES} AS BIGINT)
+             AS recall_ppm
+    FROM hits
+    """
+
+
+@register(
+    "q258_matryoshka_recall",
+    oracle=_q258_oracle(),
+    doc="matryoshka-prefix recall audit: top-K overlap between truncated-"
+    "prefix cosine (L in 8/16/32/64) and full-vector cosine per probe, "
+    "aggregated to integer recall ppm — the serve-at-L/4-bandwidth dial "
+    "table; brute-force per q31's broadcast-probe contract",
+    tags=("similarity", "llm"),
+)
+def q258_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if N_PROBES > MAX_BRUTE_PROBES:
+        raise ValueError(
+            f"brute-force recall audit is capped at {MAX_BRUTE_PROBES} "
+            f"probes (got {N_PROBES}); sample the probe set down"
+        )
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    probes = F.broadcast(
+        v.filter(F.col("vec_id") < N_PROBES)
+        .select(F.col("vec_id").alias("probe_id"), F.col("e").alias("pe"))
+    )
+    pairs = probes.join(v, F.col("vec_id") != F.col("probe_id")).withColumn(
+        "prefix_len",
+        F.explode(F.array(*[F.lit(p) for p in MATRYOSHKA_PREFIXES])),
+    )
+    sp = F.slice(F.col("pe"), F.lit(1), F.col("prefix_len"))
+    sc = F.slice(F.col("e"), F.lit(1), F.col("prefix_len"))
+    cosine = _dot(sp, sc) / (F.sqrt(_dot(sp, sp)) * F.sqrt(_dot(sc, sc)))
+    w = Window.partitionBy("prefix_len", "probe_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    # the ranked lists are tiny (|prefixes|·P·K rows) but feed TWO
+    # consumers (the full-dim reference and the per-prefix join side):
+    # materialize so the O(P·N·|prefixes|) scoring scan runs once
+    ranked = materialize(
+        pairs.select(
+            "prefix_len",
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("prefix_len", "probe_id", "neighbor_id"),
+        "q258_ranked",
+    )
+    full_k = ranked.filter(F.col("prefix_len") == DIM).select(
+        "probe_id", "neighbor_id"
+    )
+    return (
+        ranked.join(full_k, ["probe_id", "neighbor_id"])
+        .groupBy("prefix_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .select(
+            F.col("prefix_len").cast("bigint").alias("prefix_len"),
+            "n_hits",
+            F.lit(N_PROBES).cast("bigint").alias("n_probes"),
+            F.expr(f"n_hits * 1000000 div {TOP_K * N_PROBES}")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+    )
