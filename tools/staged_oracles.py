@@ -572,3 +572,60 @@ STAGED.update({
     "q231_semantic_dedup": (semdedup_needs_staged, staged_q231),
     "q246_paraphrase_candidates": (semdedup_needs_staged, staged_q246),
 })
+
+
+def staged_q259(spark, sf_dir: str) -> list:
+    from data_engineering_examples_spark.plans.dedup_queries import (
+        JACCARD_SWEEP_PPM,
+        q259_jaccard_threshold_sweep,
+    )
+
+    con = _stage_con(sf_dir)
+    # rides q23's staged pair tables (t23_shf -> t23_sizes -> t23_inter)
+    staged_q23_tables = ("t23_shf", "t23_sizes", "t23_inter")
+    if not all(t in _STAGED_TABLES[sf_dir] for t in staged_q23_tables):
+        from data_engineering_examples_spark.plans.dedup_queries import (
+            _DUCK_DF_CAP,
+        )
+
+        _stage_shingles(con, sf_dir)
+        _stage(
+            con, sf_dir, "t23_shf",
+            "SELECT doc_id, sh FROM ("
+            "  SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM t_sh"
+            f") WHERE df <= {_DUCK_DF_CAP}",
+        )
+        _stage(
+            con, sf_dir, "t23_sizes",
+            "SELECT doc_id, count(*) AS n FROM t23_shf GROUP BY doc_id",
+        )
+        _stage(
+            con, sf_dir, "t23_inter",
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared "
+            "FROM t23_shf a JOIN t23_shf b "
+            "ON a.sh = b.sh AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2",
+        )
+    ts = ", ".join(str(t) for t in JACCARD_SWEEP_PPM)
+    d_pdf = con.execute(
+        f"""WITH comp AS (
+          SELECT i.doc_a, i.doc_b, i.shared, sa.n AS na, sb.n AS nb
+          FROM t23_inter i
+          JOIN t23_sizes sa ON sa.doc_id = i.doc_a
+          JOIN t23_sizes sb ON sb.doc_id = i.doc_b
+        ),
+        passing AS (
+          SELECT t.t_ppm, c.doc_a, c.doc_b
+          FROM comp c CROSS JOIN (SELECT unnest([{ts}]) AS t_ppm) t
+          WHERE 1000000 * c.shared >= t.t_ppm * (c.na + c.nb - c.shared)
+        )
+        SELECT CAST(t_ppm AS BIGINT) AS threshold_ppm,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_flagged
+        FROM passing GROUP BY 1"""
+    ).df()
+    s_pdf = q259_jaccard_threshold_sweep(spark, sf_dir).toPandas()
+    return _pdf_problems("q259", s_pdf, d_pdf)
+
+
+STAGED["q259_jaccard_threshold_sweep"] = (pairfam_needs_staged, staged_q259)
