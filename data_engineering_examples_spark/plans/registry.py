@@ -103,7 +103,9 @@ _PRIORITY: tuple = (
 # queries remain never driver-checked.  Priority order for the next
 # rotation's first-timer slots:
 # 1. Any r13-round additions with no driver row yet (birth-round
-#    precedent).
+#    precedent), plus q260_semdedup_threshold_sweep (r12-born late in
+#    the round; yields its birth slot like q91/q92 did in r10 and
+#    rotates in here).
 # 2. Slot-yield debts: q166_cohort_ltv, q167_rate_anomaly (displaced
 #    by the r12 birth-round slots).
 # 3. The remaining never-checked names in registry order:

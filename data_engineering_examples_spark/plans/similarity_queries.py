@@ -2975,3 +2975,91 @@ def q258_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q260 — SemDeDup threshold sensitivity sweep: q259's dial table in
+# EMBEDDING space.  Before committing to a semantic-dup cosine cut the
+# pipeline measures what each candidate threshold would do — pairs
+# passing, and documents the drop-larger rule would flag — across the
+# dial in ONE output-sized pass over the memoized coarse pair substrate
+# (the Abbas et al. 2023 ablations publish exactly this curve as the
+# dedup-rate-vs-epsilon table).
+#
+# The substrate only materializes pairs at cosine >= SEMDEDUP_COS, so
+# the dial starts there and tightens.  Thresholds are micro-units whose
+# double image t/10^6 is the SAME correctly-rounded IEEE value in both
+# engines, compared against the SAME left-fold cosine — bit-identical
+# verdicts even for pairs sitting on a cut.
+#
+# Scale shape: pure consumer of _coarse_semdedup_pairs (built once per
+# session, skew-aware join inside); the sweep is |pairs| x |dial| rows
+# exploded map-side, one (threshold, doc) distinct + tiny-key agg.
+
+SEMDEDUP_SWEEP_MICROS = (400_000, 500_000, 600_000, 700_000, 800_000, 900_000)
+
+
+def _q260_oracle() -> str:
+    ts = ", ".join(str(t) for t in SEMDEDUP_SWEEP_MICROS)
+    pair_cos = f"{_duck_dot('a.e', 'b.e')} / (a.nrm * b.nrm)"
+    cc_expr = f"{_duck_dot('x.e', 'c.ce')} / (x.nrm * c.cnrm)"
+    return f"""
+    WITH {_DUCK_SEED_CTES},
+    v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    vn AS (SELECT vec_id, e, sqrt({_duck_dot('e', 'e')}) AS nrm FROM v),
+    cents AS (
+      SELECT vn.vec_id AS cent_id, e AS ce, nrm AS cnrm
+      FROM vn JOIN sd USING (vec_id)
+    ),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id, x.e, x.nrm,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cc_expr} DESC, c.cent_id) AS rk
+      FROM vn x CROSS JOIN cents c
+    ),
+    assign AS (SELECT vec_id, cent_id, e, nrm FROM ranked WHERE rk = 1),
+    pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS w, {pair_cos} AS cos_sim
+      FROM assign a JOIN assign b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE {pair_cos} >= {SEMDEDUP_COS}
+    ),
+    passing AS (
+      SELECT t.t_micro, p.u, p.w
+      FROM pairs p CROSS JOIN (SELECT unnest([{ts}]) AS t_micro) t
+      WHERE p.cos_sim >= CAST(t.t_micro AS DOUBLE) / 1000000
+    )
+    SELECT CAST(t_micro AS BIGINT) AS threshold_micro,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT w) AS BIGINT) AS n_docs_flagged
+    FROM passing
+    GROUP BY 1
+    """
+
+
+@register(
+    "q260_semdedup_threshold_sweep",
+    oracle=_q260_oracle(),
+    doc="SemDeDup threshold sensitivity: pairs passing and docs flagged "
+    "(drop-larger rule) per candidate cosine cut, one output-sized pass "
+    "over the memoized coarse pair substrate — the dedup-rate-vs-"
+    "epsilon dial table",
+    tags=("similarity", "dedup", "llm"),
+)
+def q260_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _coarse_semdedup_pairs(spark, sf_dir)
+    passing = pairs.withColumn(
+        "threshold_micro",
+        F.explode(F.array(*[F.lit(t) for t in SEMDEDUP_SWEEP_MICROS])),
+    ).filter(
+        F.col("cos_sim")
+        >= F.col("threshold_micro").cast("double") / F.lit(1_000_000.0)
+    )
+    return passing.groupBy("threshold_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("v").cast("bigint").alias("n_docs_flagged"),
+    ).select(
+        F.col("threshold_micro").cast("bigint").alias("threshold_micro"),
+        "n_pairs",
+        "n_docs_flagged",
+    )

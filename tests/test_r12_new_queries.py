@@ -114,3 +114,49 @@ def test_jaccard_threshold_sweep_matches_python_replica(spark):
     ts = sorted(got)
     for lo, hi in zip(ts, ts[1:]):
         assert got[lo][0] >= got[hi][0]
+
+
+def test_semdedup_threshold_sweep_is_consistent_with_pairs(spark):
+    """q260's counts must agree with an independent fold over q231's
+    pair universe: recompute the coarse pairs in Python (seed rule,
+    argmax assignment, within-cluster cosine) and apply each cut."""
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        SEMDEDUP_COS,
+        SEMDEDUP_SWEEP_MICROS,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    nrm = {i: math.sqrt(sum(x * x for x in v)) for i, v in emb.items()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(emb[a], emb[b])) / (nrm[a] * nrm[b])
+
+    k = math.ceil(math.sqrt(len(emb)))
+    seeds = sorted(
+        emb, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:k]
+    assign = {i: max(seeds, key=lambda c: (cos(i, c), -c)) for i in emb}
+    clusters = defaultdict(list)
+    for i, c in assign.items():
+        clusters[c].append(i)
+    pairs = []
+    for members in clusters.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                cs = cos(ms[i], ms[j])
+                if cs >= SEMDEDUP_COS:
+                    pairs.append((ms[i], ms[j], cs))
+    want = {}
+    for t in SEMDEDUP_SWEEP_MICROS:
+        cut = t / 1_000_000
+        passing = [(u, v) for u, v, cs in pairs if cs >= cut]
+        if passing:
+            want[t] = (len(passing), len({v for _, v in passing}))
+
+    rows = all_specs()["q260_semdedup_threshold_sweep"].fn(spark, SF).collect()
+    got = {r.threshold_micro: (r.n_pairs, r.n_docs_flagged) for r in rows}
+    assert got == want

@@ -629,3 +629,31 @@ def staged_q259(spark, sf_dir: str) -> list:
 
 
 STAGED["q259_jaccard_threshold_sweep"] = (pairfam_needs_staged, staged_q259)
+
+
+def staged_q260(spark, sf_dir: str) -> list:
+    from data_engineering_examples_spark.plans.similarity_queries import (
+        SEMDEDUP_SWEEP_MICROS,
+        q260_semdedup_threshold_sweep,
+    )
+
+    con = _stage_con(sf_dir)
+    _stage_semdedup(con, sf_dir)
+    ts = ", ".join(str(t) for t in SEMDEDUP_SWEEP_MICROS)
+    d_pdf = con.execute(
+        f"""WITH passing AS (
+          SELECT t.t_micro, p.u, p.v
+          FROM t_sem_edges p
+          CROSS JOIN (SELECT unnest([{ts}]) AS t_micro) t
+          WHERE p.cos_sim >= CAST(t.t_micro AS DOUBLE) / 1000000
+        )
+        SELECT CAST(t_micro AS BIGINT) AS threshold_micro,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_docs_flagged
+        FROM passing GROUP BY 1"""
+    ).df()
+    s_pdf = q260_semdedup_threshold_sweep(spark, sf_dir).toPandas()
+    return _pdf_problems("q260", s_pdf, d_pdf)
+
+
+STAGED["q260_semdedup_threshold_sweep"] = (semdedup_needs_staged, staged_q260)
