@@ -44,6 +44,7 @@ CONSUMERS = [
     "q255_cluster_safe_split",
     "q256_dedup_cluster_report",
     "q257_minhash_calibration",
+    "q260_semdedup_threshold_sweep",
 ]
 
 _CHILD = """
