@@ -1366,6 +1366,84 @@ def resize_image(
     return DecodedImage(width, height, bytes(out))
 
 
+def _overlap_weights(n_cells: int, length: int) -> list:
+    """Rational box-overlap weights for an exact area average.
+
+    Both grids are scaled to the common integer lattice
+    ``length × n_cells``: source element ``x`` covers
+    ``[x*n_cells, (x+1)*n_cells)`` and output cell ``i`` covers
+    ``[i*length, (i+1)*length)``, so every intersection length is an
+    integer and the total weight of each cell is exactly ``length``.
+    Works for downscale and upscale alike (shared by :func:`_box_gray`,
+    :func:`thumbnail`, and :func:`resample_audio`)."""
+    per_cell = []
+    for i in range(n_cells):
+        lo, hi = i * length, (i + 1) * length
+        w = []
+        for x in range(lo // n_cells, (hi + n_cells - 1) // n_cells):
+            ov = min(hi, (x + 1) * n_cells) - max(lo, x * n_cells)
+            if ov > 0:
+                w.append((x, ov))
+        per_cell.append(w)
+    return per_cell
+
+
+def thumbnail_dims(width: int, height: int, box: int = 16) -> tuple:
+    """Aspect-preserving fit-in-``box`` target dimensions, integer
+    round-half-up on the short side, floored at 1 — the deterministic
+    sizing rule a batched thumbnail stage shares across executors."""
+    if width >= height:
+        return box, max(1, (2 * height * box + width) // (2 * width))
+    return max(1, (2 * width * box + height) // (2 * height)), box
+
+
+def thumbnail(img: DecodedImage, box: int = 16) -> DecodedImage:
+    """Exact-integer area-average thumbnail (box filter), aspect
+    preserved to fit in ``box`` × ``box``.
+
+    Unlike :func:`resize_image`'s nearest-neighbor (which aliases —
+    thin structure lands on whichever source pixel the lattice hits),
+    every output pixel here is the TRUE area average of the source
+    region it covers, per channel, using the same rational-overlap
+    lattice as :func:`_box_gray`: numerator ``Σ wy·wx·channel`` over the
+    exact denominator ``width*height``, rounded half-up via
+    ``(2*acc + den) // (2*den)``.  All-integer, so the thumbnail bytes
+    are bit-identical on every platform — which is what lets a
+    generation-time fixture stamp serve as the oracle for the
+    distributed decode→resize stage (q261)."""
+    tw, th = thumbnail_dims(img.width, img.height, box)
+    wx = _overlap_weights(tw, img.width)
+    wy = _overlap_weights(th, img.height)
+    px = img.pixels
+    w = img.width
+    den = img.width * img.height
+    out = bytearray(tw * th * 3)
+    # separable pass per channel: rows collapse into y-cells first
+    for c in range(3):
+        chan = px[c::3]
+        rows = []
+        for wyj in wy:
+            acc = [0] * w
+            for y, oy in wyj:
+                base = y * w
+                for x in range(w):
+                    acc[x] += oy * chan[base + x]
+            rows.append(acc)
+        for j, row in enumerate(rows):
+            for i, wxi in enumerate(wx):
+                acc = sum(ox * row[x] for x, ox in wxi)
+                out[(j * tw + i) * 3 + c] = (2 * acc + den) // (2 * den)
+    return DecodedImage(tw, th, bytes(out))
+
+
+def pixel_checksum(img: DecodedImage) -> int:
+    """Position-weighted byte checksum ``Σ (i+1)·byte_i`` of an RGB
+    buffer — order-sensitive (catches transposes and channel swaps a
+    plain sum would miss), exact in 64 bits for any thumbnail-sized
+    buffer, and reproducible from the same pixels in any engine."""
+    return sum((i + 1) * b for i, b in enumerate(img.pixels))
+
+
 def _box_gray(img: DecodedImage, nx: int, ny: int) -> list:
     """Exact-integer area-average downscale of the luma plane to an
     ``nx`` × ``ny`` grid.
@@ -1382,21 +1460,8 @@ def _box_gray(img: DecodedImage, nx: int, ny: int) -> list:
     upscale alike (a 4-px row spread over 9 cells just gives fractional
     overlaps), which matters because fixture images may be smaller than
     the hash grid."""
-
-    def weights(n_cells: int, length: int) -> list:
-        per_cell = []
-        for i in range(n_cells):
-            lo, hi = i * length, (i + 1) * length
-            w = []
-            for x in range(lo // n_cells, (hi + n_cells - 1) // n_cells):
-                ov = min(hi, (x + 1) * n_cells) - max(lo, x * n_cells)
-                if ov > 0:
-                    w.append((x, ov))
-            per_cell.append(w)
-        return per_cell
-
-    wx = weights(nx, img.width)
-    wy = weights(ny, img.height)
+    wx = _overlap_weights(nx, img.width)
+    wy = _overlap_weights(ny, img.height)
     px = img.pixels
     w = img.width
     gray = [
@@ -1577,6 +1642,46 @@ def envelope_hash(audio: DecodedAudio, n_windows: int = 33) -> int:
     return h
 
 
+def resample_audio(audio: DecodedAudio, out_rate: int) -> DecodedAudio:
+    """Exact-integer area-average resample to ``out_rate`` Hz, channels
+    preserved — the audio analog of :func:`thumbnail` and the standard
+    normalization pass before a speech/audio encoder (clips arrive at
+    8 k/16 k/44.1 k; the model wants one rate).
+
+    Each output frame is the true time-weighted mean of the source
+    frames it covers, per channel, on the same rational-overlap lattice
+    as :func:`_overlap_weights` (numerator ``Σ ov·sample`` over the
+    exact denominator ``n_in_frames``, rounded half-up in floor
+    semantics — correct for negative samples too).  Area averaging IS
+    the ideal box anti-aliasing filter for integer downsample ratios;
+    for upsampling it degrades to sample-and-hold, which is fine for a
+    normalization audit.  All-integer, so resampled PCM is bit-identical
+    across platforms and a generation-time fixture stamp can serve as
+    the oracle for the distributed decode→resample stage (q262)."""
+    nch = audio.n_channels
+    s = audio.samples
+    in_frames = len(s) // nch
+    if in_frames == 0 or out_rate == audio.sample_rate:
+        return DecodedAudio(out_rate, nch, audio.bits_per_sample, s)
+    out_frames = max(1, in_frames * out_rate // audio.sample_rate)
+    wt = _overlap_weights(out_frames, in_frames)
+    den = in_frames
+    out = []
+    for wi in wt:
+        for c in range(nch):
+            acc = sum(ov * s[f * nch + c] for f, ov in wi)
+            out.append((2 * acc + den) // (2 * den))
+    return DecodedAudio(out_rate, nch, audio.bits_per_sample, tuple(out))
+
+
+def pcm_checksum(audio: DecodedAudio) -> int:
+    """Position-weighted sample checksum ``Σ (i+1)·sample_i`` over the
+    interleaved PCM stream — order- and channel-sensitive, exact in 64
+    bits for fixture-scale clips, reproducible from the same samples in
+    any engine (the audio twin of :func:`pixel_checksum`)."""
+    return sum((i + 1) * v for i, v in enumerate(audio.samples))
+
+
 def _byte_histogram(payload: bytes) -> list[float]:
     """Deterministic stand-in featurizer: 16-bucket byte histogram,
     L1-normalized. Replace with the model encoder in production."""
@@ -1642,3 +1747,83 @@ def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 64) ->
         .select("media_id", "payload")
         .mapInPandas(sample, schema=FRAME_SCHEMA)
     )
+
+
+class Mp4Info(NamedTuple):
+    """Container facts parsed from an ISO BMFF (MP4) payload."""
+
+    duration_ms: int  # mvhd duration rescaled to milliseconds
+    n_tracks: int  # trak box count
+    handlers: tuple  # hdlr handler_type fourccs, document order
+    mdat_bytes: int  # total sample bytes across mdat boxes
+
+
+def parse_mp4(payload: bytes) -> Mp4Info:
+    """Walk an ISO BMFF box tree (ISO/IEC 14496-12 §6.2) and return the
+    container facts a video ingest audit needs: mvhd duration (rescaled
+    by the declared timescale to exact integer milliseconds), track
+    count, handler fourccs, and total ``mdat`` sample bytes.
+
+    This parses STRUCTURE only — no codec bitstream is decoded (that is
+    the same injected-decoder seam as compressed audio).  Container
+    parsing is the part of video ingest that is pure public layout:
+    length-prefixed boxes, 64-bit largesize escapes, version-dependent
+    field widths in the full boxes.  Malformed trees (truncated box,
+    overrunning size, missing moov/mvhd) raise ``ValueError`` — silent
+    tolerance of a broken container is how wrong durations ship."""
+
+    duration_ms = None
+    n_tracks = 0
+    handlers = []
+    mdat_bytes = 0
+    containers = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal duration_ms, n_tracks, mdat_bytes
+        off = lo
+        while off < hi:
+            if off + 8 > hi:
+                raise ValueError("truncated box header")
+            size = struct.unpack_from(">I", payload, off)[0]
+            typ = payload[off + 4 : off + 8]
+            body = off + 8
+            if size == 1:  # 64-bit largesize escape
+                if off + 16 > hi:
+                    raise ValueError("truncated largesize header")
+                size = struct.unpack_from(">Q", payload, off + 8)[0]
+                body = off + 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = hi - off
+            end = off + size
+            if size < body - off or end > hi:
+                raise ValueError(f"box {typ!r} overruns its scope")
+            if typ == b"mdat":
+                mdat_bytes += end - body
+            elif typ == b"trak":
+                n_tracks += 1
+                walk(body, end)
+            elif typ == b"mvhd":
+                version = payload[body]
+                if version == 1:
+                    timescale, duration = struct.unpack_from(
+                        ">IQ", payload, body + 4 + 16
+                    )
+                else:
+                    timescale, duration = struct.unpack_from(
+                        ">II", payload, body + 4 + 8
+                    )
+                if timescale == 0:
+                    raise ValueError("mvhd timescale is zero")
+                duration_ms = duration * 1000 // timescale
+            elif typ == b"hdlr":
+                handlers.append(payload[body + 8 : body + 12].decode("latin-1"))
+            elif typ in containers:
+                walk(body, end)
+            off = end
+
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no leading ftyp)")
+    walk(0, len(payload))
+    if duration_ms is None:
+        raise ValueError("no moov/mvhd box in container")
+    return Mp4Info(duration_ms, n_tracks, tuple(handlers), mdat_bytes)

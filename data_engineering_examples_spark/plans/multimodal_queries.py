@@ -851,3 +851,208 @@ def q254_media_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cum_before div {SHARD_BYTES}").alias("shard_idx"),
         (F.col("cum_before") % SHARD_BYTES).cast("bigint").alias("offset_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q261/q262 — the resize/resample legs of the builder brief's multimodal
+# surface (decode ✓ q222/q223, feature-extract ✓ q44/q224/q225,
+# frame-sample ✓ q74 — resize/resample close the list).  Both run the
+# REAL pixel/PCM math: an exact-integer area-average box filter
+# (operators/media.py thumbnail / resample_audio) over the decoded
+# payload inside the same Arrow-batched mapInPandas stage as the decode
+# audits, reduced to a position-weighted checksum so the output schema
+# stays scalar.  The fixture's thumb_*/rs4k_* columns are stamped at
+# generation time from the same all-integer derivation
+# (tools/gen_fixtures.py _stamp_media_dhash), so the oracle reads
+# metadata while Spark re-derives everything from the binary column —
+# any decoder, kernel, or rounding regression breaks the match.  Scale
+# notes: payloads are column-pruned into the Python stage and never
+# shuffled (map-only, no exchange); at 100 TB the box filter is the
+# per-core work a GPU/native preprocessing stage replaces, with the
+# same schema, batch shape, and partitioning.
+
+
+@register(
+    "q261_image_thumbnail_audit",
+    oracle=f"""
+    SELECT media_id, format,
+           format <> 'webp' AS decode_ok,
+           CAST(thumb_w AS INT) AS thumb_w,
+           CAST(thumb_h AS INT) AS thumb_h,
+           CAST(thumb_checksum AS BIGINT) AS thumb_checksum
+    FROM read_parquet('{FX}/media.parquet')
+    WHERE kind = 'image'
+    """,
+    doc="image thumbnail audit: decode + exact-integer area-average "
+    "16-box resize (aspect preserved) in mapInPandas, reduced to a "
+    "position-weighted pixel checksum; the resize leg of the multimodal "
+    "preprocessing surface — lossy-VP8 WebP reports decode_ok=false, "
+    "never a crash",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q261_image_thumbnail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import decode_image, pixel_checksum, thumbnail
+
+    m = (
+        _media(spark)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "format", "payload")
+    )
+
+    def resize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                # NotImplementedError = recognized-but-unsupported
+                # format (audit row); ValueError (corruption) raises.
+                try:
+                    img = decode_image(bytes(payload))
+                except NotImplementedError:
+                    out.append((mid, fmt, False, None, None, None))
+                else:
+                    th = thumbnail(img, 16)
+                    out.append(
+                        (mid, fmt, True, th.width, th.height,
+                         pixel_checksum(th))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "format", "decode_ok",
+                    "thumb_w", "thumb_h", "thumb_checksum",
+                ],
+            )
+
+    return m.mapInPandas(
+        resize,
+        "media_id bigint, format string, decode_ok boolean, "
+        "thumb_w int, thumb_h int, thumb_checksum bigint",
+    )
+
+
+@register(
+    "q262_audio_resample_audit",
+    oracle=f"""
+    SELECT media_id,
+           CAST(rs4k_frames AS BIGINT) AS rs4k_frames,
+           CAST(rs4k_checksum AS BIGINT) AS rs4k_checksum
+    FROM read_parquet('{FX}/media.parquet')
+    WHERE kind = 'audio'
+    """,
+    doc="audio resample audit: PCM decode + exact-integer area-average "
+    "resample to 4 kHz (channels preserved) in mapInPandas, reduced to "
+    "a position-weighted sample checksum; the rate-normalization leg of "
+    "the multimodal preprocessing surface",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q262_audio_resample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import decode_audio, pcm_checksum, resample_audio
+
+    m = (
+        _media(spark)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+    )
+
+    def resample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rs = resample_audio(decode_audio(bytes(payload)), 4000)
+                out.append(
+                    (mid, len(rs.samples) // rs.n_channels, pcm_checksum(rs))
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "rs4k_frames", "rs4k_checksum"]
+            )
+
+    return m.mapInPandas(
+        resample, "media_id bigint, rs4k_frames bigint, rs4k_checksum bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263 — video container parsing, the modality leg that was still opaque
+# bytes.  Fixture videos now carry a REAL ISO BMFF box tree
+# (tools/media_encoders.py mp4_encode: ftyp + moov{mvhd, trak{tkhd,
+# mdia{mdhd, hdlr}}} + mdat) whose mvhd duration equals the declared
+# duration_ms column by construction; the codec bitstream inside mdat
+# stays the injected-decoder seam, exactly like compressed audio.  The
+# Spark side WALKS THE BOX TREE from the binary column
+# (operators/media.py parse_mp4) in the same Arrow-batched mapInPandas
+# stage as the other decode audits; the oracle recomputes every output
+# from metadata + octet_length — every pre-mdat box has a fixed size, so
+# mdat_bytes is octet_length(payload) - MP4_OVERHEAD exactly, with no
+# generation-time stamp needed.  A parsed duration that disagrees with
+# the metadata column, a wrong track count, or a mis-walked box tree all
+# break the hash.  Scale notes: map-only, payload column-pruned into the
+# Python stage, never shuffled; container parsing touches ~300 header
+# bytes per blob regardless of payload size, so the stage is scan-bound
+# at any corpus scale.
+
+#: fixed pre-``mdat`` byte count of the fixture encoder's box tree
+#: (ftyp 24 + moov header 8 + mvhd 108 + trak{tkhd 92, mdia{mdhd 32,
+#: hdlr 41} + headers} + mdat header 8); pinned here rather than
+#: imported from the fixture tooling so the engine package has no
+#: dependency on ``tools/`` — tests/test_multimodal.py asserts it
+#: equals ``len(mp4_encode(b"", d))`` for the shipped encoder.
+_MP4_OVERHEAD = 329
+
+
+@register(
+    "q263_video_container_audit",
+    oracle=f"""
+    SELECT media_id,
+           CAST(duration_ms AS BIGINT) AS parsed_duration_ms,
+           CAST(1 AS BIGINT) AS n_tracks,
+           CAST('vide' AS VARCHAR) AS handlers,
+           CAST(octet_length(payload) - {{ovh}} AS BIGINT) AS mdat_bytes
+    FROM read_parquet('{FX}/media.parquet')
+    WHERE kind = 'video'
+    """.format(ovh=_MP4_OVERHEAD, FX=FX),
+    doc="video container audit: ISO BMFF box-tree walk (ftyp/moov/mvhd/"
+    "trak/mdia/hdlr/mdat) from the binary payload in mapInPandas; "
+    "parsed mvhd duration must equal declared metadata, mdat size "
+    "reconciles against octet_length minus the fixed header overhead — "
+    "codec bitstream decode stays the injected-decoder seam",
+    tags=("multimodal", "llm", "mapInPandas"),
+)
+def q263_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.media import parse_mp4
+
+    m = (
+        _media(spark)
+        .filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+    )
+
+    def parse(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                info = parse_mp4(bytes(payload))
+                out.append(
+                    (mid, info.duration_ms, info.n_tracks,
+                     ",".join(info.handlers), info.mdat_bytes)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "parsed_duration_ms", "n_tracks",
+                    "handlers", "mdat_bytes",
+                ],
+            )
+
+    return m.mapInPandas(
+        parse,
+        "media_id bigint, parsed_duration_ms bigint, n_tracks bigint, "
+        "handlers string, mdat_bytes bigint",
+    )

@@ -985,3 +985,215 @@ def test_vp8l_single_symbol_code_length_code():
     assert code.kind == "full"
     br = _Vp8lBitReader(bytes([0b10]))
     assert (code.read(br), code.read(br)) == (0, 1)
+
+
+# --- thumbnail / resample (q261/q262 operators) ------------------------------
+
+
+def test_thumbnail_dims_aspect_rules():
+    from data_engineering_examples_spark.operators.media import thumbnail_dims
+
+    assert thumbnail_dims(64, 64) == (16, 16)
+    assert thumbnail_dims(64, 16) == (16, 4)
+    assert thumbnail_dims(16, 64) == (4, 16)
+    assert thumbnail_dims(100, 30) == (16, 5)  # 4.8 rounds half-up
+    assert thumbnail_dims(1000, 10) == (16, 1)  # short side floors at 1
+
+
+def test_thumbnail_exact_area_average_and_checksum():
+    from data_engineering_examples_spark.operators.media import (
+        DecodedImage,
+        pixel_checksum,
+        thumbnail,
+    )
+
+    # uniform image: every thumbnail pixel must be the same color
+    img = DecodedImage(3, 3, bytes([10, 20, 30] * 9))
+    th = thumbnail(img, 16)
+    assert (th.width, th.height) == (16, 16)
+    assert set(th.pixels[0::3]) == {10}
+    assert set(th.pixels[1::3]) == {20}
+    assert set(th.pixels[2::3]) == {30}
+
+    # 4x2 -> 2x1: each output pixel is the true mean of its 2x2 box
+    vals = [0, 100, 200, 40, 60, 80, 120, 240]
+    px = b"".join(bytes([v, v, v]) for v in vals)
+    th = thumbnail(DecodedImage(4, 2, px), 2)
+    assert (th.width, th.height) == (2, 1)
+    assert th.pixels[0] == 60  # mean(0,100,60,80)
+    assert th.pixels[3] == 150  # mean(200,40,120,240)
+
+    # checksum is position-weighted: a transpose must change it
+    a = DecodedImage(1, 2, bytes([1, 0, 0, 2, 0, 0]))
+    b = DecodedImage(1, 2, bytes([2, 0, 0, 1, 0, 0]))
+    assert pixel_checksum(a) != pixel_checksum(b)
+
+
+def test_thumbnail_rounding_is_half_up():
+    from data_engineering_examples_spark.operators.media import (
+        DecodedImage,
+        thumbnail,
+    )
+
+    # 2x1 -> 1x1 via a square box: mean(10, 11) = 10.5 rounds to 11.
+    # thumbnail_dims(2, 1) = (16, 8) so build the half-tie on a 2x2
+    # square instead: all four pixels average exactly to x.5
+    px = bytes([10, 0, 0, 11, 0, 0, 10, 0, 0, 11, 0, 0])
+    th = thumbnail(DecodedImage(2, 2, px), 1)
+    assert (th.width, th.height) == (1, 1)
+    assert th.pixels[0] == 11
+
+
+def test_resample_audio_exact_decimation():
+    from data_engineering_examples_spark.operators.media import (
+        DecodedAudio,
+        pcm_checksum,
+        resample_audio,
+    )
+
+    # mono 8k -> 4k: pairwise means, half-up rounding on the .5 tie
+    a = DecodedAudio(8000, 1, 16, (0, 10, -10, -20, 100, 101, 7, 8))
+    r = resample_audio(a, 4000)
+    assert r.sample_rate == 4000 and r.n_channels == 1
+    assert r.samples == (5, -15, 101, 8)
+
+    # stereo stays interleaved per channel
+    a2 = DecodedAudio(8000, 2, 16, (1, -1, 3, -3, 5, -5, 7, -7))
+    r2 = resample_audio(a2, 4000)
+    assert r2.samples == (2, -2, 6, -6)
+
+    # 16k -> 4k is a 4:1 box; same-rate is the identity
+    a3 = DecodedAudio(16000, 1, 16, (4, 4, 8, 8, 0, 0, 0, 4))
+    assert resample_audio(a3, 4000).samples == (6, 1)
+    assert resample_audio(a3, 16000).samples == a3.samples
+
+    # checksum is position-weighted: swapped samples change it
+    assert pcm_checksum(DecodedAudio(4000, 1, 16, (1, 2))) != pcm_checksum(
+        DecodedAudio(4000, 1, 16, (2, 1))
+    )
+
+
+def test_q261_q262_ride_stamped_fixture_expectations(spark):
+    """The fixture's thumb_*/rs4k_* stamps must equal the distributed
+    decode->resize/resample recompute — the same contract q224 pins for
+    dhash (metadata written at generation time, re-derived live)."""
+    from data_engineering_examples_spark.plans.multimodal_queries import (
+        q261_image_thumbnail_audit,
+        q262_audio_resample_audit,
+    )
+
+    m = _media(spark)
+    imgs = {
+        r.media_id: r
+        for r in m.filter(F.col("kind") == "image")
+        .select("media_id", "format", "thumb_w", "thumb_h", "thumb_checksum")
+        .collect()
+    }
+    got = q261_image_thumbnail_audit(spark, FIXTURES_DIR).collect()
+    assert len(got) == len(imgs)
+    for r in got:
+        exp = imgs[r.media_id]
+        if r.decode_ok:
+            assert (r.thumb_w, r.thumb_h, r.thumb_checksum) == (
+                exp.thumb_w, exp.thumb_h, exp.thumb_checksum
+            ), r.media_id
+        else:
+            assert exp.thumb_checksum is None and r.format == "webp"
+
+    auds = {
+        r.media_id: r
+        for r in m.filter(F.col("kind") == "audio")
+        .select("media_id", "rs4k_frames", "rs4k_checksum")
+        .collect()
+    }
+    got = q262_audio_resample_audit(spark, FIXTURES_DIR).collect()
+    assert len(got) == len(auds)
+    for r in got:
+        exp = auds[r.media_id]
+        assert (r.rs4k_frames, r.rs4k_checksum) == (
+            exp.rs4k_frames, exp.rs4k_checksum
+        ), r.media_id
+
+
+# --- ISO BMFF container parse (q263 operator) --------------------------------
+
+
+def test_mp4_roundtrip_and_overhead_constant():
+    from tools.media_encoders import mp4_encode
+    from data_engineering_examples_spark.operators.media import parse_mp4
+    from data_engineering_examples_spark.plans.multimodal_queries import (
+        _MP4_OVERHEAD,
+    )
+
+    for n, dur in [(0, 1), (5, 500), (777, 54321), (4000, 599999)]:
+        payload = mp4_encode(b"x" * n, dur)
+        info = parse_mp4(payload)
+        assert info.duration_ms == dur
+        assert info.n_tracks == 1
+        assert info.handlers == ("vide",)
+        assert info.mdat_bytes == n
+        # the oracle's derivation: octet_length - fixed overhead
+        assert len(payload) - _MP4_OVERHEAD == n
+
+
+def test_mp4_parser_rejects_malformed_trees():
+    import struct
+
+    import pytest
+
+    from tools.media_encoders import mp4_encode
+    from data_engineering_examples_spark.operators.media import parse_mp4
+
+    good = mp4_encode(b"abc", 1000)
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00\x00\x00\x08free")  # no leading ftyp
+    with pytest.raises(ValueError):
+        parse_mp4(good[:40])  # truncated mid-box
+    # a box whose declared size overruns the file
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 24, 1 << 30)  # moov size -> absurd
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    with pytest.raises(ValueError):
+        parse_mp4(good[: good.index(b"moov") - 4])  # ftyp only, no mvhd
+
+
+def test_mp4_parser_handles_largesize_and_size_zero():
+    import struct
+
+    from data_engineering_examples_spark.operators.media import parse_mp4
+    from tools.media_encoders import mp4_encode
+
+    good = mp4_encode(b"abcdef", 2500)
+    # rewrite the trailing mdat as a largesize box (size=1 + 64-bit)
+    mdat_off = good.rindex(b"mdat") - 4
+    body = good[mdat_off + 8 :]
+    large = (
+        struct.pack(">I", 1)
+        + b"mdat"
+        + struct.pack(">Q", 16 + len(body))
+        + body
+    )
+    info = parse_mp4(good[:mdat_off] + large)
+    assert info.mdat_bytes == 6 and info.duration_ms == 2500
+    # size==0: mdat extends to end of file
+    zero = struct.pack(">I", 0) + b"mdat" + body
+    info = parse_mp4(good[:mdat_off] + zero)
+    assert info.mdat_bytes == 6
+
+
+def test_q263_matches_declared_metadata(spark):
+    from data_engineering_examples_spark.plans.multimodal_queries import (
+        q263_video_container_audit,
+    )
+
+    declared = {
+        r.media_id: r.duration_ms
+        for r in _media(spark).filter(F.col("kind") == "video").collect()
+    }
+    rows = q263_video_container_audit(spark, FIXTURES_DIR).collect()
+    assert len(rows) == len(declared) > 0
+    for r in rows:
+        assert r.parsed_duration_ms == declared[r.media_id]
+        assert r.n_tracks == 1 and r.handlers == "vide"
+        assert r.mdat_bytes > 0

@@ -469,6 +469,7 @@ def gen_media(rng: random.Random):
     from tools.media_encoders import (
         bmp_encode,
         jpeg_encode,
+        mp4_encode,
         png_encode,
         ppm_encode,
         wav_encode,
@@ -505,9 +506,16 @@ def gen_media(rng: random.Random):
         else:
             fmt = "mp4"
             n = rng.randrange(200, 4000)
-            payload = bytes(rng.randrange(256) for _ in range(n))
+            # draw order is pinned (samples, then duration) so the rng
+            # stream — and every later fixture — is unchanged from the
+            # pre-container corpus; the random bytes become the opaque
+            # mdat sample stream inside a REAL ISO BMFF box tree whose
+            # mvhd/mdhd duration equals the declared metadata column
+            # (q263 cross-checks the two).
+            samples = bytes(rng.randrange(256) for _ in range(n))
             width = height = None
             duration = rng.randrange(500, 600000)
+            payload = mp4_encode(samples, duration)
         rows.append({
             "media_id": i,
             "doc_id": rng.randrange(500),  # FK → documents (caption pairing)
@@ -780,31 +788,52 @@ def _stamp_media_dhash(rows: list) -> None:
     while Spark re-derives it from the binary payload through the
     distributed decode stage. Generation-time asserts pin the contract
     the query depends on: within-family Hamming ≤ 7 (the band join's
-    pigeonhole bound) and every cross-family/legacy pair ≥ 11."""
+    pigeonhole bound) and every cross-family/legacy pair ≥ 11.
+
+    Also stamps the thumbnail (q261) and resample (q262) expectations the
+    same way: ``thumb_w/thumb_h/thumb_checksum`` are the exact-integer
+    area-average 16-box thumbnail OF THE PAYLOAD AS DECODED, and
+    ``rs4k_frames/rs4k_checksum`` the 4 kHz exact resample of the PCM —
+    deterministic all-integer derivations, so the oracles read metadata
+    while Spark re-derives everything from the binary column."""
     from data_engineering_examples_spark.operators.media import (
         decode_audio,
         decode_image,
         dhash,
         envelope_hash,
+        pcm_checksum,
+        pixel_checksum,
+        resample_audio,
+        thumbnail,
     )
 
-    def _img_dhash(payload: bytes):
-        # undecodable seam formats (Adam7 PNG, WebP) carry NO dhash —
-        # the perceptual-hash queries skip them the same way
+    def _img_derived(payload: bytes):
+        # undecodable seam formats (lossy-VP8 WebP) carry NO dhash or
+        # thumbnail stamp — the perceptual-hash/resize queries report
+        # them as decode_ok=false the same way
         try:
-            return dhash(decode_image(payload))
+            img = decode_image(payload)
         except NotImplementedError:
-            return None
+            return None, None, None, None
+        th = thumbnail(img, 16)
+        return dhash(img), th.width, th.height, pixel_checksum(th)
 
     for row in rows:
-        row["dhash"] = (
-            _img_dhash(row["payload"]) if row["kind"] == "image" else None
-        )
-        row["ahash"] = (
-            envelope_hash(decode_audio(row["payload"]))
-            if row["kind"] == "audio"
-            else None
-        )
+        if row["kind"] == "image":
+            (row["dhash"], row["thumb_w"], row["thumb_h"],
+             row["thumb_checksum"]) = _img_derived(row["payload"])
+        else:
+            row["dhash"] = None
+            row["thumb_w"] = row["thumb_h"] = row["thumb_checksum"] = None
+        if row["kind"] == "audio":
+            au = decode_audio(row["payload"])
+            row["ahash"] = envelope_hash(au)
+            rs = resample_audio(au, 4000)
+            row["rs4k_frames"] = len(rs.samples) // rs.n_channels
+            row["rs4k_checksum"] = pcm_checksum(rs)
+        else:
+            row["ahash"] = None
+            row["rs4k_frames"] = row["rs4k_checksum"] = None
         row.setdefault("phash_family", None)
         row.setdefault("ahash_family", None)
     auds = [r for r in rows if r["kind"] == "audio"]
@@ -942,7 +971,10 @@ def main() -> None:
         ("format", pa.string()), ("payload", pa.binary()),
         ("width", pa.int32()), ("height", pa.int32()), ("duration_ms", pa.int64()),
         ("dhash", pa.int64()), ("phash_family", pa.int32()),
-        ("ahash", pa.int64()), ("ahash_family", pa.int32())]))
+        ("ahash", pa.int64()), ("ahash_family", pa.int32()),
+        ("thumb_w", pa.int32()), ("thumb_h", pa.int32()),
+        ("thumb_checksum", pa.int64()),
+        ("rs4k_frames", pa.int64()), ("rs4k_checksum", pa.int64())]))
 
     outcomes = gen_outcomes(random.Random(SEED + 2))  # own stream, like media
     write_parquet("outcomes", outcomes, pa.schema([

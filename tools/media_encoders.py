@@ -814,3 +814,74 @@ def jpeg_encode_progressive(
         ac_refine_scan(0, 1, 63, 1)
     out.extend(b"\xff\xd9")
     return bytes(out)
+
+
+def mp4_encode(mdat: bytes, duration_ms: int) -> bytes:
+    """Minimal valid ISO BMFF (MP4) container: ``ftyp`` + ``moov``
+    (``mvhd`` and one video ``trak`` with ``tkhd``/``mdia``/``mdhd``/
+    ``hdlr``) + ``mdat`` holding the sample bytes.
+
+    Timescale is fixed at 1000 so the version-0 mvhd/mdhd durations ARE
+    milliseconds — the declared ``duration_ms`` metadata column and the
+    container agree by construction, which is what lets the container-
+    parse audit (q263) cross-check them.  Every box before ``mdat`` has
+    a fixed size, so the total header overhead is a constant
+    (``MP4_OVERHEAD``) and ``mdat`` payload size is derivable from
+    ``octet_length`` alone.  Box layout per ISO/IEC 14496-12 §6.2, §8.2,
+    §8.3, §8.4 (public structure; no codec data is claimed — the hdlr
+    name string marks the sample bytes as an opaque stand-in stream)."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ: bytes, body: bytes, version: int = 0, flags: int = 0) -> bytes:
+        return box(typ, struct.pack(">I", (version << 24) | flags) + body)
+
+    unity = struct.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">II", 0, 0)  # creation, modification
+        + struct.pack(">II", 1000, duration_ms)  # timescale, duration
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + unity
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track_ID
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", duration_ms)
+        + b"\x00" * 16  # reserved, layer, group, volume, reserved
+        + unity
+        + struct.pack(">II", 0, 0),  # width, height (16.16; opaque stream)
+        flags=0x000007,  # enabled | in_movie | in_preview
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", 1000, duration_ms)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und', pre_defined
+    )
+    hdlr = full(
+        b"hdlr",
+        struct.pack(">I", 0)  # pre_defined
+        + b"vide"
+        + b"\x00" * 12  # reserved
+        + b"stand-in\x00",  # name (NUL-terminated)
+    )
+    mdia = box(b"mdia", mdhd + hdlr)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + moov + box(b"mdat", mdat)
+
+
+#: every box before ``mdat``'s own 8-byte header has a fixed size, so
+#: ``mdat_bytes == octet_length(payload) - MP4_OVERHEAD`` exactly.
+MP4_OVERHEAD = len(mp4_encode(b"", 1)) - 0
