@@ -1056,3 +1056,165 @@ def q263_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, parsed_duration_ms bigint, n_tracks bigint, "
         "handlers string, mdat_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — image-TEXT PAIR dedup, the verdict a paired multimodal corpus
+# (image+caption training pairs, q43's shape) actually needs: two pairs
+# are duplicates when the images are perceptual near-dups AND the
+# captions are lexical near-dups — a re-encoded image under a rewritten
+# caption is a fresh training signal, and an identical caption on an
+# unrelated image is ordinary boilerplate, so each modality alone
+# over-flags.  Composition: the q224 dHash band-join supplies the image
+# pair candidates (pigeonhole recall 1 at T<=7, never O(n^2)); caption
+# word-trigram Jaccard is then computed ONLY for those pairs — the
+# caption-side work is candidate-OUTPUT-sized, with doc shingle sets
+# semi-join-restricted to the docs the pairs touch.  Exact integer
+# cross-multiplied threshold (jaccard >= 1/2 iff 3*shared >= na+nb), no
+# division.  The oracle recomputes both modalities quadratically
+# (dhash metadata self-join x unrestricted trigram sets) — collapsing
+# either side of the composition breaks the hash.  Scale notes: the
+# image side is the q224 band join; the caption side touches
+# |pairs| x doc-shingles rows, both bounded by candidate output, and
+# payload bytes never cross a shuffle (the dHash projection is 16
+# bytes/row).
+
+
+@register(
+    "q264_pair_dedup_verdict",
+    oracle=f"""
+    WITH img AS (
+        SELECT media_id, doc_id, dhash
+        FROM read_parquet('{FX}/media.parquet')
+        WHERE kind = 'image' AND dhash IS NOT NULL
+    ),
+    prs AS (
+        SELECT a.media_id AS a_id, b.media_id AS b_id,
+               a.doc_id AS a_doc, b.doc_id AS b_doc,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        FROM img a
+        JOIN img b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        FROM tok
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS shared
+        FROM prs p
+        JOIN sh sa ON sa.doc_id = p.a_doc
+        JOIN sh sb ON sb.doc_id = p.b_doc AND sb.sh = sa.sh
+        GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id,
+           CAST(p.a_doc AS BIGINT) AS a_doc,
+           CAST(p.b_doc AS BIGINT) AS b_doc,
+           p.hamming,
+           CAST(coalesce(i.shared, 0) AS BIGINT) AS shared_trigrams,
+           CAST(coalesce(sa.n, 0) + coalesce(sb.n, 0) - coalesce(i.shared, 0)
+                AS BIGINT) AS union_trigrams,
+           CAST(CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0) > 0
+                      AND 3 * coalesce(i.shared, 0)
+                          >= coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                     THEN 'pair' ELSE 'image_only' END AS VARCHAR)
+             AS dup_class
+    FROM prs p
+    LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+    LEFT JOIN sizes sa ON sa.doc_id = p.a_doc
+    LEFT JOIN sizes sb ON sb.doc_id = p.b_doc
+    """,
+    doc="image-text PAIR dedup verdict: q224's dHash band-join pairs x "
+    "caption word-trigram Jaccard computed only for those pairs "
+    "(semi-join-restricted shingle sets, exact cross-multiplied "
+    "jaccard >= 1/2); 'pair' = duplicate in BOTH modalities — the "
+    "LAION-style paired-corpus dedup rule, candidate-output-sized "
+    "caption work",
+    tags=("multimodal", "dedup", "llm", "mapInPandas"),
+)
+def q264_pair_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup_queries import _word_trigrams
+
+    pairs = _phash_pairs(spark, "q264_phash")
+    meta = _media(spark).select("media_id", "doc_id")
+    p = (
+        pairs.select("a_id", "b_id", "hamming")
+        .join(
+            meta.select(
+                F.col("media_id").alias("a_id"), F.col("doc_id").alias("a_doc")
+            ),
+            "a_id",
+        )
+        .join(
+            meta.select(
+                F.col("media_id").alias("b_id"), F.col("doc_id").alias("b_doc")
+            ),
+            "b_id",
+        )
+    )
+    docs = load_tables(spark, sf_dir, ["documents"])["documents"]
+    involved = (
+        p.select(F.col("a_doc").alias("doc_id"))
+        .union(p.select(F.col("b_doc").alias("doc_id")))
+        .distinct()
+    )
+    # <3-token docs must be dropped BEFORE sequence() (descending-range
+    # hazard, dedup_queries.py:115); they contribute n=0 like the oracle
+    toks = (
+        docs.join(involved, "doc_id", "left_semi")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    sh = toks.select(
+        "doc_id", F.explode(_word_trigrams(F.col("t"))).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        p.select("a_id", "b_id", "a_doc", "b_doc")
+        .join(
+            sh.select(F.col("doc_id").alias("a_doc"), F.col("sh").alias("sh")),
+            "a_doc",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("b_doc"), F.col("sh").alias("sh2")
+            ).withColumnRenamed("sh2", "sh"),
+            ["b_doc", "sh"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = F.coalesce(F.col("na"), F.lit(0))
+    nb = F.coalesce(F.col("nb"), F.lit(0))
+    shared = F.coalesce(F.col("shared"), F.lit(0))
+    return (
+        p.join(inter, ["a_id", "b_id"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("a_doc"), F.col("n").alias("na")),
+            "a_doc",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b_doc"), F.col("n").alias("nb")),
+            "b_doc",
+            "left",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a_doc").cast("bigint").alias("a_doc"),
+            F.col("b_doc").cast("bigint").alias("b_doc"),
+            "hamming",
+            shared.cast("bigint").alias("shared_trigrams"),
+            (na + nb - shared).cast("bigint").alias("union_trigrams"),
+            F.when(
+                ((na + nb) > 0) & (F.lit(3) * shared >= na + nb), F.lit("pair")
+            )
+            .otherwise(F.lit("image_only"))
+            .alias("dup_class"),
+        )
+    )

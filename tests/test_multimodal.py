@@ -1197,3 +1197,31 @@ def test_q263_matches_declared_metadata(spark):
         assert r.parsed_duration_ms == declared[r.media_id]
         assert r.n_tracks == 1 and r.handlers == "vide"
         assert r.mdat_bytes > 0
+
+
+def test_q264_pair_verdict_composes_both_modalities(spark):
+    """Every emitted pair must be an image near-dup (hamming <= 7), the
+    'pair' class must require caption agreement, and the fixture's
+    caption-aligned family members must actually produce BOTH classes
+    (a one-class verdict table tests nothing)."""
+    from data_engineering_examples_spark.plans.multimodal_queries import (
+        q264_pair_dedup_verdict,
+    )
+
+    rows = q264_pair_dedup_verdict(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    classes = {r.dup_class for r in rows}
+    assert classes == {"pair", "image_only"}
+    for r in rows:
+        assert r.hamming <= 7
+        assert 0 <= r.shared_trigrams <= r.union_trigrams or (
+            r.shared_trigrams == 0 and r.union_trigrams == 0
+        )
+        if r.dup_class == "pair":
+            assert r.union_trigrams > 0
+            # threshold rule: 3*shared >= na+nb, and na+nb == union+shared
+            assert 3 * r.shared_trigrams >= r.union_trigrams + r.shared_trigrams
+    # identical captions (same doc both sides) are always 'pair'
+    for r in rows:
+        if r.a_doc == r.b_doc and r.union_trigrams > 0:
+            assert r.dup_class == "pair"

@@ -529,6 +529,22 @@ def gen_media(rng: random.Random):
     rows.extend(_gen_media_families(rng, next_id=len(rows)))
     rows.extend(_gen_audio_families(rng, next_id=len(rows)))
     rows.extend(_gen_decode_boundary_images(rng, next_id=len(rows)))
+    # Caption alignment for the PAIR-dedup verdict (q264): a re-encoded
+    # copy usually ships under its original caption, so the SECOND
+    # member of each perceptual image family inherits the head's doc_id
+    # (identical caption -> trigram Jaccard 1 -> 'pair'); later members
+    # keep their own draw ('image_only' — near-dup image, fresh text).
+    # Pure post-assignment, no rng consumed: every payload byte and
+    # every other fixture row is unchanged.
+    fam_state: dict = {}
+    for row in rows:
+        if row["kind"] == "image" and row.get("phash_family") is not None:
+            st = fam_state.setdefault(
+                row["phash_family"], {"head": row["doc_id"], "n": 0}
+            )
+            if st["n"] == 1:
+                row["doc_id"] = st["head"]
+            st["n"] += 1
     _stamp_media_dhash(rows)
     return rows
 
