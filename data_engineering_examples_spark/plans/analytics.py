@@ -5989,3 +5989,331 @@ def q234_concurrent_sessions_salted(
     return _concurrent_sessions_plan(
         spark, sf_dir, "q234_sessions", n_salts=Q234_SALTS
     )
+
+
+# ---------------------------------------------------------------------------
+# q265-q270 — the canonical TPC-H shapes that were still missing from the
+# OLAP family (r12): Q2's correlated-argmin decorrelation, Q13's outer-
+# count distribution, Q16's distinct-count with an exclusion list, Q18's
+# HAVING-IN, Q19's disjunctive OR-of-ANDs pushdown, and Q9's multi-join
+# profit rollup.  The testdata has no partsupp table and no comment /
+# shipmode / container columns, so stand-ins keep each shape honest:
+# lineitem's (l_partkey, l_suppkey) pairs play partsupp, negative
+# account balance plays the complaint filter, order priority plays the
+# comment filter.  Oracles are the CANONICAL correlated/IN forms; the
+# Spark plans are the decorrelated scalable rewrites — same results,
+# different algebra, which is exactly what the pair is meant to prove.
+
+
+@register(
+    "q265_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    offer AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_price
+      FROM lineitem l JOIN eu ON eu.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_name,
+           CAST(o.unit_price AS DOUBLE) AS min_unit_price,
+           min(eu.s_suppkey) AS s_suppkey
+    FROM part p
+    JOIN offer o ON o.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = o.l_suppkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+      AND o.unit_price = (
+        SELECT min(o2.unit_price) FROM offer o2
+        WHERE o2.l_partkey = p.p_partkey
+      )
+    GROUP BY 1, 2, 3
+    """,
+    doc="min-cost supplier per part within a region (public TPC-H Q2 "
+    "shape; lineitem unit prices stand in for partsupp): the correlated "
+    "min-subquery decorrelates to one per-part aggregate joined back, "
+    "argmin tie-broken to the lowest supplier key",
+    tags=("join", "agg", "olap"),
+)
+def q265_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"].filter(F.col("r_name") == "EUROPE"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    parts = t["part"].filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    offer = (
+        t["lineitem"]
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    # decorrelated argmin: per-part min joined back on price equality
+    # (the division is one shared IEEE scalar op — bit-identical in both
+    # engines, so the equality join is exact), lowest-suppkey tie-break
+    best = offer.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    return (
+        parts.join(best, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            offer.withColumnRenamed("l_partkey", "o_partkey"),
+            (F.col("o_partkey") == F.col("p_partkey"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .groupBy("p_partkey", "p_name", "min_unit_price")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+        .select(
+            "p_partkey", "p_name",
+            F.col("min_unit_price").cast("double").alias("min_unit_price"),
+            "s_suppkey",
+        )
+    )
+
+
+@register(
+    "q266_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="customer order-count distribution including zero-order "
+    "customers (public TPC-H Q13 shape; priority filter stands in for "
+    "the comment filter): left outer join counted per customer, then a "
+    "bounded histogram of the counts",
+    tags=("join", "agg", "olap"),
+)
+def q266_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q267_parts_supplier_count",
+    oracle="""
+    SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p
+    JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      ON l.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    doc="supplier-relationship count per (brand, size) with an exclusion "
+    "list (public TPC-H Q16 shape; lineitem pairs stand in for partsupp, "
+    "negative balance for the complaint filter): NOT IN becomes a "
+    "broadcast anti-join over the distinct pair substrate",
+    tags=("join", "agg", "olap"),
+)
+def q267_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part", "supplier"])
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    excluded = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = pairs.join(
+        F.broadcast(excluded),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    parts = t["part"].filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        kept.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q268_large_order_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR)
+                AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    doc="large-quantity orders and their customers (public TPC-H Q18 "
+    "shape): the HAVING-IN subquery becomes one per-order aggregate "
+    "reused as a semi-filter — the order sum is computed once, not once "
+    "per membership probe",
+    tags=("join", "agg", "olap"),
+)
+def q268_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    order_qty = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+    )
+    return (
+        t["orders"]
+        .join(order_qty, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", d(F.col("qty_dec")).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q269_disjunctive_revenue",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+           AS VARCHAR) AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="disjunctive-predicate revenue (public TPC-H Q19 shape): an "
+    "OR-of-ANDs across two tables — the per-table conjunct unions "
+    "(brand/size on part, quantity on lineitem) must still push into "
+    "each scan while the cross-table residual evaluates post-join",
+    tags=("join", "agg", "olap"),
+)
+def q269_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            d(F.sum(revenue)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q270_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+             - CAST(p.p_retailprice AS DECIMAL(12,2))
+               * CAST(l.l_quantity AS DECIMAL(12,2))
+           ) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="product-line profit by (supplier nation, order year) (public "
+    "TPC-H Q9 shape; retail price x quantity stands in for partsupp "
+    "supply cost): a 5-table join tree where every dimension broadcasts "
+    "and only lineitem-orders shuffles, exact DECIMAL profit terms",
+    tags=("join", "agg", "olap"),
+)
+def q270_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "orders"]
+    )
+    profit = dec("l_extendedprice") * (one() - dec("l_discount", 4)) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_name").like("%red%"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                t["supplier"].join(
+                    F.broadcast(t["nation"]),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(d(F.sum(profit)).alias("sum_profit"))
+    )
