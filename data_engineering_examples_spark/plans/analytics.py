@@ -6317,3 +6317,344 @@ def q270_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(d(F.sum(profit)).alias("sum_profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q271-q276 — the remaining canonical TPC-H shapes (Q4, Q5, Q6, Q7, Q8,
+# Q10), completing the public 22-query suite in shape form across the
+# OLAP family (see also q01/q02/q03/q53/q56/q57/q58/q76/q96/q177-q180
+# and q265-q270).  The testdata has no commitdate/receiptdate, so Q4's
+# "late" EXISTS uses ship-lag beyond 80 days; nation names are the
+# synthetic NATION_k domain.  As with q265-q270, oracles keep the
+# canonical correlated / EXISTS / ORDER-LIMIT forms while the Spark
+# plans are the decorrelated broadcast/semi-join rewrites.
+
+
+@register(
+    "q271_priority_late_orders",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      )
+    GROUP BY 1
+    """,
+    doc="order-priority counts for orders with a late-shipping line "
+    "(public TPC-H Q4 shape; ship-lag > 80 days stands in for the "
+    "missing commit/receipt dates): EXISTS becomes a semi-join whose "
+    "non-equi residual rides the equi-join condition",
+    tags=("join", "agg", "olap"),
+)
+def q271_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    late = o.join(
+        t["lineitem"],
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q272_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="local-supplier order volume per nation (public TPC-H Q5 shape): "
+    "the customer-nation = supplier-nation equality rides the supplier "
+    "join so only same-nation revenue survives; dims broadcast, one "
+    "lineitem-orders shuffle",
+    tags=("join", "agg", "olap"),
+)
+def q272_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    asia = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+    )
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    return (
+        t["lineitem"]
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(
+            F.broadcast(asia.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(d(F.sum(revenue)).alias("revenue"))
+    )
+
+
+@register(
+    "q273_forecast_revenue_change",
+    oracle="""
+    SELECT
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE)
+        AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="forecast revenue change (public TPC-H Q6 shape): pure "
+    "filter-aggregate — every predicate must reach the parquet scan, "
+    "the agg is one map-side-combined partial, exact DECIMAL sum",
+    tags=("agg", "olap"),
+)
+def q273_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+            & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            d(F.sum(dec("l_extendedprice") * dec("l_discount", 4))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q274_volume_shipping",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+       OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+    GROUP BY 1, 2, 3
+    """,
+    doc="two-nation volume shipping (public TPC-H Q7 shape): the "
+    "disjunctive nation-pair predicate spans two dimension arms — each "
+    "arm prunes to the 2-nation union before the join, the pair "
+    "residual evaluates post-join",
+    tags=("join", "agg", "olap"),
+)
+def q274_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["lineitem", "supplier", "orders", "customer", "nation"]
+    )
+    two = t["nation"].filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(two), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(two), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            d(
+                F.sum(dec("l_extendedprice") * (one() - dec("l_discount", 4)))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q275_market_share",
+    oracle="""
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume END)
+                AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+               AS volume,
+             sn.n_name AS nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY 1
+    """,
+    doc="single-nation market share within a region per year (public "
+    "TPC-H Q8 shape): 7-table join tree, every dimension broadcasts, "
+    "the share is a conditional-over-total ratio in one shared IEEE "
+    "division over exact DECIMAL sums",
+    tags=("join", "agg", "olap"),
+)
+def q275_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        ["lineitem", "part", "supplier", "orders", "customer", "nation",
+         "region"],
+    )
+    asia_cust = (
+        t["customer"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"].filter(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].select(
+                    F.col("n_nationkey").alias("sn_key"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    volume = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    base = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_type") == "ECONOMY")
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    nat = F.sum(F.when(F.col("nation") == "NATION_5", volume))
+    tot = F.sum(volume)
+    return (
+        base.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg((d(nat) / d(tot)).alias("mkt_share"))
+    )
+
+
+@register(
+    "q276_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS VARCHAR) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="top returned-item customers (public TPC-H Q10 shape): revenue "
+    "from returned lines in a quarter, TakeOrderedAndProject top-20 with "
+    "a deterministic custkey tie-break so the LIMIT boundary is stable "
+    "in both engines",
+    tags=("join", "agg", "olap", "topk"),
+)
+def q276_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01 00:00:00")))
+    )
+    revenue = dec("l_extendedprice") * (one() - dec("l_discount", 4))
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                t["customer"].join(
+                    F.broadcast(t["nation"]),
+                    F.col("c_nationkey") == F.col("n_nationkey"),
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(d(F.sum(revenue)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
