@@ -6658,3 +6658,61 @@ def q276_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — XML round-trip (Spark 4's NATIVE xml format — no external
+# package): the q122 ORC pattern applied to the third non-parquet
+# format.  XML matters for the healthcare domain (CDA/HL7-adjacent
+# feeds arrive as XML long before they arrive as parquet); the contract
+# proven is the same losslessness accounting, with the read-side schema
+# PINNED explicitly — XML carries no types, so an inferred read would
+# make the pipeline's output schema data-dependent, the q125 anti-rule.
+
+
+@register(
+    "q277_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_millis,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+    doc="XML round-trip via Spark 4 native xml: parquet -> XML -> "
+    "schema-pinned scan; accounting vs the original table proves the "
+    "format conversion is lossless (types pinned on read — XML is "
+    "untyped, so schema inference would be data-dependent)",
+    tags=("layout", "S1", "A4"),
+)
+def q277_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import scratch_dir
+
+    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    base = scratch_dir("q277_xml")
+    ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("value_millis"),
+    ).write.format("xml").option("rootTag", "events").option(
+        "rowTag", "event"
+    ).save(f"{base}/events_xml")
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(
+            "event_id bigint, user_id bigint, event_type string, "
+            "value_millis bigint"
+        )
+        .load(f"{base}/events_xml")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value_millis").cast("bigint").alias("value_millis"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
