@@ -100,6 +100,7 @@ WRITE_SEAMS = {
     ("plans/analytics.py", "q161_table_checksum"): "checksum-after-write op",
     ("plans/analytics.py", "_bucketed_landing"): "bucketed-landing substrate",
     ("plans/analytics.py", "q122_orc_roundtrip"): "ORC format roundtrip op",
+    ("plans/analytics.py", "q277_xml_roundtrip"): "XML format roundtrip op",
     ("plans/corpus_queries.py", "q100_jsonl_roundtrip"): "JSONL roundtrip "
     "staging: writes the text feed it then ingests",
     ("plans/corpus_queries.py", "q124_dirty_csv_ingest"): "dirty-CSV staging: "
