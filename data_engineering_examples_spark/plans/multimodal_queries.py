@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.media import extract_features
-from ..scratch import materialize
+from ..scratch import materialize, memo_substrate
 from ..sources.fhir import FIXTURES_DIR
 from ..sources.tables import load_tables
 from .registry import register
@@ -459,13 +459,12 @@ def q223_audio_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "llm", "mapInPandas"),
 )
 def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _phash_pairs(spark, "q224_phash")
+    return _phash_pairs(spark)
 
 
-def _phash_pairs(spark: SparkSession, scratch_name: str) -> DataFrame:
+def _phash_pairs(spark: SparkSession) -> DataFrame:
     """Shared dHash-band-join pair finder (q224's body; q226 composes it
-    with connected components). ``scratch_name`` keys this caller's
-    materialized hash substrate — distinct callers, distinct names."""
+    with connected components, q264 joins it to caption Jaccard)."""
     from ..operators.media import decode_image, dhash
 
     imgs = (
@@ -502,15 +501,18 @@ def _phash_pairs(spark: SparkSession, scratch_name: str) -> DataFrame:
                 }
             )
 
-    # materialize the hash substrate ONCE: the band table feeds BOTH
-    # sides of the self-join, and without a cut point Spark re-runs the
-    # (expensive) decode stage per branch — see scratch.materialize.
-    hashed = materialize(
-        imgs.mapInPandas(
+    # memoize the hash substrate per (session, fixtures dir): the band
+    # table feeds BOTH sides of the self-join (without a cut point Spark
+    # re-runs the decode stage per branch), and THREE queries consume it
+    # (q224 pairs, q226 canonical clusters, q264 pair-dedup verdict) —
+    # one decode pass per session instead of one per consumer, the same
+    # materialize-once treatment as the text-side shingle/pair tables.
+    def build() -> DataFrame:
+        return imgs.mapInPandas(
             hash_batch, "media_id bigint, format string, dhash bigint"
-        ),
-        scratch_name,
-    )
+        )
+
+    hashed = memo_substrate(spark, "image_dhash", FX, build)
 
     bands = hashed.select(
         "media_id",
@@ -730,7 +732,7 @@ def q226_canonical_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") == "image")
         .select("media_id", "format", F.octet_length("payload").alias("nb"))
     )
-    pairs = _phash_pairs(spark, "q226_phash")
+    pairs = _phash_pairs(spark)
     cc = connected_components(
         meta.select(F.col("media_id").alias("id")),
         pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v")),
@@ -1139,7 +1141,7 @@ def q263_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q264_pair_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup_queries import _word_trigrams
 
-    pairs = _phash_pairs(spark, "q264_phash")
+    pairs = _phash_pairs(spark)
     meta = _media(spark).select("media_id", "doc_id")
     p = (
         pairs.select("a_id", "b_id", "hamming")

@@ -45,6 +45,12 @@ CONSUMERS = [
     "q256_dedup_cluster_report",
     "q257_minhash_calibration",
     "q260_semdedup_threshold_sweep",
+    # image_dhash substrate (multimodal_queries._phash_pairs, r12):
+    # the direct pair finder, the CC composer, and the caption-Jaccard
+    # cross-modality composer
+    "q224_image_phash_neardup",
+    "q226_canonical_media",
+    "q264_pair_dedup_verdict",
 ]
 
 _CHILD = """
