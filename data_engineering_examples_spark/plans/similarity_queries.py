@@ -3063,3 +3063,108 @@ def q260_semdedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_pairs",
         "n_docs_flagged",
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — IVF incremental-add maintenance report (r12): the operational
+# counterpart of q211's index persistence and q63's incremental LSH.
+# Production IVF serving adds new vectors by assigning them to the
+# EXISTING centroids (no retrain) and appending to the inverted lists;
+# the thing the operator watches is per-list growth — skewed growth
+# means the trained centroids no longer describe the incoming
+# distribution and a retrain is due.  Here the delta batch is the
+# vec_id % 5 == 0 slice (centroid seed vectors excluded so the trained
+# index never loses its own seeds); both batches assign with the same
+# broadcast centroids in one pass, and the report is per-centroid
+# (n_base, n_added, growth_ppm, retrain flag at >25% growth) in exact
+# integer arithmetic.  Scale notes: identical shape to q50's assignment
+# (K-row broadcast crossJoin + one keyed aggregation, no data-sized
+# shuffle beyond the vec partition scan); the report is K rows.
+
+IVF_DELTA_MOD = 5
+IVF_RETRAIN_PPM = 250_000
+
+
+def _duck_ivf_growth_oracle() -> str:
+    cos = (
+        f"{_duck_dot('x.e', 'c.ce')} / "
+        f"(sqrt({_duck_dot('x.e', 'x.e')}) * sqrt({_duck_dot('c.ce', 'c.ce')}))"
+    )
+    cent_list = ", ".join(str(i) for i in CENT_IDS)
+    return f"""
+    WITH v AS (SELECT vec_id, {_duck_vec('embedding')} AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM v WHERE vec_id IN ({cent_list})),
+    ranked AS (
+      SELECT x.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY x.vec_id
+                                ORDER BY {cos} DESC, c.cent_id) AS rk
+      FROM v x CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id,
+             vec_id % {IVF_DELTA_MOD} = 0 AND vec_id NOT IN ({cent_list})
+               AS is_delta
+      FROM ranked WHERE rk = 1
+    )
+    SELECT cent_id,
+           CAST(count(*) FILTER (NOT is_delta) AS BIGINT) AS n_base,
+           CAST(count(*) FILTER (is_delta) AS BIGINT) AS n_added,
+           CAST(count(*) FILTER (is_delta) * 1000000
+                // count(*) FILTER (NOT is_delta) AS BIGINT) AS growth_ppm,
+           count(*) FILTER (is_delta) * 1000000
+             // count(*) FILTER (NOT is_delta) > {IVF_RETRAIN_PPM}
+             AS retrain
+    FROM assign GROUP BY cent_id
+    """
+
+
+@register(
+    "q278_ivf_incremental_add",
+    oracle=_duck_ivf_growth_oracle(),
+    doc="IVF incremental-add maintenance report: delta batch assigned to "
+    "the EXISTING centroids (no retrain), per-list base/added counts and "
+    "integer growth_ppm with a >25% retrain flag — the list-growth dial "
+    "a serving system watches between index rebuilds",
+    tags=("similarity", "llm"),
+)
+def q278_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+    v = emb.select("vec_id", _to_double("embedding").alias("e"))
+    cents = F.broadcast(
+        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+        )
+    )
+    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+        F.sqrt(_dot(F.col("e"), F.col("e")))
+        * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cc"), F.asc("cent_id")
+    )
+    assign = (
+        v.crossJoin(cents)
+        .select("vec_id", "cent_id", cos_to_cent.alias("cc"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .withColumn(
+            "is_delta",
+            (F.col("vec_id") % IVF_DELTA_MOD == 0)
+            & ~F.col("vec_id").isin(CENT_IDS),
+        )
+    )
+    n_base = F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)).cast("long")
+    n_added = F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).cast("long")
+    return (
+        assign.groupBy("cent_id")
+        .agg(n_base.alias("n_base"), n_added.alias("n_added"))
+        .select(
+            "cent_id",
+            "n_base",
+            "n_added",
+            F.expr("n_added * 1000000 div n_base").alias("growth_ppm"),
+            (F.expr("n_added * 1000000 div n_base") > IVF_RETRAIN_PPM).alias(
+                "retrain"
+            ),
+        )
+    )
