@@ -607,3 +607,98 @@ def q253_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_false_pos * 1000000 div n_negatives").alias("fpr_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — linear-counting distinct sketch (r12): the LOW-cardinality
+# companion to q218's HyperLogLog; production sketch libraries serve
+# linear counting below ~m/2 occupancy and switch to HLL above it, so
+# the pair together is the real estimator surface.  The sketch state is
+# an m-bit occupancy bitmap — here the exact integer set of occupied
+# positions, merged by union (bit_or), with the estimate
+# m·ln(m/empty) evaluated as ONE shared IEEE scalar over the two
+# integer counts — bit-identical in both engines, the q57/q227
+# convention for transcendentals.  A saturated bitmap (empty = 0) has
+# no finite estimate and reports NULL — the switch-to-HLL signal.
+# Scale notes: the occupancy set partial-aggregates map-side (distinct
+# (event_type, j) is at most m rows per group per partition), so the
+# exchange carries ≤ m·|groups| rows regardless of corpus size.
+
+LC_M = 4096
+
+
+@register(
+    "q279_linear_counting",
+    oracle=f"""
+    WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+    h AS (
+      SELECT event_type,
+             {_duck_md5_int("'lc:' || CAST(user_id AS VARCHAR)")} % {LC_M} AS j
+      FROM pairs
+    ),
+    occ AS (
+      SELECT event_type, CAST(count(DISTINCT j) AS BIGINT) AS n_present
+      FROM h GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM pairs GROUP BY event_type
+    )
+    SELECT o.event_type, o.n_present,
+           CAST({LC_M} - o.n_present AS BIGINT) AS v_zero,
+           CASE WHEN o.n_present < {LC_M}
+                THEN CAST(floor({LC_M} * ln(CAST({LC_M} AS DOUBLE)
+                                            / ({LC_M} - o.n_present)))
+                     AS BIGINT) END AS est_distinct,
+           e.exact_distinct,
+           CASE WHEN o.n_present < {LC_M}
+                THEN CAST(abs(CAST(floor({LC_M} * ln(CAST({LC_M} AS DOUBLE)
+                                            / ({LC_M} - o.n_present)))
+                              AS BIGINT) - e.exact_distinct) * 1000000
+                     // e.exact_distinct AS BIGINT) END AS err_ppm
+    FROM occ o JOIN exact e USING (event_type)
+    """,
+    doc=f"linear-counting distinct-user sketch per event_type (m={LC_M} "
+    "bitmap, fixed md5 hash): exact integer occupancy merged by union, "
+    "estimate m*ln(m/empty) as one shared IEEE scalar, NULL when "
+    "saturated (the switch-to-HLL signal) — the low-cardinality "
+    "companion of q218",
+    tags=("sketch", "agg", "llm"),
+)
+def q279_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, ["events"])["events"]
+    pairs = events.select("event_type", "user_id").distinct()
+    j = _md5_int(
+        F.concat_ws("", F.lit("lc:"), F.col("user_id").cast("string"))
+    ) % LC_M
+    occ = (
+        pairs.select("event_type", j.alias("j"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_present"))
+    )
+    exact = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    est = F.floor(
+        LC_M
+        * F.log(F.lit(float(LC_M)) / (F.lit(LC_M) - F.col("n_present")))
+    ).cast("bigint")
+    return (
+        occ.join(exact, "event_type")
+        .withColumn(
+            "est_distinct", F.when(F.col("n_present") < LC_M, est)
+        )
+        .select(
+            "event_type",
+            "n_present",
+            (F.lit(LC_M) - F.col("n_present")).cast("bigint").alias("v_zero"),
+            "est_distinct",
+            "exact_distinct",
+            F.expr(
+                "CASE WHEN est_distinct IS NOT NULL THEN "
+                "abs(est_distinct - exact_distinct) * 1000000 "
+                "div exact_distinct END"
+            ).cast("bigint").alias("err_ppm"),
+        )
+    )
