@@ -1803,7 +1803,20 @@ def parse_mp4(payload: bytes) -> Mp4Info:
                 n_tracks += 1
                 walk(body, end)
             elif typ == b"mvhd":
+                # A declared size can fit the enclosing scope while the
+                # body is still shorter than the field layout about to
+                # be read — that must be the documented ValueError, not
+                # IndexError/struct.error escaping unpack_from (which
+                # reads from the WHOLE payload buffer, so a short body
+                # could even silently pull bytes from the next box).
+                if end - body < 1:
+                    raise ValueError("mvhd body truncated")
                 version = payload[body]
+                need = 32 if version == 1 else 20  # ver/flags + times + timescale + duration
+                if end - body < need:
+                    raise ValueError(
+                        f"mvhd v{version} body is {end - body} bytes, needs {need}"
+                    )
                 if version == 1:
                     timescale, duration = struct.unpack_from(
                         ">IQ", payload, body + 4 + 16
@@ -1816,6 +1829,10 @@ def parse_mp4(payload: bytes) -> Mp4Info:
                     raise ValueError("mvhd timescale is zero")
                 duration_ms = duration * 1000 // timescale
             elif typ == b"hdlr":
+                if end - body < 12:  # ver/flags + pre_defined + handler_type
+                    raise ValueError(
+                        f"hdlr body is {end - body} bytes, needs 12"
+                    )
                 handlers.append(payload[body + 8 : body + 12].decode("latin-1"))
             elif typ in containers:
                 walk(body, end)

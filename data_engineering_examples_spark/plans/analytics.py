@@ -6359,7 +6359,10 @@ def q271_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = o.join(
         t["lineitem"],
         (F.col("l_orderkey") == F.col("o_orderkey"))
-        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 80)),
+        # timestamp-preserving (+ INTERVAL, not date_add which truncates
+        # to midnight) so intraday orderdates keep oracle parity (r12
+        # ADVICE #1; q76 uses the same form)
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(

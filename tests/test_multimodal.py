@@ -1158,6 +1158,40 @@ def test_mp4_parser_rejects_malformed_trees():
         parse_mp4(good[: good.index(b"moov") - 4])  # ftyp only, no mvhd
 
 
+def test_mp4_parser_rejects_truncated_full_box_bodies():
+    """A box whose declared size fits its scope while its BODY is
+    shorter than the field layout must raise the documented ValueError
+    (r12 ADVICE #2) — not IndexError/struct.error from unpack_from
+    (which reads from the whole payload buffer, so a short mvhd could
+    even silently pull its duration from the next box's bytes), and a
+    short hdlr must not silently yield a truncated handler fourcc."""
+    import struct
+
+    import pytest
+
+    from data_engineering_examples_spark.operators.media import parse_mp4
+
+    def box(typ, body):
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    def full(typ, body, version=0):
+        return box(typ, struct.pack(">I", version << 24) + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp41")
+    cases = [
+        box(b"mvhd", b""),  # no version byte at all
+        # v0 body 12 bytes < the 20 the field layout reads through
+        full(b"mvhd", struct.pack(">II", 0, 0)),
+        # v1 body 20 bytes < the 32 the 64-bit layout reads through
+        full(b"mvhd", struct.pack(">QQ", 0, 0), version=1),
+        # hdlr body 10 bytes < the 12 through handler_type
+        full(b"hdlr", struct.pack(">I", 0) + b"vi"),
+    ]
+    for short_box in cases:
+        with pytest.raises(ValueError):
+            parse_mp4(ftyp + box(b"moov", short_box))
+
+
 def test_mp4_parser_handles_largesize_and_size_zero():
     import struct
 
