@@ -757,6 +757,40 @@ def test_webp_vp8l_roundtrip_pixel_equal_png_twin():
         assert img.pixels == rgb == twin.pixels
 
 
+def test_webp_vp8l_single_symbol_clc_roundtrip_property():
+    """End-to-end pin for the single-symbol code-length-code fallback
+    (r12 verdict ask #2): the encoder twin transmits the red/blue
+    lengths through a CLC with EXACTLY one used symbol (the
+    spec-tolerated degenerate form libwebp accepts, 0 bits per length),
+    and decode must reproduce the source pixels exactly — property-
+    checked over random buffers/dims against the normal-CLC twin of
+    the same buffer."""
+    from hypothesis import given, settings, strategies as st
+
+    from tools.media_encoders import webp_vp8l_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, seed):
+        import random
+
+        rgb = bytes(random.Random(seed).randrange(256) for _ in range(w * h * 3))
+        sclc = webp_vp8l_encode(rgb, w, h, single_symbol_clc=True)
+        img = decode_image(sclc)
+        assert (img.width, img.height) == (w, h)
+        assert img.pixels == rgb
+        # the degenerate CLC is strictly cheaper on the wire, so the
+        # two forms can never be the same stream — this guards against
+        # the flag silently not taking effect
+        assert len(sclc) < len(webp_vp8l_encode(rgb, w, h))
+
+    check()
+
+
 def _vp8l_stream(body_bits) -> bytes:
     """Wrap a bit-writing callback into a full RIFF/WEBP+VP8L payload."""
     from tools.media_encoders import _LsbBitWriter, webp_container

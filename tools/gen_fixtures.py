@@ -564,6 +564,12 @@ def _gen_decode_boundary_images(rng: random.Random, next_id: int) -> list:
       tools/media_encoders.webp_vp8l_encode).  Decodes to the exact
       source pixels, so it carries true width/height metadata and a
       dhash like every other decodable row.
+    * ``webp-vp8l-sclc`` — lossless WebP whose red/blue code lengths
+      travel through a code-length code with EXACTLY ONE used symbol,
+      the spec-tolerated degenerate CLC libwebp accepts (r12 verdict
+      ask #2).  Decodes to the exact source pixels; pins the decoder's
+      single-symbol CLC fallback at the fixture level so a regression
+      shows up as a q222 decode_ok flip, not only in unit tests.
 
     The ``format`` metadata names the state so oracles can express the
     skip/decode split without parsing bytes."""
@@ -599,6 +605,18 @@ def _gen_decode_boundary_images(rng: random.Random, next_id: int) -> list:
         "payload": webp_vp8l_encode(lossless_rgb, lw, lh),
         "width": lw, "height": lh, "duration_ms": None,
     }]
+    # appended AFTER all prior draws so every earlier fixture row's
+    # rng stream (and bytes) is unchanged by this r13 addition
+    sw, sh = 11, 7
+    sclc_rgb = bytes(rng.randrange(256) for _ in range(sw * sh * 3))
+    rows.append({
+        "media_id": next_id + 3,
+        "doc_id": rng.randrange(500),
+        "kind": "image",
+        "format": "webp-vp8l-sclc",
+        "payload": webp_vp8l_encode(sclc_rgb, sw, sh, single_symbol_clc=True),
+        "width": sw, "height": sh, "duration_ms": None,
+    })
     return rows
 
 

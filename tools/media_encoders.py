@@ -173,9 +173,12 @@ _VP8L_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14,
 def _vp8l_write_lengths(bw: _LsbBitWriter, tokens, clc_lengths: dict) -> None:
     """Serialize a code-lengths array already tokenized into
     ``(clc_symbol, n_extra_bits, extra_value)`` triples, preceded by the
-    3-bit code-length-code lengths (``clc_lengths``: symbol -> length,
-    which must form a COMPLETE prefix code over exactly the symbols the
-    tokens use)."""
+    3-bit code-length-code lengths (``clc_lengths``: symbol -> length).
+    A multi-symbol CLC must form a COMPLETE prefix code over exactly
+    the symbols the tokens use; a SINGLE-symbol CLC is the spec-
+    tolerated degenerate form libwebp accepts — each token then costs
+    ZERO bits on the wire (matching the decoder's single-symbol read),
+    only its extra bits are written."""
     from data_engineering_examples_spark.operators.media import (
         vp8l_canonical_assignment,
     )
@@ -187,10 +190,16 @@ def _vp8l_write_lengths(bw: _LsbBitWriter, tokens, clc_lengths: dict) -> None:
     for i in range(num):
         bw.bits(clc_lengths.get(_VP8L_CLC_ORDER[i], 0), 3)
     bw.bit(0)  # no explicit max_symbol: lengths cover the whole alphabet
-    full = [0] * 19
-    for sym, ln in clc_lengths.items():
-        full[sym] = ln
-    assignment = vp8l_canonical_assignment(full)
+    if len(clc_lengths) == 1:
+        # one used CLC symbol -> 0-bit reads on the decode side; the
+        # writer must emit nothing per token or the two sides desync
+        (only_sym,) = clc_lengths
+        assignment = {only_sym: (0, 0)}
+    else:
+        full = [0] * 19
+        for sym, ln in clc_lengths.items():
+            full[sym] = ln
+        assignment = vp8l_canonical_assignment(full)
     for sym, n_extra, extra in tokens:
         bw.code(*assignment[sym])
         if n_extra:
@@ -213,7 +222,9 @@ def _vp8l_const_run_tokens(value_sym: int, n: int) -> list:
     return tokens
 
 
-def webp_vp8l_encode(rgb: bytes, w: int, h: int) -> bytes:
+def webp_vp8l_encode(
+    rgb: bytes, w: int, h: int, single_symbol_clc: bool = False
+) -> bytes:
     """REAL lossless-WebP (VP8L) encoder: literal-only stream (no LZ77,
     no color cache, no transforms) with fixed complete prefix codes —
     green [9]x256 literals + [5]x16 length prefixes (Kraft 0.5 + 0.5),
@@ -248,12 +259,22 @@ def webp_vp8l_encode(rgb: bytes, w: int, h: int) -> bytes:
     _vp8l_write_lengths(bw, g_tokens, {9: 2, 5: 2, 16: 2, 17: 2})
     g_assign = vp8l_canonical_assignment([9] * 256 + [5] * 16 + [0] * 8)
 
-    # red / blue: 256-symbol codes, lengths [8]*256
-    rb_tokens = _vp8l_const_run_tokens(8, 256)
+    # red / blue: 256-symbol codes, lengths [8]*256.  Two equivalent
+    # transmissions: the canonical literal+repeat-16 form, or (when
+    # ``single_symbol_clc``) a code-length code with EXACTLY one used
+    # symbol — the spec-tolerated degenerate CLC libwebp accepts, where
+    # all 256 lengths cost zero bits (r12 verdict ask #2's fixture
+    # form; pins the decoder's single-symbol CLC fallback end-to-end).
+    if single_symbol_clc:
+        rb_tokens = [(8, 0, 0)] * 256
+        rb_clc = {8: 1}
+    else:
+        rb_tokens = _vp8l_const_run_tokens(8, 256)
+        rb_clc = {8: 1, 16: 1}
     rb_assign = vp8l_canonical_assignment([8] * 256)
     for _ in range(2):
         bw.bit(0)
-        _vp8l_write_lengths(bw, rb_tokens, {8: 1, 16: 1})
+        _vp8l_write_lengths(bw, rb_tokens, rb_clc)
 
     # alpha: simple one-symbol code (255, stored as 8 bits)
     bw.bit(1)

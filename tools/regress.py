@@ -54,6 +54,31 @@ def _load(path: str) -> dict:
     return rec
 
 
+def parse_bench_stdout(stdout: str) -> dict[str, float]:
+    """Extract the per-query medians from a bench.py subprocess's
+    stdout.  The bench record is the LAST JSON-object line in the
+    normal case, but late JVM shutdown noise (log4j appender warnings,
+    SIGTERM handler prints) can land AFTER it — so scan backwards for
+    the last line that parses as an object with a ``queries`` map
+    instead of trusting ``splitlines()[-1]`` (r12 verdict ask #4).
+    Raises SystemExit with the stdout tail when no line qualifies,
+    mirroring the stderr reporting on nonzero exit."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and isinstance(rec.get("queries"), dict):
+            return rec["queries"]
+    raise SystemExit(
+        "isolated re-bench succeeded (exit 0) but no stdout line parses "
+        "as the bench JSON record; stdout tail:\n" + stdout[-2000:]
+    )
+
+
 def isolated_rebench(
     names: list[str], sf_dir: str, repeat: int
 ) -> dict[str, float]:
@@ -82,15 +107,7 @@ def isolated_rebench(
                 f"isolated re-bench failed (exit {proc.returncode}):\n"
                 + proc.stderr[-2000:]
             )
-        try:
-            rec = json.loads(proc.stdout.strip().splitlines()[-1])
-            return rec["queries"]
-        except (json.JSONDecodeError, KeyError, IndexError) as exc:
-            raise SystemExit(
-                f"isolated re-bench succeeded (exit 0) but its last stdout "
-                f"line is not the bench JSON record ({exc}); stdout tail:\n"
-                + proc.stdout[-2000:]
-            )
+        return parse_bench_stdout(proc.stdout)
     finally:
         try:
             os.unlink(env["SPARK_GRAFT_BENCH_FULL_PATH"])
