@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, scale_out
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -584,7 +584,11 @@ def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "rollup"),
 )
 def q53_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, ["lineitem"])["lineitem"]
+    # scale_out: the ROLLUP's Expand (3x row fan-out) + decimal hash agg
+    # run inside the scan stage, and a single-row-group parquet file
+    # cannot split — profiled 2.0s single-task at sf0.1. At real scale
+    # the scan arrives as many row groups and this is a no-op.
+    li = scale_out(load_tables(spark, sf_dir, ["lineitem"])["lineitem"])
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().cast("int").alias("gid"),
         F.count(F.lit(1)).alias("n_items"),
@@ -2447,7 +2451,10 @@ def q141_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "F1", "A4"),
 )
 def q142_variant_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ["events"])["events"]
+    # scale_out: to_json + parse_json + 4 variant_gets are per-row
+    # string/binary work trapped in the one-row-group scan task
+    # (profiled 1.4s single-task at sf0.1); no-op on a multi-file scan.
+    ev = scale_out(load_tables(spark, sf_dir, ["events"])["events"])
     payload = F.to_json(
         F.struct(
             F.col("user_id"),

@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.fhir import FIXTURES_DIR
-from ..sources.tables import load_tables, scale_out
+from ..sources.tables import load_tables, read_immutable_parquet, scale_out
 from .dedup_queries import _duck_md5_int, _hashed_shingles, _md5_int
 from .registry import register
 
@@ -203,7 +203,7 @@ def _scrubbed_sql() -> str:
     tags=("text", "pii", "llm"),
 )
 def q78_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    notes = spark.read.parquet(_FX_NOTES)
+    notes = read_immutable_parquet(spark, _FX_NOTES)
     clean = F.col("note_text")
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)

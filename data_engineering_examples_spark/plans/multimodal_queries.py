@@ -24,14 +24,14 @@ from pyspark.sql import functions as F
 from ..operators.media import extract_features
 from ..scratch import materialize, memo_substrate
 from ..sources.fhir import FIXTURES_DIR
-from ..sources.tables import load_tables
+from ..sources.tables import load_tables, read_immutable_parquet
 from .registry import register
 
 FX = FIXTURES_DIR
 
 
 def _media(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(f"{FX}/media.parquet")
+    return read_immutable_parquet(spark, f"{FX}/media.parquet")
 
 
 @register(

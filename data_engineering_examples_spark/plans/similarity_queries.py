@@ -1965,7 +1965,11 @@ def _q221_oracle() -> str:
 def q221_embedding_power_iteration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+    # scale_out: the flat 64x64 outer-product fan-out (N x 4096 rows)
+    # runs inside the scan stage and the single-row-group embeddings
+    # file cannot split — profiled 2.7s single-task at sf0.1.  No-op on
+    # a multi-file scan at scale.
+    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     arr_q = F.transform(
         "embedding",
         lambda x: F.floor(x.cast("double") * PI_SCALE).cast("bigint"),

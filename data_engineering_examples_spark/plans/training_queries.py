@@ -653,6 +653,16 @@ def _q240_oracle() -> str:
 _Q240_STATS = ("n", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2")
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Integral division TRUNCATING TOWARD ZERO — the semantics of both
+    Spark's ``div`` on DECIMAL and DuckDB's ``//`` on HUGEINT (verified
+    on negatives; the engines' shared contract the q240/q241 fixed-point
+    updates are pinned to).  Python's ``//`` floors instead, so negative
+    quotients must be corrected."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
 @register(
     "q240_linear_probe_gd",
     oracle=_q240_oracle(),
@@ -662,8 +672,6 @@ _Q240_STATS = ("n", "s1", "s2", "s11", "s12", "s22", "b0", "b1", "b2")
     tags=("training", "llm", "iterative"),
 )
 def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..scratch import materialize
-
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     dec = "decimal(38,0)"
@@ -674,59 +682,58 @@ def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x2"),
         F.least(F.col("n_chars"), F.lit(Q240_YCAP)).cast(dec).alias("y"),
     )
-    # the ONLY corpus-sized stage: one scan, map-side-combinable aggregate
-    w = materialize(
-        feats.agg(
-            F.count(F.lit(1)).cast(dec).alias("n"),
-            F.sum("x1").alias("s1"),
-            F.sum("x2").alias("s2"),
-            F.sum(F.col("x1") * F.col("x1")).alias("s11"),
-            F.sum(F.col("x1") * F.col("x2")).alias("s12"),
-            F.sum(F.col("x2") * F.col("x2")).alias("s22"),
-            F.sum("y").alias("b0"),
-            F.sum(F.col("x1") * F.col("y")).alias("b1"),
-            F.sum(F.col("x2") * F.col("y")).alias("b2"),
-        ).select(
-            "*",
-            F.lit(0).cast(dec).alias("w0"),
-            F.lit(0).cast(dec).alias("w1"),
-            F.lit(0).cast(dec).alias("w2"),
-        ),
-        "q240_stats",
-    )
-    rows: list[DataFrame] = []
-    for r in range(1, Q240_ROUNDS + 1):
-        stepped = w.select(
-            *_Q240_STATS,
-            F.expr(f"n * {Q240_LRDEN}").alias("d"),
-            F.expr(f"n * w0 + s1 * w1 + s2 * w2 - b0 * {Q240_SCALE}").alias("g0"),
-            F.expr(f"s1 * w0 + s11 * w1 + s12 * w2 - b1 * {Q240_SCALE}").alias("g1"),
-            F.expr(f"s2 * w0 + s12 * w1 + s22 * w2 - b2 * {Q240_SCALE}").alias("g2"),
-            "w0",
-            "w1",
-            "w2",
-        )
-        w = materialize(
-            stepped.select(
-                *_Q240_STATS,
-                F.expr("CAST(w0 - (g0 div d) AS decimal(38,0))").alias("w0"),
-                F.expr("CAST(w1 - (g1 div d) AS decimal(38,0))").alias("w1"),
-                F.expr("CAST(w2 - (g2 div d) AS decimal(38,0))").alias("w2"),
-            ),
-            f"q240_w_r{r}",
-        )
-        rows.append(
-            w.select(
+    # the ONLY corpus-sized stage: one scan, map-side-combinable
+    # aggregate producing NINE integers.  Fetching that one row to the
+    # driver (whitelisted seam, test_action_lint) and running the GD
+    # trajectory as exact Python-int arithmetic replaces the previous
+    # 8 per-round one-row materializations (r13: 2.4s -> one job + a
+    # literal projection; the rounds cost nothing at ANY scale, which
+    # is the whole point of the sufficient-statistics decomposition).
+    st = feats.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("b0"),
+        F.sum(F.col("x1") * F.col("y")).alias("b1"),
+        F.sum(F.col("x2") * F.col("y")).alias("b2"),
+    ).first()
+    n, s1, s2, s11, s12, s22, b0, b1, b2 = (int(st[k]) for k in _Q240_STATS)
+    # Python ints are exact like DECIMAL(38,0)/HUGEINT; the only division
+    # is the engines' integral `div`/`//` = truncation toward zero,
+    # which Python's floor-`//` must be corrected for on negatives.
+    w0 = w1 = w2 = 0
+    lrden = n * Q240_LRDEN
+    traj: list[tuple[int, int, int]] = []
+    for _ in range(Q240_ROUNDS):
+        g0 = n * w0 + s1 * w1 + s2 * w2 - b0 * Q240_SCALE
+        g1 = s1 * w0 + s11 * w1 + s12 * w2 - b1 * Q240_SCALE
+        g2 = s2 * w0 + s12 * w1 + s22 * w2 - b2 * Q240_SCALE
+        w0 -= _tdiv(g0, lrden)
+        w1 -= _tdiv(g1, lrden)
+        w2 -= _tdiv(g2, lrden)
+        traj.append((w0, w1, w2))
+    # JVM-side literal rows (range(1) + explode), not createDataFrame:
+    # a Python-serialized local relation pays several seconds of encoder
+    # setup on first use (the q120 sentinel note)
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(r).cast("int").alias("round"),
-                F.col("w0").cast("bigint").alias("w0_fp"),
-                F.col("w1").cast("bigint").alias("w1_fp"),
-                F.col("w2").cast("bigint").alias("w2_fp"),
+                F.lit(t[0]).cast("bigint").alias("w0_fp"),
+                F.lit(t[1]).cast("bigint").alias("w1_fp"),
+                F.lit(t[2]).cast("bigint").alias("w2_fp"),
             )
-        )
-    out = rows[0]
-    for m in rows[1:]:
-        out = out.unionByName(m)
-    return out
+            for r, t in enumerate(traj, 1)
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("s"))
+        .select("s.round", "s.w0_fp", "s.w1_fp", "s.w2_fp")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -835,7 +842,9 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     dec = "decimal(38,0)"
-    resid = materialize(
+    # feature extraction runs ONCE (tokenization is the expensive map);
+    # residuals stay a per-round LITERAL expression over this substrate
+    feats = materialize(
         d.select(
             F.least(F.size(toks), F.lit(Q240_XCAP)).cast("long").alias("x1"),
             F.least(F.size(F.array_distinct(toks)), F.lit(Q240_XCAP))
@@ -845,17 +854,22 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(dec)
             .alias("r"),
         ),
-        "q241_resid_r0",
+        "q241_feats",
     )
     cands = [(f, t) for f in Q241_FEATURES for t in Q241_THRESHOLDS]
-    rows: list[DataFrame] = []
+    # each round: ONE histogram aggregate (map-side-combinable, the
+    # exchange carries one row) fetched to the driver (whitelisted
+    # one-row seam), split selection + leaf values as exact Python-int
+    # arithmetic, and the residual re-expressed as a literal CASE over
+    # the feature substrate — no per-round materialization, no 1-row
+    # broadcast joins (r13: 17 jobs -> 5; at scale this drops K-1 full
+    # residual-table rewrites, keeping the honest K histogram passes)
+    resid_col = F.col("r")
+    splits: list[tuple[str, int, int, int, int, int]] = []
     for k in range(1, Q241_ROUNDS + 1):
-        # the histogram pass: one aggregate, 2 conditional expressions per
-        # candidate + the 2 totals — partial aggregation collapses the
-        # corpus map-side, the exchange carries ONE row
         aggs = [
             F.count(F.lit(1)).cast(dec).alias("n"),
-            F.sum("r").alias("s"),
+            F.sum(resid_col).alias("s"),
         ]
         for i, (f, t) in enumerate(cands):
             side = F.col(f) <= F.lit(t)
@@ -865,78 +879,63 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias(f"nl_{i}")
             )
             aggs.append(
-                F.coalesce(F.sum(F.when(side, F.col("r"))), F.lit(0).cast(dec))
+                F.coalesce(F.sum(F.when(side, resid_col)), F.lit(0).cast(dec))
                 .alias(f"sl_{i}")
             )
-        hist = resid.agg(*aggs)
-        # 1-row -> candidate rows via inline(array(struct...)), then the
-        # exact integer argmax over the 14 candidates (TakeOrdered)
-        structs = F.array(
-            *[
-                F.struct(
-                    F.lit(f).alias("f"),
-                    F.lit(t).cast("int").alias("t"),
-                    F.col(f"nl_{i}").alias("nl"),
-                    F.col(f"sl_{i}").alias("sl"),
-                )
-                for i, (f, t) in enumerate(cands)
-            ]
-        )
-        cand_rows = hist.select("n", "s", F.explode(structs).alias("c")).select(
-            "n",
-            "s",
-            F.col("c.f").alias("f"),
-            F.col("c.t").alias("t"),
-            F.col("c.nl").alias("nl"),
-            F.col("c.sl").alias("sl"),
-        )
-        best = materialize(
-            cand_rows.filter((F.col("nl") > 0) & (F.col("n") - F.col("nl") > 0))
-            .select(
-                "f",
-                "t",
-                "nl",
-                (F.col("n") - F.col("nl")).alias("nr"),
-                "sl",
-                (F.col("s") - F.col("sl")).alias("sr"),
-                F.expr(
-                    "((sl * sl * (n - nl) + (s - sl) * (s - sl) * nl) * n"
-                    " - s * s * nl * (n - nl)) div (nl * (n - nl) * n)"
-                ).alias("gain"),
-                F.expr("sl div (2 * nl)").alias("vl"),
-                F.expr("(s - sl) div (2 * (n - nl))").alias("vr"),
+        hist = feats.agg(*aggs).first()
+        n, s = int(hist["n"]), int(hist["s"])
+        # exact integer argmax, ties (gain DESC, f ASC, t ASC) — the
+        # same ordering the previous TakeOrdered(1) plan used
+        best = None
+        for i, (f, t) in enumerate(cands):
+            nl, sl = int(hist[f"nl_{i}"]), int(hist[f"sl_{i}"])
+            nr, sr = n - nl, s - sl
+            if nl <= 0 or nr <= 0:
+                continue
+            gain = _tdiv(
+                (sl * sl * nr + sr * sr * nl) * n - s * s * nl * nr,
+                nl * nr * n,
             )
-            .orderBy(F.desc("gain"), "f", "t")
-            .limit(1),
-            f"q241_best_r{k}",  # read twice: output row + residual update
-        )
-        rows.append(
-            best.select(
-                F.lit(k).cast("int").alias("round"),
-                F.col("f").alias("feature"),
-                F.col("t").cast("int").alias("threshold"),
-                F.col("nl").cast("bigint").alias("n_left"),
-                F.col("nr").cast("bigint").alias("n_right"),
-                F.col("vl").cast("bigint").alias("left_value_fp"),
-                F.col("vr").cast("bigint").alias("right_value_fp"),
-            )
-        )
+            vl, vr = _tdiv(sl, 2 * nl), _tdiv(sr, 2 * nr)
+            key = (-gain, f, t)
+            if best is None or key < best[0]:
+                best = (key, f, t, nl, nr, vl, vr)
+        assert best is not None, "no admissible split (degenerate corpus)"
+        _, f, t, nl, nr, vl, vr = best
+        splits.append((f, t, nl, nr, vl, vr))
         if k < Q241_ROUNDS:
-            # residual update: map-only against the broadcast 1-row split
-            feat_val = F.when(F.col("f") == "x1", F.col("x1")).otherwise(
-                F.col("x2")
+            feat_val = F.col("x1") if f == "x1" else F.col("x2")
+            step = F.when(feat_val <= F.lit(t), F.lit(vl)).otherwise(
+                F.lit(vr)
             )
-            step = F.when(feat_val <= F.col("t"), F.col("vl")).otherwise(
-                F.col("vr")
+            resid_col = (resid_col - step).cast(dec)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("round"),
+                F.lit(f).alias("feature"),
+                F.lit(t).cast("int").alias("threshold"),
+                F.lit(nl).cast("bigint").alias("n_left"),
+                F.lit(nr).cast("bigint").alias("n_right"),
+                F.lit(vl).cast("bigint").alias("left_value_fp"),
+                F.lit(vr).cast("bigint").alias("right_value_fp"),
             )
-            resid = materialize(
-                resid.crossJoin(
-                    F.broadcast(best.select("f", "t", "vl", "vr"))
-                ).select(
-                    "x1", "x2", (F.col("r") - step).cast(dec).alias("r")
-                ),
-                f"q241_resid_r{k}",
-            )
+            for k, (f, t, nl, nr, vl, vr) in enumerate(splits, 1)
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("s"))
+        .select(
+            "s.round",
+            "s.feature",
+            "s.threshold",
+            "s.n_left",
+            "s.n_right",
+            "s.left_value_fp",
+            "s.right_value_fp",
+        )
+    )
     out = rows[0]
     for m in rows[1:]:
         out = out.unionByName(m)

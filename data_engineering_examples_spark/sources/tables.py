@@ -25,6 +25,37 @@ TABLES = [
     "embeddings",
 ]
 
+#: (applicationId, realpath(path)) -> StructType.  Schema-INFERENCE memo
+#: for the immutable input tables (testdata + committed fixtures): every
+#: ``spark.read.parquet(path)`` without an explicit schema pays a
+#: driver-side footer read + Parquet->Catalyst schema conversion, which
+#: measures 100-170 ms per call on this host against 16-35 ms with an
+#: explicit schema — and the registry re-reads the same ~10 paths from
+#: every one of 279 queries.  A production engine resolves table schemas
+#: from the catalog/metastore exactly once, not by re-sampling footers
+#: per query; this memo is that catalog lookup.  METADATA only — the
+#: scan itself still reads the parquet files on every execution, so no
+#: result or data caching is introduced.  Contract (same as the
+#: scale_out partition memo below): the files behind a path are
+#: immutable for the life of an application — true for the driver,
+#: bench, and pytest, whose input dirs are write-once.  Keyed by
+#: applicationId so a stopped-and-recreated session can never resurrect
+#: a stale entry.
+_SCHEMA_MEMO: dict = {}
+
+
+def read_immutable_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` for WRITE-ONCE inputs, with the schema
+    inference memoized per (application, path).  Never use this for
+    scratch/staging paths that are rewritten within a session."""
+    key = (spark.sparkContext.applicationId, os.path.realpath(path))
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 def _read_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet has shipped with two physical types for ``ts``:
     TIMESTAMP(NANOS) — which Spark's vectorized parquet reader rejects
@@ -47,7 +78,7 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    df = read_immutable_parquet(spark, path)
     ts_type = df.schema["ts"].dataType
     if not isinstance(ts_type, LongType):
         # Guard the pass-through: TIMESTAMP(MICROS, isAdjustedToUTC=true)
@@ -81,7 +112,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None
     for name in names or TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            out[name] = _read_events(spark, path) if name == "events" else spark.read.parquet(path)
+            out[name] = (
+                _read_events(spark, path)
+                if name == "events"
+                else read_immutable_parquet(spark, path)
+            )
     return out
 
 

@@ -90,6 +90,21 @@ ACTION_SEAMS = {
     ): "one-row fixpoint probe: count of still-unstable labels after the "
     "bounded propagation rounds, used only to fail loudly if the hard "
     "cap was insufficient",
+    (
+        "plans/training_queries.py",
+        "q240_linear_probe_gd",
+        "first",
+    ): "one-row sufficient-statistics fetch (X^T X / X^T y — nine "
+    "integers from one map-side-combinable aggregate); the GD rounds "
+    "are exact driver arithmetic on those nine numbers, never data",
+    (
+        "plans/training_queries.py",
+        "q241_gbdt_stumps",
+        "first",
+    ): "one-row histogram fetch per boosting round (the candidate-split "
+    "conditional aggregates); split selection is exact integer "
+    "arithmetic over the 14 candidates — the decision every "
+    "distributed GBDT pulls to the driver between passes",
 }
 
 # (module relpath, enclosing function) whose write chains are the point.

@@ -202,9 +202,16 @@ def test_driver_first_calls_are_single_row_bounds_only():
     # connected_components' fixpoint probe — one exact-decimal label sum
     # per checked round (the r9 sf1 sweep showed fixed round budgets
     # silently truncate components at scale).
+    # training_queries.py (r13): q240's one-row sufficient-statistics
+    # fetch (the GD trajectory is driver arithmetic on nine integers)
+    # and q241's one-row histogram fetch per boosting round (split
+    # selection over 14 candidates) — both are the between-pass decision
+    # scalars every distributed trainer pulls to the driver, never data.
     assert sorted(sites) == [
         "etl_queries.py",
         "graph.py",
+        "training_queries.py",
+        "training_queries.py",
         "workflow_queries.py",
         "workflow_queries.py",
         "workflow_queries.py",
