@@ -1667,13 +1667,20 @@ def q112_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass  # session already stopped — scratch reaper gets the files
 
         atexit.register(_drop_tables)
-    write_bucketed(
-        t["orders"].select("o_orderkey", "o_orderpriority"),
-        orders_tbl, "o_orderkey", BUCKET_N, path=f"{base}/orders",
-    )
-    write_bucketed(
-        t["lineitem"].select("l_orderkey", "l_extendedprice"),
-        lineitem_tbl, "l_orderkey", BUCKET_N, path=f"{base}/lineitem",
+    # the two bucketed writes are independent (distinct tables/paths):
+    # overlap them so the second job's tasks back-fill the first's tail
+    # (guide §2.6) — sequential writes left half the executors idle
+    from ..concurrency import run_concurrently
+
+    run_concurrently(
+        lambda: write_bucketed(
+            t["orders"].select("o_orderkey", "o_orderpriority"),
+            orders_tbl, "o_orderkey", BUCKET_N, path=f"{base}/orders",
+        ),
+        lambda: write_bucketed(
+            t["lineitem"].select("l_orderkey", "l_extendedprice"),
+            lineitem_tbl, "l_orderkey", BUCKET_N, path=f"{base}/lineitem",
+        ),
     )
     o = spark.table(orders_tbl)
     li = spark.table(lineitem_tbl)
@@ -5156,14 +5163,24 @@ def q196_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("analytics", "A4", "W3", "experiment"),
 )
 def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
+
     ev = load_tables(spark, sf_dir, ["events"])["events"]
-    score = ev.groupBy("user_id").agg(
-        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
-        .cast("bigint")
-        .alias("s"),
-        F.max(
-            (F.col("event_type") == "purchase").cast("int")
-        ).alias("conv"),
+    # materialize the per-user score table ONCE: it feeds three branches
+    # (distinct-score counts, the n_total scalar, the bucket assignment)
+    # and without a cut point each branch re-aggregates the events scan
+    # — the r13 plan audit counted 48 Exchange nodes from the duplicated
+    # subtree.  At scale this is one corpus aggregation instead of three.
+    score = materialize(
+        ev.groupBy("user_id").agg(
+            F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("int")
+            ).alias("conv"),
+        ),
+        "q197_score",
     )
     counts = score.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     n_total = score.agg(F.count(F.lit(1)).alias("n"))
@@ -5177,7 +5194,14 @@ def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = counts.repartitionByRange(F.col("s").desc()).sortWithinPartitions(
         F.col("s").desc()
     )
-    pid = part.withColumn("__pid", F.spark_partition_id())
+    # materialize the partition-stamped frame: BOTH the per-partition
+    # offset table and the running-sum branch consume it, and re-running
+    # the range partitioning per branch would also re-sample boundaries
+    # — one cut point makes the shared __pid assignment load-bearing by
+    # construction instead of by deterministic-replay argument
+    pid = materialize(
+        part.withColumn("__pid", F.spark_partition_id()), "q197_pid"
+    )
     pc = pid.groupBy("__pid").agg(F.sum("c").alias("__cnt"))
     prior = pc.select(F.col("__pid").alias("__pid2"), F.col("__cnt").alias("__cnt2"))
     offsets = (
@@ -5214,9 +5238,14 @@ def q197_decile_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.size(F.filter(F.col("ts"), lambda t: F.col("s") < t))
         ).alias("decile"),
     )
-    per = bucketed.groupBy("decile").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
-        F.sum("conv").cast("bigint").alias("n_converters"),
+    # ≤10 rows, referenced THREE times (itself, the prev fold, the total
+    # scalar) — cut here so the bucket-assignment aggregate runs once
+    per = materialize(
+        bucketed.groupBy("decile").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("conv").cast("bigint").alias("n_converters"),
+        ),
+        "q197_per",
     )
     total_conv = per.agg(F.sum("n_converters").alias("tc"))
     # ≤10-row cumulative: broadcast theta-join fold, not a window

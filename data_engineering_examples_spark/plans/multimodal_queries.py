@@ -1139,11 +1139,18 @@ def q263_video_container_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "llm", "mapInPandas"),
 )
 def q264_pair_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..scratch import materialize
     from .dedup_queries import _word_trigrams
 
     pairs = _phash_pairs(spark)
     meta = _media(spark).select("media_id", "doc_id")
-    p = (
+    # materialize the doc-annotated pair table ONCE: it feeds three
+    # branches (involved-doc semi-join, the trigram-intersection join,
+    # the final projection), and without a cut point each branch re-runs
+    # the dHash band self-join — the r13 plan audit counted 20 Exchange
+    # + 34 BroadcastExchange nodes from the duplication.  The table is
+    # candidate-output-sized (never corpus-sized) by the band-join bound.
+    p = materialize(
         pairs.select("a_id", "b_id", "hamming")
         .join(
             meta.select(
@@ -1156,7 +1163,8 @@ def q264_pair_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("media_id").alias("b_id"), F.col("doc_id").alias("b_doc")
             ),
             "b_id",
-        )
+        ),
+        "q264_pairs",
     )
     docs = load_tables(spark, sf_dir, ["documents"])["documents"]
     involved = (
@@ -1171,9 +1179,15 @@ def q264_pair_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("t"))
         .filter(F.size("t") >= 3)
     )
-    sh = toks.select(
-        "doc_id", F.explode(_word_trigrams(F.col("t"))).alias("sh")
-    ).distinct()
+    # one cut point for the shingle set too: it feeds both sides of the
+    # intersection join plus the size table (three tokenization passes
+    # otherwise); bounded by the docs the candidate pairs touch
+    sh = materialize(
+        toks.select(
+            "doc_id", F.explode(_word_trigrams(F.col("t"))).alias("sh")
+        ).distinct(),
+        "q264_shingles",
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         p.select("a_id", "b_id", "a_doc", "b_doc")

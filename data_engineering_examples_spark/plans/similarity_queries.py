@@ -1697,12 +1697,19 @@ def q211_ivf_index_persistence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "e", "cent_id", cos_to_cent.alias("cc"))
         .withColumn("rk", F.row_number().over(w_assign))
     )
-    write_version(
-        ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id"),
-        f"{base}/assign",
-    )
-    write_version(
-        cents_plain.select("cent_id", F.col("ce").alias("e")), f"{base}/centroids"
+    # independent publishes (distinct versioned dirs): overlap the two
+    # write jobs (guide §2.6) instead of serializing their task tails
+    from ..concurrency import run_concurrently
+
+    run_concurrently(
+        lambda: write_version(
+            ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id"),
+            f"{base}/assign",
+        ),
+        lambda: write_version(
+            cents_plain.select("cent_id", F.col("ce").alias("e")),
+            f"{base}/centroids",
+        ),
     )
 
     # ---- serve from the published snapshot ----

@@ -716,38 +716,49 @@ def _stream_attribution(
         F.col("event_id").alias("purchase_id"),
         F.col("ts").cast("timestamp").alias("purchase_ts"),
     )
+    from ..concurrency import run_concurrently
+
     if production:
         # one appended file per time slice, written oldest-first —
-        # sequential writes give increasing mtimes, which the file
-        # stream source's ordering respects, so micro-batches replay
-        # the feed in event-time order (a Kafka topic's shape)
+        # sequential writes WITHIN a side give increasing mtimes, which
+        # the file stream source's ordering respects, so micro-batches
+        # replay each feed in event-time order (a Kafka topic's shape).
+        # The two sides are independent directories staged concurrently
+        # (guide §2.6): per-source file order is all that matters —
+        # maxFilesPerTrigger=1 pairs files by index per source, never by
+        # cross-side mtime.
         bounds = ev.select(
             F.min("ts").alias("lo"), F.max("ts").alias("hi")
         ).first()
         n_slices = 3
         span = (bounds.hi - bounds.lo) / n_slices
-        for i in range(n_slices):
-            lo = bounds.lo + span * i
-            hi = bounds.hi if i == n_slices - 1 else bounds.lo + span * (i + 1)
-            upper = (
-                (F.col("click_ts") <= F.lit(hi))
-                if i == n_slices - 1
-                else (F.col("click_ts") < F.lit(hi))
-            )
-            clicks_df.filter(
-                (F.col("click_ts") >= F.lit(lo)) & upper
-            ).coalesce(1).write.mode("append").parquet(clicks_in)
-            upper_p = (
-                (F.col("purchase_ts") <= F.lit(hi))
-                if i == n_slices - 1
-                else (F.col("purchase_ts") < F.lit(hi))
-            )
-            purch_df.filter(
-                (F.col("purchase_ts") >= F.lit(lo)) & upper_p
-            ).coalesce(1).write.mode("append").parquet(purch_in)
+
+        def _stage(df, ts_col: str, path: str) -> None:
+            for i in range(n_slices):
+                lo = bounds.lo + span * i
+                hi = (
+                    bounds.hi
+                    if i == n_slices - 1
+                    else bounds.lo + span * (i + 1)
+                )
+                upper = (
+                    (F.col(ts_col) <= F.lit(hi))
+                    if i == n_slices - 1
+                    else (F.col(ts_col) < F.lit(hi))
+                )
+                df.filter((F.col(ts_col) >= F.lit(lo)) & upper).coalesce(
+                    1
+                ).write.mode("append").parquet(path)
+
+        run_concurrently(
+            lambda: _stage(clicks_df, "click_ts", clicks_in),
+            lambda: _stage(purch_df, "purchase_ts", purch_in),
+        )
     else:
-        clicks_df.coalesce(1).write.parquet(clicks_in)
-        purch_df.coalesce(1).write.parquet(purch_in)
+        run_concurrently(
+            lambda: clicks_df.coalesce(1).write.parquet(clicks_in),
+            lambda: purch_df.coalesce(1).write.parquet(purch_in),
+        )
 
     click_reader = spark.readStream.schema(
         "user_id long, click_id long, click_ts timestamp"
@@ -970,17 +981,30 @@ def q130_stream_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     # two batches split by event id parity — each touches most days, so
-    # the second batch exercises UPDATE paths, not just inserts
-    feed.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(inp)
-    feed.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(inp)
+    # the second batch exercises UPDATE paths, not just inserts.  The
+    # feed staging (one directory, sequential appends) and the empty
+    # rollup seed (a different directory) are independent: overlap them
+    # from two driver threads (guide §2.6).
+    from ..concurrency import run_concurrently
 
-    # seed an empty rollup table so the writer's read() resolves
-    empty = spark.createDataFrame(
-        [], "event_type string, day date, n_events long, value_millis long"
-    )
-    empty.write.parquet(target)
+    def _stage_feed() -> None:
+        feed.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(inp)
+        feed.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def _seed_rollup() -> None:
+        # JVM-side empty relation: range(0) projected to the rollup
+        # schema (a Python-serialized createDataFrame([]) pays encoder
+        # setup for nothing)
+        spark.range(0).select(
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("date").alias("day"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.lit(None).cast("long").alias("value_millis"),
+        ).write.parquet(target)
+
+    run_concurrently(_stage_feed, _seed_rollup)
     writer = ParquetSwapMergeWriter(spark, target)
 
     stream = spark.readStream.schema(
@@ -1160,21 +1184,36 @@ def q242_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     hi = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("hi")).first().hi
     # file 1: all real rows (time-ordered delivery is trivial with one
     # real file); files 2..3: the sentinel pair, written sequentially so
-    # mtime order == event-time order (q97's production-path staging)
-    clicks_df.coalesce(1).write.mode("append").parquet(clicks_in)
-    purch_df.coalesce(1).write.mode("append").parquet(purch_in)
-    for h in Q242_SENTINEL_H:
-        sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
-        spark.range(1).select(
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit(-1).cast("long").alias("click_id"),
-            sent.alias("click_ts"),
-        ).coalesce(1).write.mode("append").parquet(clicks_in)
-        spark.range(1).select(
-            F.lit(-1).cast("long").alias("p_user_id"),
-            F.lit(-1).cast("long").alias("purchase_id"),
-            sent.alias("purchase_ts"),
-        ).coalesce(1).write.mode("append").parquet(purch_in)
+    # mtime order == event-time order (q97's production-path staging).
+    # The two SIDES are independent feed directories: stage them from
+    # two driver threads (guide §2.6) — within a side the writes stay
+    # sequential (mtime order is load-bearing; concurrent appends to one
+    # directory also race the output committer), across sides only the
+    # per-source file ORDER matters, never cross-side mtimes
+    # (maxFilesPerTrigger=1 pairs files by index per source).
+    from ..concurrency import run_concurrently
+
+    def _stage_clicks() -> None:
+        clicks_df.coalesce(1).write.mode("append").parquet(clicks_in)
+        for h in Q242_SENTINEL_H:
+            sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(-1).cast("long").alias("click_id"),
+                sent.alias("click_ts"),
+            ).coalesce(1).write.mode("append").parquet(clicks_in)
+
+    def _stage_purchases() -> None:
+        purch_df.coalesce(1).write.mode("append").parquet(purch_in)
+        for h in Q242_SENTINEL_H:
+            sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("p_user_id"),
+                F.lit(-1).cast("long").alias("purchase_id"),
+                sent.alias("purchase_ts"),
+            ).coalesce(1).write.mode("append").parquet(purch_in)
+
+    run_concurrently(_stage_clicks, _stage_purchases)
 
     clicks = (
         spark.readStream.schema("user_id long, click_id long, click_ts timestamp")

@@ -134,11 +134,18 @@ WRITE_SEAMS = {
     ("plans/workflow_queries.py", "q83_stateful_progress"): "stream staging",
     ("plans/workflow_queries.py", "q84_stream_dedup"): "stream staging",
     ("plans/workflow_queries.py", "_stream_attribution"): "stream staging",
+    ("plans/workflow_queries.py", "_stage"): "q97 production-path stream "
+    "staging (per-side time-slice writer, run per side from §2.6 threads)",
     ("plans/workflow_queries.py", "q120_stream_sessions"): "stream staging",
-    ("plans/workflow_queries.py", "q130_stream_rollup_merge"): "stream staging",
+    ("plans/workflow_queries.py", "_stage_feed"): "q130 stream staging "
+    "(parity-split feed files, §2.6-overlapped with the rollup seed)",
+    ("plans/workflow_queries.py", "_seed_rollup"): "q130 empty rollup-table "
+    "seed write (the MergeWriter target, §2.6-overlapped with the feed)",
     ("plans/workflow_queries.py", "q144_stream_static_enrich"): "stream staging",
-    ("plans/workflow_queries.py", "q242_stream_attribution_outer"): "stream "
-    "staging",
+    ("plans/workflow_queries.py", "_stage_clicks"): "q242 click-side feed "
+    "staging (real rows + two watermark sentinels, mtime-ordered)",
+    ("plans/workflow_queries.py", "_stage_purchases"): "q242 purchase-side "
+    "feed staging (real rows + two watermark sentinels, mtime-ordered)",
     ("plans/workflow_queries.py", "_write_batch"): "foreachBatch sink body",
 }
 
