@@ -653,6 +653,30 @@ def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clustering (IVF list training for q50's index).
 
 KMEANS_SCALE = 1_000_000.0
+
+def _xq_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quantized per-dim embedding fact: (vec_id, dim, xq) with
+    xq = floor(x * KMEANS_SCALE) — the exact-integer substrate FIVE
+    pipelines consume (q94 Lloyd, q101 PQ codes, q107 drift, q175
+    IVF-PQ, q235 learned SemDeDup; q230 reads its (dim, xq) slice).
+    Built ONCE per (session, sf_dir) through the memo_substrate seam —
+    the same corpus-snapshot policy as the shingle/LSH-pair tables —
+    instead of one explode+quantize pass per consumer per invocation."""
+
+    def build() -> DataFrame:
+        emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
+        return emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "x")
+        ).select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
+            .cast("bigint")
+            .alias("xq"),
+        )
+
+    return memo_substrate(spark, "kmeans_xq", sf_dir, build)
+
 KMEANS_ITERS = 2  # fixed, unrolled in the oracle
 
 
@@ -713,22 +737,9 @@ def _duck_kmeans_oracle() -> str:
     tags=("similarity", "llm", "iterative"),
 )
 def q94_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    # quantized per-dim substrate, materialized ONCE for all five passes
-    # (re-deriving it per pass re-pays explode+floor ×5 — same pattern
-    # as q23's shingle substrate)
-    xq = (
-        materialize(
-            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-                "vec_id",
-                F.col("dim").cast("int").alias("dim"),
-                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-                .cast("bigint")
-                .alias("xq"),
-            ),
-            "q94_kmeans_xq",
-        )
-    )
+    # shared quantized per-dim substrate (one build per session serves
+    # all five exact-integer embedding pipelines — see _xq_substrate)
+    xq = _xq_substrate(spark, sf_dir)
 
     def assign(cent: DataFrame) -> DataFrame:
         """argmin_c Σ_d (n·xq − cs_d)² — exact DECIMAL(19,0) arithmetic;
@@ -840,19 +851,13 @@ def _duck_pq_oracle() -> str:
     tags=("similarity", "llm"),
 )
 def q101_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    sub = (
-        materialize(
-            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-                "vec_id",
-                (F.col("dim").cast("int") / SUB_DIM).cast("int").alias("subspace"),
-                F.col("dim").cast("int").alias("dim"),
-                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-                .cast("bigint")
-                .alias("xq"),
-            ),
-            "q101_pq_sub",  # feeds both the codebook and the fact side
-        )
+    # shared substrate + a lazy subspace projection (dim div SUB_DIM is
+    # the same truncating division the dedicated build used)
+    sub = _xq_substrate(spark, sf_dir).select(
+        "vec_id",
+        (F.col("dim") / SUB_DIM).cast("int").alias("subspace"),
+        "dim",
+        "xq",
     )
     cb = sub.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("subspace").alias("c_subspace"),
@@ -1051,19 +1056,9 @@ def q106_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "llm", "quality"),
 )
 def q107_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    xq = (
-        materialize(
-            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-                "vec_id",
-                F.col("dim").cast("int").alias("dim"),
-                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-                .cast("bigint")
-                .alias("xq"),
-            ),
-            "q107_drift_xq",  # feeds seeds, assignment, and both batch aggs
-        )
-    )
+    # shared quantized substrate (feeds seeds, assignment, both batch
+    # aggs — one session-wide build, see _xq_substrate)
+    xq = _xq_substrate(spark, sf_dir)
     seeds = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("vec_id").alias("cluster"), "dim", F.col("xq").alias("cs")
     )
@@ -1373,19 +1368,8 @@ def _duck_ivfpq_oracle() -> str:
     tags=("similarity", "llm"),
 )
 def q175_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    xq = (
-        materialize(
-            emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-                "vec_id",
-                F.col("dim").cast("int").alias("dim"),
-                F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-                .cast("bigint")
-                .alias("xq"),
-            ),
-            "q175_ivfpq_xq",  # feeds coarse assign, codes, and the LUT
-        )
-    )
+    # shared quantized substrate (feeds coarse assign, codes, the LUT)
+    xq = _xq_substrate(spark, sf_dir)
     coarse = xq.filter(F.col("vec_id").isin(CENT_IDS)).select(
         F.col("vec_id").alias("cent_id"), "dim", F.col("xq").alias("cs")
     )
@@ -2114,13 +2098,9 @@ _Q230_SCALAR = """
     tags=("similarity", "llm", "agg"),
 )
 def q230_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    xq = emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-        F.col("dim").cast("int").alias("dim"),
-        F.floor(F.col("x").cast("double") * F.lit(1000000))
-        .cast("bigint")
-        .alias("xq"),
-    )
+    # the shared substrate's (dim, xq) slice: KMEANS_SCALE is the same
+    # 1e6 fixed point this audit always used
+    xq = _xq_substrate(spark, sf_dir).select("dim", "xq")
     dec18, dec38 = "DECIMAL(18,0)", "DECIMAL(38,0)"
     per_dim = xq.groupBy("dim").agg(
         F.count(F.lit(1)).cast(dec38).alias("n"),
@@ -2628,16 +2608,9 @@ def _duck_semdedup_learned_oracle() -> str:
 )
 def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
-    xq = materialize(
-        emb.select("vec_id", F.posexplode("embedding").alias("dim", "x")).select(
-            "vec_id",
-            F.col("dim").cast("int").alias("dim"),
-            F.floor(F.col("x").cast("double") * F.lit(KMEANS_SCALE))
-            .cast("bigint")
-            .alias("xq"),
-        ),
-        "q235_xq",
-    )
+    # shared quantized substrate (one session-wide build feeds all Lloyd
+    # passes here and the four sibling pipelines — see _xq_substrate)
+    xq = _xq_substrate(spark, sf_dir)
 
     def assign(cent: DataFrame) -> DataFrame:
         diff = (F.col("n") * F.col("xq") - F.col("cs")).cast("decimal(19,0)")

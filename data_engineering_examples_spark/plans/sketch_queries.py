@@ -189,8 +189,19 @@ def q156_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..scratch import materialize
 
     t = load_tables(spark, sf_dir, ["orders", "customer"])
-    ka = materialize(_kmv_minmerge(t["orders"], "o_custkey", KMV_K), "q156_kmv_a")
-    kb = materialize(_kmv_minmerge(t["customer"], "c_custkey", KMV_K), "q156_kmv_b")
+    # the two per-side sketch builds are independent full passes over
+    # different tables: overlap them (guide §2.6) — see the concurrent-
+    # materialize attribution note on scratch._LOCAL_CHECKPOINT_IDS
+    from ..concurrency import run_concurrently
+
+    ka, kb = run_concurrently(
+        lambda: materialize(
+            _kmv_minmerge(t["orders"], "o_custkey", KMV_K), "q156_kmv_a"
+        ),
+        lambda: materialize(
+            _kmv_minmerge(t["customer"], "c_custkey", KMV_K), "q156_kmv_b"
+        ),
+    )
 
     w = Window.partitionBy(F.lit(1)).orderBy("h")  # ≤ 2k rows
     merged = materialize(

@@ -1166,7 +1166,11 @@ def _q212_duck_match(p: int) -> str:
     tags=("text", "llm", "quality"),
 )
 def q212_periodicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # scale_out: the per-period zip_with folds are interpreted
+    # higher-order expressions trapped in the one-row-group scan task
+    # (profiled 1 job / 1 task / 1.1 executor-sec at sf0.1); no-op on a
+    # multi-file corpus at scale
+    d = scale_out(_docs(spark, sf_dir))
     t = F.split(d.text, " ")
     n = F.size(t)
 

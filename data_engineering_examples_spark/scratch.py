@@ -62,8 +62,11 @@ _MATERIALIZE_GEN: dict[str, int] = {}
 #: blocks belong to the *internal* RDD the Dataset wrapped — reachable
 #: only through ``SparkContext.getPersistentRDDs``.  The ids are
 #: captured as the before/after diff around the (eager) checkpoint
-#: call; materialize() is driver-side single-threaded in every session
-#: loop that opts into ``local`` mode, so the diff is exact.
+#: call.  CONCURRENT materialize() calls (the guide-§2.6 overlap
+#: seams) can only over-attribute: a checkpoint id is always present in
+#: its own caller's after-diff (never in that caller's before-snapshot),
+#: so ids are never missed — at worst an id lands in two diffs and is
+#: released twice, which ``jrdd.unpersist`` treats as a no-op.
 _LOCAL_CHECKPOINT_IDS: list[int] = []
 
 

@@ -51,6 +51,15 @@ CONSUMERS = [
     "q224_image_phash_neardup",
     "q226_canonical_media",
     "q264_pair_dedup_verdict",
+    # kmeans_xq substrate (similarity_queries._xq_substrate, r13): the
+    # quantized per-dim embedding fact shared by five exact-integer
+    # pipelines — cover the Lloyd consumer, the PQ-code consumer (which
+    # derives its subspace projection from the shared dims), and the
+    # learned-SemDeDup composer (deepest chain: substrate -> 2 Lloyd
+    # rounds -> pair closure)
+    "q94_kmeans_refine",
+    "q101_pq_codes",
+    "q235_semantic_dedup_learned",
 ]
 
 _CHILD = """
