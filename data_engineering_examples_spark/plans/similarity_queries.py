@@ -226,6 +226,29 @@ def _signatures(v: DataFrame) -> DataFrame:
     return sig.select("vec_id", "e", bands).select("vec_id", "e", "bb.band", "bb.bkey")
 
 
+def _lsh_bands_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, band, bkey) LSH signature/band table over the FULL
+    embeddings table — the ANN index q32 serves probes from and q49
+    mines near-dup candidates from.  Built ONCE per (session, sf_dir)
+    through the memo_substrate seam: a production ANN stack builds the
+    banded index in one batch job and every consumer reads it (q211 is
+    the publish/serve demonstration of exactly that cycle); re-deriving
+    the 16 interpreted hyperplane dot products per consumer per
+    invocation was the single hottest repeated compute in the
+    similarity family.  q238 keeps its own in-query signatures — its
+    input is the exact-dedup CANONICAL subset, not the full table."""
+
+    def build() -> DataFrame:
+        emb = scale_out(
+            load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        )
+        return _signatures(
+            emb.select("vec_id", _to_double("embedding").alias("e"))
+        )
+
+    return memo_substrate(spark, "lsh_bands", sf_dir, build)
+
+
 @register(
     "q32_ann_lsh_topk",
     oracle=_duck_ann_oracle(),
@@ -237,7 +260,8 @@ def q32_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never inherit a one-row-group scan's single-partition layout
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
-    bands = _signatures(v)
+    # session-wide banded index (see _lsh_bands_substrate)
+    bands = _lsh_bands_substrate(spark, sf_dir)
 
     probes = bands.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
@@ -346,16 +370,22 @@ def q49_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never inherit a one-row-group scan's single-partition layout
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
-    return _neardup_pairs(v)
+    # full-table consumer: candidates come from the session-wide banded
+    # index instead of re-deriving the signatures per invocation
+    return _neardup_pairs(v, bands=_lsh_bands_substrate(spark, sf_dir))
 
 
-def _neardup_pairs(v: DataFrame) -> DataFrame:
+def _neardup_pairs(v: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     """q49's LSH-banded near-dup pipeline over ``v`` = (vec_id,
     e: array<double>): band-bucket candidates (≥2 shared bands) +
     exact-fold cosine threshold.  Factored out so q238 can run the SAME
     pipeline over the exact-dedup CANONICAL vectors (the measured
-    pipeline-ordering dial from the r9 sf1 sweep)."""
-    bands = _signatures(v)
+    pipeline-ordering dial from the r9 sf1 sweep).  ``bands`` lets a
+    full-table caller pass the session-wide banded-index substrate;
+    subset callers (q238's canonical set) leave it None and derive
+    signatures from their own ``v``."""
+    if bands is None:
+        bands = _signatures(v)
 
     # shuffle-hash hint: scale-correct (never broadcast the full band
     # table) and collapses the two identical signature subplans into one
@@ -574,6 +604,43 @@ def _duck_ivf_oracle() -> str:
     """
 
 
+
+def _ivf_ranked_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id, rk) — every vector's centroids ranked by cosine
+    (the IVF coarse index: rk = 1 is the posting-list assignment, rk <=
+    nprobe are a probe's lists).  One session-wide build through the
+    memo_substrate seam serves q50's serve path and q217's filtered
+    search; q211 deliberately keeps its own build — its subject IS the
+    build->publish->serve cycle.  The rk ranking is a deterministic
+    row_number over the per-vector cosine ordering (ties to the lower
+    cent_id), so the integer table round-trips parquet exactly."""
+
+    def build() -> DataFrame:
+        emb = scale_out(
+            load_tables(spark, sf_dir, ["embeddings"])["embeddings"]
+        )
+        v = emb.select("vec_id", _to_double("embedding").alias("e"))
+        cents = F.broadcast(
+            v.filter(F.col("vec_id").isin(CENT_IDS)).select(
+                F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
+            )
+        )
+        cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
+            F.sqrt(_dot(F.col("e"), F.col("e")))
+            * F.sqrt(_dot(F.col("ce"), F.col("ce")))
+        )
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.desc("cc"), F.asc("cent_id")
+        )
+        return (
+            v.crossJoin(cents)
+            .select("vec_id", "cent_id", cos_to_cent.alias("cc"))
+            .withColumn("rk", F.row_number().over(w_assign))
+            .select("vec_id", "cent_id", "rk")
+        )
+
+    return memo_substrate(spark, "ivf_ranked", sf_dir, build)
+
 @register(
     "q50_ivf_topk",
     oracle=_duck_ivf_oracle(),
@@ -585,20 +652,8 @@ def q50_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never inherit a one-row-group scan's single-partition layout
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", _to_double("embedding").alias("e"))
-    cents = F.broadcast(
-        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
-            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-        )
-    )
-    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
-    ranked = (
-        v.crossJoin(cents)
-        .select("vec_id", "e", "cent_id", cos_to_cent.alias("cc"))
-        .withColumn("rk", F.row_number().over(w_assign))
-    )
+    # session-wide coarse index (see _ivf_ranked_substrate)
+    ranked = _ivf_ranked_substrate(spark, sf_dir)
     assign = ranked.filter(F.col("rk") == 1).select("vec_id", "cent_id")
     probe_lists = (
         ranked.filter((F.col("rk") <= N_PROBE_LISTS) & (F.col("vec_id") < N_PROBES))
@@ -1816,25 +1871,18 @@ def _duck_filtered_ann_oracle() -> str:
 def q217_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = scale_out(load_tables(spark, sf_dir, ["embeddings"])["embeddings"])
     v = emb.select("vec_id", "label", _to_double("embedding").alias("e"))
-    cents = F.broadcast(
-        v.filter(F.col("vec_id").isin(CENT_IDS)).select(
-            F.col("vec_id").alias("cent_id"), F.col("e").alias("ce")
-        )
-    )
-    cos_to_cent = _dot(F.col("e"), F.col("ce")) / (
-        F.sqrt(_dot(F.col("e"), F.col("e"))) * F.sqrt(_dot(F.col("ce"), F.col("ce")))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("cent_id"))
-    ranked = (
-        v.crossJoin(cents)
-        .select("vec_id", "label", "e", "cent_id", cos_to_cent.alias("cc"))
-        .withColumn("rk", F.row_number().over(w_assign))
-    )
+    # session-wide coarse index (see _ivf_ranked_substrate)
+    ranked = _ivf_ranked_substrate(spark, sf_dir)
     # the metadata predicate lands on the assignment substrate — at a
     # persisted index (q211's store) this is a pushed parquet filter on
-    # the posting lists, not a post-filter on scored results
+    # the posting lists, not a post-filter on scored results.  The label
+    # column no longer rides the ranking window: it re-attaches with one
+    # vec_id-keyed join of two N-row tables (broadcast at test SF via
+    # AQE; a co-keyed narrow join at scale) — cheaper than re-running
+    # the N x K ranking per query.
     assign = (
         ranked.filter(F.col("rk") == 1)
+        .join(v.select("vec_id", "label"), "vec_id")
         .filter(F.col("label").isin(*FILTER_LABELS))
         .select("vec_id", "cent_id")
     )

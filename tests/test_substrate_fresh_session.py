@@ -60,6 +60,15 @@ CONSUMERS = [
     "q94_kmeans_refine",
     "q101_pq_codes",
     "q235_semantic_dedup_learned",
+    # lsh_bands substrate (similarity_queries._lsh_bands_substrate, r13):
+    # the probe server and the near-dup miner; q201 composes q32 so the
+    # recall audit rides the same coverage
+    "q32_ann_lsh_topk",
+    "q49_embedding_neardup",
+    # ivf_ranked substrate (similarity_queries._ivf_ranked_substrate,
+    # r13): the serve path and the label-filtered search
+    "q50_ivf_topk",
+    "q217_filtered_ann",
 ]
 
 _CHILD = """
