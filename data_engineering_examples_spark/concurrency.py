@@ -56,5 +56,12 @@ def run_concurrently(*thunks: Callable[[], Any]) -> list[Any]:
     for t in threads:
         t.join()
     if errors:
+        if len(errors) > 1:
+            # don't lose the other failures' tracebacks: raise them as
+            # one group so every overlapped write's error is reported
+            raise BaseExceptionGroup(
+                f"{len(errors)} of {len(thunks)} concurrent actions failed",
+                errors,
+            )
         raise errors[0]
     return results

@@ -663,6 +663,21 @@ def _tdiv(a: int, b: int) -> int:
     return q if (a >= 0) == (b >= 0) else -q
 
 
+def _chk38(*vals: int) -> None:
+    """Fail LOUDLY if a fixed-point intermediate leaves the
+    DECIMAL(38,0)/HUGEINT envelope.  The driver-side Python ints that
+    replaced the ANSI DECIMAL expressions are unbounded, while the
+    engines raise on overflow — at extreme corpus magnitudes the Python
+    trajectory must diverge with an error exactly like the plan it
+    replaced, never with silently wider integers the oracle cannot
+    represent."""
+    for v in vals:
+        if abs(v) >= 10**38:
+            raise OverflowError(
+                f"fixed-point intermediate exceeds DECIMAL(38,0): {v!r}"
+            )
+
+
 @register(
     "q240_linear_probe_gd",
     oracle=_q240_oracle(),
@@ -701,6 +716,7 @@ def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x2") * F.col("y")).alias("b2"),
     ).first()
     n, s1, s2, s11, s12, s22, b0, b1, b2 = (int(st[k]) for k in _Q240_STATS)
+    _chk38(n, s1, s2, s11, s12, s22, b0, b1, b2)
     # Python ints are exact like DECIMAL(38,0)/HUGEINT; the only division
     # is the engines' integral `div`/`//` = truncation toward zero,
     # which Python's floor-`//` must be corrected for on negatives.
@@ -714,6 +730,7 @@ def q240_linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         w0 -= _tdiv(g0, lrden)
         w1 -= _tdiv(g1, lrden)
         w2 -= _tdiv(g2, lrden)
+        _chk38(g0, g1, g2, w0, w1, w2)
         traj.append((w0, w1, w2))
     # JVM-side literal rows (range(1) + explode), not createDataFrame:
     # a Python-serialized local relation pays several seconds of encoder
@@ -884,6 +901,7 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         hist = feats.agg(*aggs).first()
         n, s = int(hist["n"]), int(hist["s"])
+        _chk38(n, s)
         # exact integer argmax, ties (gain DESC, f ASC, t ASC) — the
         # same ordering the previous TakeOrdered(1) plan used
         best = None
@@ -892,10 +910,9 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             nr, sr = n - nl, s - sl
             if nl <= 0 or nr <= 0:
                 continue
-            gain = _tdiv(
-                (sl * sl * nr + sr * sr * nl) * n - s * s * nl * nr,
-                nl * nr * n,
-            )
+            num = (sl * sl * nr + sr * sr * nl) * n - s * s * nl * nr
+            _chk38(num)
+            gain = _tdiv(num, nl * nr * n)
             vl, vr = _tdiv(sl, 2 * nl), _tdiv(sr, 2 * nr)
             key = (-gain, f, t)
             if best is None or key < best[0]:
@@ -936,10 +953,6 @@ def q241_gbdt_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s.right_value_fp",
         )
     )
-    out = rows[0]
-    for m in rows[1:]:
-        out = out.unionByName(m)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -34,8 +34,14 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 
 _ROOT: str | None = None
+#: scratch_root() is reachable from concurrent driver threads (the
+#: guide-§2.6 overlap seams call materialize() from run_concurrently
+#: workers); without the lock two first-callers could each mkdtemp,
+#: splitting substrates across roots and orphaning one of them.
+_ROOT_LOCK = threading.Lock()
 
 #: Env switch for :func:`materialize`.  ``parquet`` (default) is the
 #: durable, cluster-correct implementation; ``local`` is the
@@ -114,10 +120,11 @@ def release_local_checkpoints() -> int:
 def scratch_root() -> str:
     """Lazily create the per-process scratch root (removed atexit)."""
     global _ROOT
-    if _ROOT is None:
-        _ROOT = tempfile.mkdtemp(prefix=f"spark_graft_scratch_{os.getpid()}_")
-        atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
-    return _ROOT
+    with _ROOT_LOCK:
+        if _ROOT is None:
+            _ROOT = tempfile.mkdtemp(prefix=f"spark_graft_scratch_{os.getpid()}_")
+            atexit.register(shutil.rmtree, _ROOT, ignore_errors=True)
+        return _ROOT
 
 
 def scratch_dir(name: str) -> str:

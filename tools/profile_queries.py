@@ -22,7 +22,7 @@ Writes a per-query JSON map to stdout (one line per query) with:
   stages     completed stage count (AQE reuse collapses duplicates)
   tasks      total task count
   shuf_mb    total shuffle read MB across its stages
-  out_rows   rows written to the noop sink (sanity)
+  exec_sec   summed stage executorRunTime (executor-seconds, all cores)
 """
 
 from __future__ import annotations
@@ -127,7 +127,7 @@ def main() -> None:
             "shuf_mb": round(
                 sum(s.get("shuffleReadBytes", 0) for s in new_stages) / 1e6, 2
             ),
-            "py_sec": round(
+            "exec_sec": round(
                 sum(
                     s.get("executorRunTime", 0) for s in new_stages
                 ) / 1e3, 1
