@@ -29,6 +29,17 @@ N>=3 so one scheduler stall can't masquerade as a plan regression — or
 hide one.  Repeats are interleaved (full pass 1, then full pass 2, ...)
 rather than back-to-back per query, so a transient host stall lands on
 at most one sample of MANY queries instead of all samples of one.
+
+Session-shared substrates (``scratch.memo_substrate`` tables: dedup
+clusters, LSH pairs, image dhashes, the quantized-embedding fact, ANN
+index structures) are built ONCE per session up front and timed as
+their own ``substrate__<name>`` entries in ``queries`` (entries only
+ever added, never removed/renamed), so the build cost is explicit
+instead of hiding in the first consumer's pass-1 run where the median
+silently dropped it.  Queries served warm from the memo are listed in
+the record's ``substrate_warm`` map — their per-query numbers measure
+substrate SERVING, not building, exactly like a production pipeline
+whose index/dedup tables are materialized once per corpus snapshot.
 """
 
 from __future__ import annotations
@@ -143,10 +154,42 @@ def main() -> None:
     ).save()
     _warm_python_and_streaming(spark)
 
-    from data_engineering_examples_spark.scratch import release_local_checkpoints
+    from data_engineering_examples_spark.scratch import (
+        drain_substrate_hits,
+        release_local_checkpoints,
+    )
+
+    # Session-shared substrate builds (memo_substrate) are timed as their
+    # OWN named entries, once per session — a production pipeline
+    # materializes these tables once per corpus snapshot, and folding the
+    # build into whichever consumer runs first (then reporting a warm
+    # median) hid the cost entirely (r13 verdict ask #1).  Consumers run
+    # substrate-warm in every pass and are tagged as such in the record
+    # via ``substrate_warm``.  Default ON for full-registry runs; OFF
+    # under SPARK_GRAFT_BENCH_ONLY (isolated profiling keeps the r13
+    # semantics: the first run pays any build, medians stay warm) —
+    # SPARK_GRAFT_BENCH_SUBSTRATES=1/0 overrides either way.
+    sub_env = os.environ.get("SPARK_GRAFT_BENCH_SUBSTRATES")
+    prebuild = (not only) if sub_env is None else sub_env != "0"
+    substrate_timings: dict[str, float] = {}
+    if prebuild:
+        from data_engineering_examples_spark.plans.substrates import (
+            substrate_builders,
+        )
+
+        for sname, trigger in substrate_builders().items():
+            spark.sparkContext.setJobDescription(f"substrate build: {sname}")
+            t0 = time.perf_counter()
+            trigger(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 4)
+            substrate_timings[f"substrate__{sname}"] = dt
+            print(f"# [substrate] {sname}: {dt:.3f}s", file=sys.stderr)
+            spark.sparkContext.setJobDescription(None)
+        drain_substrate_hits()  # the builds' own dependency hits
 
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
     runs: dict[str, list[float]] = {name: [] for name in specs}
+    substrate_warm: dict[str, list[str]] = {}
     for pass_no in range(repeat):
         for name, spec in specs.items():
             t0 = time.perf_counter()
@@ -164,9 +207,16 @@ def main() -> None:
             release_local_checkpoints()
             dt = round(time.perf_counter() - t0, 4)
             runs[name].append(dt)
+            hits = drain_substrate_hits()
+            if hits:
+                seen = substrate_warm.setdefault(name, [])
+                for h in hits:
+                    if h not in seen:
+                        seen.append(h)
             print(f"# [{pass_no + 1}/{repeat}] {name}: {dt:.3f}s", file=sys.stderr)
 
     timings = {name: round(statistics.median(r), 4) for name, r in runs.items()}
+    timings.update(substrate_timings)  # one-time builds, visible as entries
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "declared_query_set_total_runtime",
@@ -175,6 +225,12 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if substrate_warm:
+        # which substrates each query was served WARM from the memo —
+        # those per-query numbers measure serving, not building
+        out["substrate_warm"] = {
+            q: sorted(names) for q, names in sorted(substrate_warm.items())
+        }
     if repeat > 1:
         out["repeat"] = repeat
         out["queries_spread"] = {
@@ -228,7 +284,11 @@ def shape_stdout(out: dict, full_path: str | None,
     line = json.dumps(out)
     if len(line) <= budget:
         return line
-    slim = {k: v for k, v in out.items() if k != "queries_spread"}
+    slim = {
+        k: v
+        for k, v in out.items()
+        if k not in ("queries_spread", "substrate_warm")
+    }
     slim["n_queries"] = len(out["queries"])
     if full_path:
         slim["queries_full"] = os.path.relpath(

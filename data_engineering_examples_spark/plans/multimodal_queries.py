@@ -462,9 +462,12 @@ def q224_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_pairs(spark)
 
 
-def _phash_pairs(spark: SparkSession) -> DataFrame:
-    """Shared dHash-band-join pair finder (q224's body; q226 composes it
-    with connected components, q264 joins it to caption Jaccard)."""
+def _image_dhash(spark: SparkSession) -> DataFrame:
+    """The (media_id, format, dhash) substrate: decode + perceptual hash
+    of every image, memoized per (session, fixtures dir).  Factored out
+    of :func:`_phash_pairs` so the bench can time the build as its own
+    named entry (r13 verdict ask #1 — substrate costs must be visible,
+    not folded into whichever consumer runs first)."""
     from ..operators.media import decode_image, dhash
 
     imgs = (
@@ -512,7 +515,13 @@ def _phash_pairs(spark: SparkSession) -> DataFrame:
             hash_batch, "media_id bigint, format string, dhash bigint"
         )
 
-    hashed = memo_substrate(spark, "image_dhash", FX, build)
+    return memo_substrate(spark, "image_dhash", FX, build)
+
+
+def _phash_pairs(spark: SparkSession) -> DataFrame:
+    """Shared dHash-band-join pair finder (q224's body; q226 composes it
+    with connected components, q264 joins it to caption Jaccard)."""
+    hashed = _image_dhash(spark)
 
     bands = hashed.select(
         "media_id",

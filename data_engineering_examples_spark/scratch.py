@@ -196,6 +196,20 @@ def materialize(df, name: str):
 #: bytes per dead session — nothing compared to the JVM it wrapped.
 _SUBSTRATE_MEMO: dict = {}
 
+#: substrate names served from the memo since the last drain — the
+#: bench uses this to tag each query record as substrate-warm (r13
+#: verdict ask #1: warm serving must be visible in the bench record,
+#: not mistaken for a query-level speedup).
+_SUBSTRATE_HITS: list[str] = []
+
+
+def drain_substrate_hits() -> list[str]:
+    """Return (and clear) the substrate names served from the memo
+    since the last call.  Purely observational — no effect on the memo."""
+    out = _SUBSTRATE_HITS[:]
+    del _SUBSTRATE_HITS[:]
+    return out
+
 
 def memo_substrate(spark, name: str, sf_dir: str, build):
     """Session-scoped memo for a substrate SHARED BY MANY QUERIES.
@@ -226,6 +240,7 @@ def memo_substrate(spark, name: str, sf_dir: str, build):
     hit = _SUBSTRATE_MEMO.get(key)
     if hit is not None:
         path, schema = hit
+        _SUBSTRATE_HITS.append(name)
         return spark.read.schema(schema).parquet(path)
     df = build()
     # The session id is part of the path digest: two live sessions in one

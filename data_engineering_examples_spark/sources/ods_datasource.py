@@ -20,6 +20,14 @@ Python DataSource API (``pyspark.sql.datasource``, Spark 4):
   ``spark.read.csv`` (and the reference's pandas ``read_csv`` +
   ``isna`` guards) produce, so the downstream ``read_epraccur``
   semantics in ``ods.py`` are unchanged.
+* The Python→JVM boundary is ARROW in both directions (optimization
+  guide §4.1): readers yield one ``pyarrow.RecordBatch`` per decoded
+  member chunk instead of per-row tuples (which the worker would
+  pickle row-at-a-time), and the writers subclass the Arrow writer
+  bases so incoming data arrives as RecordBatches rather than pickled
+  Rows.  Decode/encode semantics are bit-identical — the same
+  ``csv`` module does the parsing/formatting; only the transport
+  format across the worker boundary changes.
 
 Scope note (same as ``ods.py``): the HTTP fetch stays a driver-side /
 upstream concern; the archive path handed to this source must be on
@@ -38,7 +46,6 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
-    DataSourceStreamWriter,
     EqualTo,
     Filter,
     InputPartition,
@@ -50,6 +57,50 @@ from pyspark.sql.types import StringType, StructField, StructType
 from .ods import EPRACCUR_COLS
 
 FORMAT_NAME = "ods_zip"
+
+#: rows per Arrow RecordBatch yielded by the readers.  One batch per
+#: member would hold an entire member in memory at once; real TRUD
+#: members are hundreds of thousands of rows, so flush every chunk —
+#: large enough for the columnar transport to amortize, small enough
+#: to bound per-task memory (guide §4.2 batch-size note).
+_ARROW_CHUNK_ROWS = 1 << 16
+
+
+def _member_batches(zf: zipfile.ZipFile, member_name: str, cols, pushed_ord):
+    """Decode one CSV member into Arrow RecordBatches: pad/truncate to
+    the positional layout, '' -> NULL (spark.read.csv semantics), pushed
+    filters applied during decode.  Columnar transport replaces the
+    per-row tuple pickling of the worker boundary; the produced VALUES
+    are identical to the old row path."""
+    import pyarrow as pa
+
+    n = len(cols)
+    data: list[list] = [[] for _ in range(n)]
+    n_buf = 0
+    with zf.open(member_name) as member:
+        text = io.TextIOWrapper(member, encoding="utf-8", newline="")
+        for rec in csv.reader(text):
+            if not rec:
+                continue
+            row = tuple(
+                (rec[i] if i < len(rec) and rec[i] != "" else None)
+                for i in range(n)
+            )
+            if pushed_ord and not OdsZipReader._row_passes(row, pushed_ord):
+                continue
+            for i in range(n):
+                data[i].append(row[i])
+            n_buf += 1
+            if n_buf >= _ARROW_CHUNK_ROWS:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(c, type=pa.string()) for c in data], names=list(cols)
+                )
+                data = [[] for _ in range(n)]
+                n_buf = 0
+    if n_buf:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=pa.string()) for c in data], names=list(cols)
+        )
 
 
 class OdsZipDataSource(DataSource):
@@ -131,23 +182,10 @@ class OdsZipReader(DataSourceReader):
         return [InputPartition(m) for m in members]
 
     # -- per-partition decode (runs on executors) ---------------------------
-    def read(self, partition: InputPartition) -> Iterator[Tuple]:
-        n = len(self.cols)
+    def read(self, partition: InputPartition) -> Iterator:
         pushed_ord = self._pushed_ordinals()
         with zipfile.ZipFile(self.path) as z:
-            with z.open(partition.value) as member:
-                text = io.TextIOWrapper(member, encoding="utf-8", newline="")
-                for rec in csv.reader(text):
-                    if not rec:
-                        continue
-                    # pad/truncate to the positional layout; '' -> NULL
-                    # (spark.read.csv semantics, ODSImport.py isna guards)
-                    row = tuple(
-                        (rec[i] if i < len(rec) and rec[i] != "" else None)
-                        for i in range(n)
-                    )
-                    if self._row_passes(row, pushed_ord):
-                        yield row
+            yield from _member_batches(z, partition.value, self.cols, pushed_ord)
 
 
 class OdsZipPushdownReader(OdsZipReader):
@@ -215,19 +253,10 @@ class OdsZipStreamReader(DataSourceStreamReader):
                         parts.append(InputPartition((path, m)))
         return parts
 
-    def read(self, partition: InputPartition) -> Iterator[Tuple]:
+    def read(self, partition: InputPartition) -> Iterator:
         path, member_name = partition.value
-        n = len(self.cols)
         with zipfile.ZipFile(path) as z:
-            with z.open(member_name) as member:
-                text = io.TextIOWrapper(member, encoding="utf-8", newline="")
-                for rec in csv.reader(text):
-                    if not rec:
-                        continue
-                    yield tuple(
-                        (rec[i] if i < len(rec) and rec[i] != "" else None)
-                        for i in range(n)
-                    )
+            yield from _member_batches(z, member_name, self.cols, [])
 
     def commit(self, end: dict) -> None:
         pass  # offsets are self-describing; the checkpoint owns them
@@ -250,7 +279,11 @@ class OdsZipStreamReader(DataSourceStreamReader):
 
 from dataclasses import dataclass  # noqa: E402
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 
 
 @dataclass
@@ -259,7 +292,29 @@ class _PartFile(WriterCommitMessage):
     n_rows: int
 
 
-class OdsZipWriter(DataSourceWriter):
+def _write_part_csv(staging: str, cols, iterator) -> _PartFile:
+    """Serialize this task's Arrow batches to one staged positional-CSV
+    part file (NULL -> '' — the inverse of the readers' '' -> NULL).
+    Column-wise ``to_pylist`` + ``zip`` keeps the per-row Python work to
+    the csv.writer call itself; the bytes written are identical to the
+    old Row path."""
+    import os
+    import uuid
+
+    os.makedirs(staging, exist_ok=True)
+    part = os.path.join(staging, f"part-{uuid.uuid4().hex}.csv")
+    n = 0
+    with open(part, "w", encoding="utf-8", newline="") as fh:
+        w = csv.writer(fh)
+        for batch in iterator:
+            columns = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
+            for row in zip(*columns):
+                w.writerow(["" if v is None else v for v in row])
+            n += batch.num_rows
+    return _PartFile(path=part, n_rows=n)
+
+
+class OdsZipWriter(DataSourceArrowWriter):
     """Two-phase archive writer.
 
     SHARED-FILESYSTEM REQUIREMENT: ``write()`` stages part files on
@@ -293,18 +348,7 @@ class OdsZipWriter(DataSourceWriter):
         self.cols = [f.name for f in schema.fields]
 
     def write(self, iterator) -> _PartFile:  # executes on executors
-        import os
-        import uuid
-
-        os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
-        n = 0
-        with open(part, "w", encoding="utf-8", newline="") as fh:
-            w = csv.writer(fh)
-            for row in iterator:
-                w.writerow(["" if v is None else v for v in row])
-                n += 1
-        return _PartFile(path=part, n_rows=n)
+        return _write_part_csv(self.staging, self.cols, iterator)
 
     def commit(self, messages) -> None:  # driver, all tasks succeeded
         import os
@@ -348,7 +392,7 @@ class OdsZipWriter(DataSourceWriter):
 # matching `.staging-*` is a dead query's garbage.
 
 
-class OdsZipStreamWriter(DataSourceStreamWriter):
+class OdsZipStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         import uuid as _uuid
 
@@ -360,18 +404,7 @@ class OdsZipStreamWriter(DataSourceStreamWriter):
         self.cols = [f.name for f in schema.fields]
 
     def write(self, iterator) -> _PartFile:  # executors
-        import os
-        import uuid
-
-        os.makedirs(self.staging, exist_ok=True)
-        part = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.csv")
-        n = 0
-        with open(part, "w", encoding="utf-8", newline="") as fh:
-            w = csv.writer(fh)
-            for row in iterator:
-                w.writerow(["" if v is None else v for v in row])
-                n += 1
-        return _PartFile(path=part, n_rows=n)
+        return _write_part_csv(self.staging, self.cols, iterator)
 
     def _parts(self, messages) -> List[_PartFile]:
         return sorted(

@@ -72,6 +72,39 @@ def test_bench_repeat_reports_median_and_spread(tmp_path):
     assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
 
 
+def test_bench_substrate_builds_are_timed_entries(tmp_path):
+    """r13 verdict ask #1: substrate build costs must be visible.  With
+    the prebuild enabled, every memo_substrate build appears as its own
+    ``substrate__<name>`` entry in ``queries`` (counted in ``value``),
+    and substrate-consuming queries are tagged in ``substrate_warm`` —
+    their own numbers measure warm serving, not the build."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_BENCH_ONLY"] = "q23_ngram_jaccard_pairs"
+    env["SPARK_GRAFT_BENCH_REPEAT"] = "1"
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_BENCH_SUBSTRATES"] = "1"  # BENCH_ONLY defaults off
+    env["SPARK_GRAFT_BENCH_FULL_PATH"] = str(tmp_path / "full.json")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        check=True,
+    )
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    subs = {n for n in rec["queries"] if n.startswith("substrate__")}
+    assert "substrate__hashed_shingles" in subs
+    assert "substrate__q72_membership" in subs
+    # builds count toward the headline total
+    assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
+    # the consumer is tagged warm on the substrate it reads
+    assert "hashed_shingles" in rec["substrate_warm"]["q23_ngram_jaccard_pairs"]
+
+
 def test_shape_stdout_fits_driver_tail_budget():
     """The driver keeps only the last 2000 chars of stdout; a full
     233-query record is ~40x that, so the printed line must shrink —
