@@ -32,13 +32,6 @@ from ..scratch import materialize
 #: means the iteration is broken, not the graph big.
 _CC_MAX_ROUNDS = 64
 
-#: Always start fixpoint probes by this round even when the caller's
-#: ``rounds`` hint is larger: each probe is a one-row scalar aggregate
-#: on the ALREADY-materialized label parquet (microseconds of real
-#: work), while an un-probed round after convergence pays two joins
-#: plus a full label materialization.  An overestimated hint should
-#: cost its caller probes, not wasted rounds.
-_CC_PROBE_AFTER = 3
 
 
 def connected_components(
@@ -49,18 +42,27 @@ def connected_components(
     ``(id, cluster_id)`` where ``cluster_id`` is the component's minimum
     node id.
 
-    Iterates TO CONVERGENCE: ``rounds`` is the expected budget (a floor
-    on how many rounds run without checking), after which each round
-    pays one scalar aggregate on the already-materialized label table
-    to test the fixpoint.  Labels only ever decrease, so the exact
-    DECIMAL sum is strictly monotone and "sum unchanged" == "no label
-    moved" == converged.  A fixed round count matched to the test
-    fixture is NOT scale-safe — the r9 synthetic-sf1 sweep caught
-    exactly that: 10× data produced components whose diameter exceeded
-    the 4-round budget q235 shipped with, and the full-closure oracle
-    flagged the truncated labels.  The one-row fetch per checked round
-    is a convergence gate, not a data path (same category as q150's
-    audit verdict fetch; pinned in test_plan_invariants).
+    Iterates TO CONVERGENCE, probing the fixpoint after EVERY round:
+    the probe is a one-row, map-side-combinable scalar aggregate over
+    the label table the round just materialized onto scratch storage —
+    a small fraction of one round's cost at any scale — while every
+    round run past the fixpoint pays two joins plus a full label
+    materialization.  (r13/r14 profiling measured the old probe-skip
+    heuristic wasting two full post-fixpoint rounds on every
+    early-converging graph: dedup/near-dup graphs are small-diameter
+    cliques that fix by round 1-2 while every caller hints 4 — q226 ran
+    45 jobs for 1.5 executor-seconds of real work.)  Labels only ever
+    decrease, so the exact DECIMAL sum is strictly monotone and "sum
+    unchanged" == "no label moved" == converged.  ``rounds`` survives
+    as the caller's expected-diameter annotation and is validated
+    against the cap, but never suppresses a probe: a fixed round count
+    matched to the test fixture is NOT scale-safe — the r9
+    synthetic-sf1 sweep caught exactly that (10× data produced
+    components whose diameter exceeded the 4-round budget q235 shipped
+    with, and the full-closure oracle flagged the truncated labels).
+    The one-row fetch per round is a convergence gate, not a data path
+    (same category as q150's audit verdict fetch; pinned in
+    test_plan_invariants).
 
     ``scratch_prefix`` keys this caller's materialized substrates: two
     DIFFERENT callers in one process (doc dedup, patient linkage) must
@@ -107,13 +109,6 @@ def connected_components(
             ),
             f"{scratch_prefix}_labels_r{rnd}",
         )
-        # skip the fixpoint probe while inside the expected budget (the
-        # first rounds almost never converge; don't pay the scalar agg)
-        # — but never defer past _CC_PROBE_AFTER: an overestimated hint
-        # must not buy converged-graph rounds (each is two joins + a
-        # materialization) to save a one-row probe
-        if rnd + 2 < rounds and rnd < _CC_PROBE_AFTER:
-            continue
         # coalesce: SUM over ZERO rows is NULL, and None == None never
         # fires the equality guard — an empty node set (no edge reaches
         # the threshold) must converge immediately, not burn the cap

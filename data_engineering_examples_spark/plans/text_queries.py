@@ -1623,21 +1623,35 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # initial symbolization: one symbol per character, DOUBLE-space
     # separated (the adjacency-preserving representation — see the
-    # module comment above)
-    forms = materialize(
+    # module comment above).  This is the ONLY materialization: the
+    # corpus collapses to the word-frequency vocab here, once.
+    forms0 = materialize(
         wc.select(
             F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("form"), "n"
         ),
         "q239_forms_r0",
     )
-    merges: list[DataFrame] = []
+    # Each round: ONE vocab-sized aggregate whose argmax row (the merge
+    # winner) is fetched to the driver (whitelisted one-row seam — the
+    # q240/q241 sufficient-statistics treatment, r13 verdict ask #7),
+    # and the merge application becomes a LITERAL replace layered onto
+    # the form expression.  This removes the per-round winner
+    # materialization, the per-round forms rewrite, and the 1-row
+    # broadcast crossJoin: round r's aggregate evaluates r literal
+    # replaces over the round-0 vocab in a single map stage — string
+    # work linear in rounds x vocab, against K-1 full vocab-table
+    # writes + reads before.  ' L  R ' -> ' LR ' literal semantics are
+    # IDENTICAL to the previous broadcast form (same engine function,
+    # now with constant arguments); the oracle unrolls the same rounds.
+    form_col = F.col("form")
+    merges: list[tuple[int, str, str, int]] = []
     for rnd in range(BPE_TRAIN_ROUNDS):
         # adjacent-pair extraction: vocab-sized explode (guard size >= 2:
         # Spark's sequence(1, 0) would count DOWN and element_at(_, 0)
         # raises under ANSI; DuckDB's range(1, 1) is just empty)
-        syms = forms.select(F.split("form", "  ").alias("syms"), "n").filter(
-            F.size("syms") >= 2
-        )
+        syms = forms0.select(
+            F.split(form_col, "  ").alias("syms"), "n"
+        ).filter(F.size("syms") >= 2)
         pairs = syms.select(
             "n",
             "syms",
@@ -1647,51 +1661,53 @@ def q239_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("syms", F.col("i") + 1).alias("right_sym"),
             "n",
         )
-        best = materialize(
+        best = (
             pairs.groupBy("left_sym", "right_sym")
             .agg(F.sum("n").cast("bigint").alias("pair_count"))
             .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
-            .limit(1),
-            f"q239_best_r{rnd}",  # read twice: merge-table row + application
+            .limit(1)
+            .first()  # TakeOrdered: same (count DESC, l, r) tie-break
         )
-        merges.append(
-            best.select(
-                F.lit(rnd).cast("int").alias("round"),
-                "left_sym",
-                "right_sym",
-                F.concat("left_sym", "right_sym").alias("new_sym"),
-                "pair_count",
-            )
-        )
+        if best is None:
+            break  # degenerate corpus: no adjacent pair left to merge
+        left, right = best["left_sym"], best["right_sym"]
+        merges.append((rnd, left, right, int(best["pair_count"])))
         if rnd < BPE_TRAIN_ROUNDS - 1:
-            # apply the winning merge to every form: broadcast 1-row
-            # winner, literal replace.  ' L  R ' -> ' LR ' takes one
-            # space from each doubled boundary and gives both back, so
-            # the NEXT occurrence keeps its leading space and the scan
-            # is exactly greedy leftmost non-overlapping (see module
-            # comment; q204's single-space chain drops alternate
-            # occurrences on back-to-back repeats)
-            padded = F.concat(F.lit(" "), F.col("form"), F.lit(" "))
-            pat = F.concat(
-                F.lit(" "),
-                F.col("left_sym"),
-                F.lit("  "),
-                F.col("right_sym"),
-                F.lit(" "),
+            padded = F.concat(F.lit(" "), form_col, F.lit(" "))
+            form_col = F.trim(
+                F.replace(
+                    padded,
+                    F.lit(f" {left}  {right} "),
+                    F.lit(f" {left}{right} "),
+                )
             )
-            rep = F.concat(
-                F.lit(" "), F.col("left_sym"), F.col("right_sym"), F.lit(" ")
+    if not merges:
+        return spark.range(0).select(
+            F.lit(0).cast("int").alias("round"),
+            F.lit("").alias("left_sym"),
+            F.lit("").alias("right_sym"),
+            F.lit("").alias("new_sym"),
+            F.lit(0).cast("bigint").alias("pair_count"),
+        )
+    # JVM-side literal rows (range(1) + explode) — the q240/q241 output
+    # convention; no Python-serialized local relation
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(rnd).cast("int").alias("round"),
+                F.lit(left).alias("left_sym"),
+                F.lit(right).alias("right_sym"),
+                F.lit(left + right).alias("new_sym"),
+                F.lit(cnt).cast("bigint").alias("pair_count"),
             )
-            forms = materialize(
-                forms.crossJoin(
-                    F.broadcast(best.select("left_sym", "right_sym"))
-                ).select(F.trim(F.replace(padded, pat, rep)).alias("form"), "n"),
-                f"q239_forms_r{rnd + 1}",
-            )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+            for rnd, left, right, cnt in merges
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(rows).alias("s"))
+        .select("s.round", "s.left_sym", "s.right_sym", "s.new_sym", "s.pair_count")
+    )
 
 
 # ---------------------------------------------------------------------------

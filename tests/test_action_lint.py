@@ -105,6 +105,14 @@ ACTION_SEAMS = {
     "conditional aggregates); split selection is exact integer "
     "arithmetic over the 14 candidates — the decision every "
     "distributed GBDT pulls to the driver between passes",
+    (
+        "plans/text_queries.py",
+        "q239_bpe_train_rounds",
+        "first",
+    ): "one-row merge-winner fetch per BPE round (TakeOrdered argmax of "
+    "the vocab-sized pair-count aggregate); the merge application is a "
+    "literal replace layered onto the form expression — the decision "
+    "every distributed BPE trainer pulls to the driver between passes",
 }
 
 # (module relpath, enclosing function) whose write chains are the point.

@@ -246,6 +246,32 @@ def test_cc_empty_graph_converges_immediately(spark):
     assert got == []
 
 
+def test_cc_early_convergence_stops_after_two_rounds(spark):
+    """r14: the fixpoint is probed after EVERY round (the probe is a
+    one-row scalar agg on the just-materialized label table; a wasted
+    post-fixpoint round is two joins + a full materialization).  A
+    clique converges in round 0, the round-1 probe observes the
+    unchanged sum, and NO round-2 label table may ever be built — the
+    old probe-skip heuristic burned two extra rounds here whenever the
+    caller's hint said 4."""
+    from data_engineering_examples_spark import scratch
+    from data_engineering_examples_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.range(3).select(F.col("id"))
+    edges = spark.createDataFrame([(0, 1), (1, 2), (0, 2)], "u long, v long")
+    got = {
+        (r.id, r.cluster_id)
+        for r in connected_components(
+            nodes, edges, rounds=4, scratch_prefix="t_ccclique"
+        ).collect()
+    }
+    assert got == {(0, 0), (1, 0), (2, 0)}
+    assert "t_ccclique_labels_r1" in scratch._MATERIALIZE_GEN
+    assert "t_ccclique_labels_r2" not in scratch._MATERIALIZE_GEN
+
+
 def test_cc_rejects_round_hint_that_starves_probes(spark):
     """A rounds hint at/above the hard cap would suppress every
     fixpoint probe and turn ANY graph into a guaranteed RuntimeError;
