@@ -813,15 +813,17 @@ def _stream_attribution(
 # a watermarked Structured Streaming aggregation (append mode), drained
 # availableNow. Append-mode session aggregates emit only when the
 # watermark passes the session end, and the watermark only advances at
-# micro-batch boundaries — so the feed is staged as three time-ordered
+# micro-batch boundaries — so the feed is staged as two time-ordered
 # files consumed one per trigger (maxFilesPerTrigger=1): the real
-# events, then two future sentinel events (user_id < 0) whose sole job
-# is to push the watermark past every real session's end across the two
-# following batches. Without the second sentinel the final batch's
-# sessions would still be buffered in state when the drain stops — the
-# classic append-mode flush gap. Sentinels are filtered from the output;
-# the oracle is the batch gaps-and-islands derivation plus per-session
-# value totals, so parity proves streaming emission == batch semantics.
+# events, then ONE far-future sentinel event (user_id < 0) that pushes
+# the watermark past every real session's end; the closing NO-DATA
+# micro-batch (availableNow runs it because the stateful operator
+# requests another batch whenever the watermark advanced) applies that
+# watermark and flushes the final sessions — the classic append-mode
+# flush gap, closed by the engine's own flush batch instead of a second
+# staged sentinel. Sentinels are filtered from the output; the oracle
+# is the batch gaps-and-islands derivation plus per-session value
+# totals, so parity proves streaming emission == batch semantics.
 #
 # Scale: session state is hash-partitioned by user_id and merged
 # map-side; the watermark bounds state to open sessions only. The
@@ -879,18 +881,30 @@ def q120_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
         F.floor(F.col("value") * 1000).cast("bigint").alias("vm"),
     )
-    hi = feed.agg(F.max("ts").alias("hi")).first().hi
-    # file 1: the real feed; files 2/3: watermark-advancing sentinels.
+    # file 1: the real feed; file 2: ONE watermark-advancing sentinel.
+    # The sentinel batch's arrivals push the watermark past every real
+    # session's end, and Spark's closing NO-DATA micro-batch (run by
+    # availableNow exactly because stateful operators request another
+    # batch when the watermark advanced) applies it and flushes the
+    # final emissions — measured live: the no-data batch runs after the
+    # last data batch in this exact drain, so the old SECOND sentinel
+    # file (one more staged write + one more data micro-batch) bought
+    # nothing (r14, guide §1 measure-first).  The feed max rides the
+    # staging write as an observe() metric instead of a separate
+    # aggregate job over the events scan (one pass, not two).
     # Sentinels are built JVM-side (range(1) + literals): a 1-row
     # createDataFrame pays ~5 s of Python-serialization setup per call,
     # which would dominate the whole query.
-    feed.coalesce(1).write.parquet(inp)
-    for uid, offset_h in [(-1, 2), (-2, 4)]:
-        spark.range(1).select(
-            F.lit(uid).cast("long").alias("user_id"),
-            F.lit(hi + _dt.timedelta(hours=offset_h)).cast("timestamp").alias("ts"),
-            F.lit(0).cast("long").alias("vm"),
-        ).coalesce(1).write.mode("append").parquet(inp)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    feed.observe(obs, F.max("ts").alias("hi")).coalesce(1).write.parquet(inp)
+    hi = obs.get["hi"]
+    spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(hi + _dt.timedelta(hours=2)).cast("timestamp").alias("ts"),
+        F.lit(0).cast("long").alias("vm"),
+    ).coalesce(1).write.mode("append").parquet(inp)
 
     stream = (
         spark.readStream.schema("user_id long, ts timestamp, vm long")
@@ -1129,10 +1143,11 @@ def q144_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a micro-batch AFTER the one whose arrivals advanced the watermark
 # (watermarks update at batch end and apply next batch — q120's flush
 # gap).  The feed is therefore staged time-ordered at one file per
-# trigger: the real rows, then TWO far-future sentinel files per side
-# (user_id = -1, +2h/+4h) whose only job is to push both sides'
-# watermarks past every click's eviction point across the two closing
-# batches.  Sentinels are filtered from the output; time-ordered
+# trigger: the real rows, then ONE far-future sentinel file per side
+# (user_id = -1, +2h) that pushes both sides' watermarks past every
+# click's eviction point; the engine's closing no-data micro-batch
+# applies it and emits the NULL rows.  Sentinels are filtered from the
+# output; time-ordered
 # delivery guarantees no real click evicts while a matching purchase is
 # still undelivered (purchase_ts <= click_ts + window < global wm <=
 # delivered-max - delay), so the drained stream equals the batch LEFT
@@ -1143,7 +1158,7 @@ def q144_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # held until watermark eviction — which is exactly the memory the
 # NULL-emission contract costs on any engine.
 
-Q242_SENTINEL_H = (2, 4)
+Q242_SENTINEL_H = (2,)
 
 
 @register(
@@ -1162,7 +1177,8 @@ Q242_SENTINEL_H = (2, 4)
     """,
     doc="stream-stream LEFT OUTER interval join: matched rows emit "
     "immediately, unmatched clicks emit NULL-padded on watermark "
-    "eviction (two-sentinel flush); drained output == batch LEFT JOIN",
+    "eviction (sentinel + no-data-batch flush); drained output == "
+    "batch LEFT JOIN",
     tags=("workflow", "streaming", "T5", "J2"),
 )
 def q242_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1181,39 +1197,62 @@ def q242_stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_id").alias("purchase_id"),
         F.col("ts").cast("timestamp").alias("purchase_ts"),
     )
-    hi = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("hi")).first().hi
-    # file 1: all real rows (time-ordered delivery is trivial with one
-    # real file); files 2..3: the sentinel pair, written sequentially so
-    # mtime order == event-time order (q97's production-path staging).
+    # file 1 per side: all real rows (time-ordered delivery is trivial
+    # with one real file); file 2: ONE far-future sentinel whose batch
+    # pushes both sides' watermarks past every click's eviction point —
+    # the NULL emissions then flush in the engine's closing NO-DATA
+    # micro-batch (availableNow runs it because the join's state-cleanup
+    # predicate requests another batch when the watermark advanced), so
+    # the old SECOND sentinel pair (two staged writes + one data batch
+    # per side) bought nothing (r14, guide §1 measure-first).  Each
+    # side's event-time max rides its own staging write as an observe()
+    # metric — no separate bounds aggregate over the events scan — and
+    # the sentinel ts derives from max(click_ts, purchase_ts), which
+    # bounds every click's eviction point just as the old whole-events
+    # max did (sentinels are filtered from the output either way).
     # The two SIDES are independent feed directories: stage them from
     # two driver threads (guide §2.6) — within a side the writes stay
     # sequential (mtime order is load-bearing; concurrent appends to one
     # directory also race the output committer), across sides only the
     # per-source file ORDER matters, never cross-side mtimes
     # (maxFilesPerTrigger=1 pairs files by index per source).
+    from pyspark.sql import Observation
+
     from ..concurrency import run_concurrently
 
+    obs_c, obs_p = Observation(), Observation()
+
     def _stage_clicks() -> None:
-        clicks_df.coalesce(1).write.mode("append").parquet(clicks_in)
-        for h in Q242_SENTINEL_H:
-            sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
+        clicks_df.observe(obs_c, F.max("click_ts").alias("hi")).coalesce(
+            1
+        ).write.mode("append").parquet(clicks_in)
+
+    def _stage_purchases() -> None:
+        purch_df.observe(obs_p, F.max("purchase_ts").alias("hi")).coalesce(
+            1
+        ).write.mode("append").parquet(purch_in)
+
+    run_concurrently(_stage_clicks, _stage_purchases)
+    bounds = [h for h in (obs_c.get["hi"], obs_p.get["hi"]) if h is not None]
+    if bounds:  # no rows on either side -> nothing buffered, no flush needed
+        (h,) = Q242_SENTINEL_H
+        sent = F.lit(max(bounds)) + F.expr(f"INTERVAL {h} HOURS")
+
+        def _sent_clicks() -> None:
             spark.range(1).select(
                 F.lit(-1).cast("long").alias("user_id"),
                 F.lit(-1).cast("long").alias("click_id"),
                 sent.alias("click_ts"),
             ).coalesce(1).write.mode("append").parquet(clicks_in)
 
-    def _stage_purchases() -> None:
-        purch_df.coalesce(1).write.mode("append").parquet(purch_in)
-        for h in Q242_SENTINEL_H:
-            sent = F.lit(hi) + F.expr(f"INTERVAL {h} HOURS")
+        def _sent_purchases() -> None:
             spark.range(1).select(
                 F.lit(-1).cast("long").alias("p_user_id"),
                 F.lit(-1).cast("long").alias("purchase_id"),
                 sent.alias("purchase_ts"),
             ).coalesce(1).write.mode("append").parquet(purch_in)
 
-    run_concurrently(_stage_clicks, _stage_purchases)
+        run_concurrently(_sent_clicks, _sent_purchases)
 
     clicks = (
         spark.readStream.schema("user_id long, click_id long, click_ts timestamp")

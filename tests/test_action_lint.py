@@ -72,18 +72,6 @@ ACTION_SEAMS = {
     ): "one-row max(ts) aggregate to compute the watermark-flush sentinel "
     "timestamp for the staged feed (scale-safe: aggregate of the feed)",
     (
-        "plans/workflow_queries.py",
-        "q120_stream_sessions",
-        "first",
-    ): "one-row max(ts) aggregate for the session-close sentinel of the "
-    "staged micro-batch feed",
-    (
-        "plans/workflow_queries.py",
-        "q242_stream_attribution_outer",
-        "first",
-    ): "one-row max(ts) aggregate for the two-sentinel eviction flush "
-    "(the r10 VERDICT's 'correctly outside the hot path' note)",
-    (
         "operators/graph.py",
         "connected_components",
         "first",
@@ -150,6 +138,10 @@ WRITE_SEAMS = {
     ("plans/workflow_queries.py", "_seed_rollup"): "q130 empty rollup-table "
     "seed write (the MergeWriter target, §2.6-overlapped with the feed)",
     ("plans/workflow_queries.py", "q144_stream_static_enrich"): "stream staging",
+    ("plans/workflow_queries.py", "_sent_clicks"): "q242 click-side "
+    "sentinel staging (one literal row into the feed)",
+    ("plans/workflow_queries.py", "_sent_purchases"): "q242 purchase-side "
+    "sentinel staging (one literal row into the feed)",
     ("plans/workflow_queries.py", "_stage_clicks"): "q242 click-side feed "
     "staging (real rows + two watermark sentinels, mtime-ordered)",
     ("plans/workflow_queries.py", "_stage_purchases"): "q242 purchase-side "
