@@ -235,8 +235,9 @@ def _lsh_bands_substrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the publish/serve demonstration of exactly that cycle); re-deriving
     the 16 interpreted hyperplane dot products per consumer per
     invocation was the single hottest repeated compute in the
-    similarity family.  q238 keeps its own in-query signatures — its
-    input is the exact-dedup CANONICAL subset, not the full table."""
+    similarity family.  q238's canonical-subset bands are this table
+    semi-joined to the keeper set (signatures are per-vector, so the
+    filtered index is bit-identical to re-deriving them — r14)."""
 
     def build() -> DataFrame:
         emb = scale_out(
@@ -381,9 +382,10 @@ def _neardup_pairs(v: DataFrame, bands: DataFrame | None = None) -> DataFrame:
     exact-fold cosine threshold.  Factored out so q238 can run the SAME
     pipeline over the exact-dedup CANONICAL vectors (the measured
     pipeline-ordering dial from the r9 sf1 sweep).  ``bands`` lets a
-    full-table caller pass the session-wide banded-index substrate;
-    subset callers (q238's canonical set) leave it None and derive
-    signatures from their own ``v``."""
+    caller pass the session-wide banded-index substrate (full table, or
+    a key-filtered slice of it — q238 passes the substrate semi-joined
+    to its canonical keeper set); ``None`` derives signatures from
+    ``v`` itself."""
     if bands is None:
         bands = _signatures(v)
 
@@ -502,8 +504,20 @@ def q238_canonical_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = members.filter(F.col("vec_id") == F.col("canon_id")).select(
         "vec_id", _to_double("embedding").alias("e")
     )
-    # stage 2 — q49's pipeline, canonical vectors only
-    cpairs = _neardup_pairs(cv)
+    # stage 2 — q49's pipeline, canonical vectors only.  The band table
+    # comes from the session ANN index RESTRICTED to canonical ids: a
+    # vector's signature depends only on its embedding (same doubles,
+    # same planes, same fold), so the semi-join filter of the full
+    # banded substrate is bit-identical to re-deriving signatures over
+    # cv — and skips the 16 interpreted hyperplane dot products per
+    # canonical vector that r14 profiling measured as ~2/3 of this
+    # query's candidate-stage cost (guide §1.2 step 2).  At scale this
+    # is the index-serving shape: the exact-dedup keeper set prunes the
+    # shared banded index by key instead of re-hashing the corpus.
+    cbands = _lsh_bands_substrate(spark, sf_dir).join(
+        cv.select("vec_id"), "vec_id", "semi"
+    )
+    cpairs = _neardup_pairs(cv, bands=cbands)
     mm = members.select("vec_id", "canon_id")
 
     # stage 3a — cross-group expansion: canonical pair × both member

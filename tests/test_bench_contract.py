@@ -96,10 +96,12 @@ def test_bench_substrate_builds_are_timed_entries(tmp_path):
     lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1
     rec = json.loads(lines[0])
-    subs = {n for n in rec["queries"] if n.startswith("substrate__")}
-    assert "substrate__hashed_shingles" in subs
-    assert "substrate__q72_membership" in subs
-    # builds count toward the headline total
+    assert "hashed_shingles" in rec["substrates"]
+    assert "q72_membership" in rec["substrates"]
+    assert all(v > 0 for v in rec["substrates"].values())
+    # builds stay OUT of queries/value: the driver's round-over-round
+    # total must remain comparable (old medians never contained them)
+    assert not any(n.startswith("substrate") for n in rec["queries"])
     assert abs(rec["value"] - sum(rec["queries"].values())) < 1e-6
     # the consumer is tagged warm on the substrate it reads
     assert "hashed_shingles" in rec["substrate_warm"]["q23_ngram_jaccard_pairs"]

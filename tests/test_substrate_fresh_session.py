@@ -65,6 +65,9 @@ CONSUMERS = [
     # recall audit rides the same coverage
     "q32_ann_lsh_topk",
     "q49_embedding_neardup",
+    # r14: q238 serves its canonical-subset bands from the same index
+    # (semi-join on the keeper set)
+    "q238_canonical_neardup",
     # ivf_ranked substrate (similarity_queries._ivf_ranked_substrate,
     # r13): the serve path and the label-filtered search
     "q50_ivf_topk",
