@@ -196,24 +196,25 @@ def test_driver_first_calls_are_single_row_bounds_only():
                 sites.append(py.name)
     # etl_queries.py: q150's WAP audit fetches ONE aggregate row (the
     # audit verdict) before deciding to publish — a gate scalar, not a
-    # data path. workflow_queries.py: the three streaming time-bound
-    # fetches feeding fixture staging (q97's production slices, q120's
-    # sentinel placement, q242's sentinel placement). graph.py:
-    # connected_components' fixpoint probe — one exact-decimal label sum
-    # per checked round (the r9 sf1 sweep showed fixed round budgets
-    # silently truncate components at scale).
+    # data path. workflow_queries.py: q97's production-path time-bound
+    # fetch feeding its sliced fixture staging (q120/q242's sentinel
+    # bounds ride the staging writes as observe() metrics since r14).
+    # graph.py: connected_components' fixpoint probe — one
+    # exact-decimal label sum per barrier (the r9 sf1 sweep showed
+    # fixed round budgets silently truncate components at scale).
     # training_queries.py (r13): q240's one-row sufficient-statistics
     # fetch (the GD trajectory is driver arithmetic on nine integers)
     # and q241's one-row histogram fetch per boosting round (split
     # selection over 14 candidates) — both are the between-pass decision
     # scalars every distributed trainer pulls to the driver, never data.
+    # text_queries.py (r14): q239's one-row BPE merge-winner fetch per
+    # round (TakeOrdered argmax of the vocab pair-count aggregate).
     assert sorted(sites) == [
         "etl_queries.py",
         "graph.py",
+        "text_queries.py",
         "training_queries.py",
         "training_queries.py",
-        "workflow_queries.py",
-        "workflow_queries.py",
         "workflow_queries.py",
     ], sites
 
