@@ -81,10 +81,20 @@ def connected_components(
             f"{_CC_MAX_ROUNDS}-round cap; pointer-jumped min-label "
             "propagation never needs anywhere near this many rounds"
         )
+    # explode, not self-union: a union evaluates the caller's edge plan
+    # TWICE inside the one materialization job (and the edge list often
+    # comes out of an expensive candidate pipeline — q235's Arrow pair
+    # kernel, q131's blocked self-join); the two-struct explode emits
+    # both directions from a SINGLE evaluation (guide §2.4).
     bidir = materialize(
-        edges.select("u", "v").union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ),
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v"),
         f"{scratch_prefix}_edges",
     )
     labels = nodes.select(F.col("id"), F.col("id").alias("label"))
@@ -149,9 +159,18 @@ def k_core(edges: DataFrame, k: int, rounds: int, scratch_prefix: str = "kcore")
     round's edge set is materialized through the durable scratch seam,
     so plan depth stays O(1) and a lost executor replays one round's
     file split, not the whole peel."""
+    # explode, not self-union — single evaluation of the caller's edge
+    # plan (same rationale as connected_components' bidir above)
     cur = materialize(
-        edges.select("u", "v")
-        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct(),
         f"{scratch_prefix}_edges_r0",
     )

@@ -2725,8 +2725,12 @@ def q235_semantic_dedup_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 1607/2000 at sf0.1 → 1.3M candidate pairs, 10× q231's),
     # so the pair stage runs as the grouped Arrow kernel: BLAS screen +
     # exact-fold recheck, identical edge set to the JVM fold by the
-    # margin argument at _SEMDEDUP_SCREEN_SLACK
-    edges = _semdedup_edges_arrow(m, SEMDEDUP_COS)
+    # margin argument at _SEMDEDUP_SCREEN_SLACK.  Materialized: the
+    # kernel otherwise re-runs inside BOTH branches of CC's bidirected
+    # union AND the node derivation (~4 evaluations of a 1.9 s pass —
+    # r14 measured CC over lazy edges at 6.1 s vs 3.6 s over the
+    # checkpointed edge list; guide §2.4 duplicated-subtree cut).
+    edges = materialize(_semdedup_edges_arrow(m, SEMDEDUP_COS), "q235_edges")
     nodes = (
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
